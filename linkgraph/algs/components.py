@@ -1,0 +1,98 @@
+"""Connected components via iterative label-min propagation (hash-to-min).
+
+Reference parity: networkit/cpp/components/ConnectedComponents.cpp (BFS per
+component, sequential) and ParallelConnectedComponents.cpp (shared-memory
+label propagation). The reference's *parallel* formulation IS the Spark
+formulation: every vertex starts labeled with its own id; each superstep
+every vertex takes the min label over itself and its neighbors; fixpoint in
+O(diameter) supersteps (BASELINE.json:14 names exactly this algorithm).
+
+Plan per superstep: labels ⋈ sym_edges (shuffle on id) → groupBy(dst).min
+(partial+final hash agg) → join old labels → count changed. Two shuffles a
+superstep, both on the vertex id — co-partitioned by Spark's hash
+partitioning, so AQE reuses the exchange where possible.
+
+Scale: state is (id, label) — 16 bytes a vertex. Web-scale diameters are
+small (~tens); for pathological high-diameter graphs the large-star/
+small-star variant (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14) halves round count; plain hash-to-min is the default
+because the oracle (recursive-CTE min-label) matches it exactly.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.graph import Graph
+from linkgraph.superstep import Superstep
+
+
+def connected_components(
+    graph: Graph,
+    work_dir: str | None = None,
+    max_iter: int = 200,
+    resume: bool = False,
+) -> DataFrame:
+    """Return ``(id, component)`` where component = min vertex id reachable.
+
+    Canonical labeling (min member id) makes results directly comparable
+    across runs, parallelism levels, and the DuckDB oracle — the
+    "exact up to canonical relabeling" contract is free.
+    """
+    spark = graph.edges.sparkSession
+    sym = graph.symmetric_edges().select("src", "dst").persist()
+    work_dir = work_dir or tempfile.mkdtemp(prefix="lg_cc_")
+
+    def init() -> DataFrame:
+        return graph.nodes().select("id", F.col("id").alias("label"))
+
+    def step(labels: DataFrame, k: int) -> tuple[DataFrame, float]:
+        # neighbor labels: a vertex receives its neighbors' current labels
+        nbr = (
+            labels.join(sym, labels.id == sym.src)
+            .select(F.col("dst").alias("id"), "label")
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        return new, float(changed)
+
+    result = Superstep(spark, work_dir, "cc").run(
+        init, step, tol=0.0, max_iter=max_iter, resume=resume
+    )
+    sym.unpersist()
+    return result.state.select("id", F.col("label").alias("component"))
+
+
+def weakly_connected_components(graph: Graph, **kw) -> DataFrame:
+    """WCC of a directed graph — direction is already ignored by
+    ``symmetric_edges``, so this is the same computation (free, as SURVEY
+    §2A notes for components/WeaklyConnectedComponents.cpp)."""
+    return connected_components(graph, **kw)
+
+
+def component_sizes(components: DataFrame) -> DataFrame:
+    """(component, size) — ConnectedComponents::getComponentSizes."""
+    return components.groupBy("component").agg(F.count("*").alias("size"))
+
+
+def largest_component_nodes(components: DataFrame) -> DataFrame:
+    """Node ids of the largest component
+    (ConnectedComponents::extractLargestConnectedComponent)."""
+    top = (
+        component_sizes(components)
+        .orderBy(F.desc("size"), F.asc("component"))
+        .limit(1)
+        .select("component")
+    )
+    return components.join(F.broadcast(top), "component").select("id")

@@ -1,0 +1,147 @@
+"""PageRank — power iteration with teleport, sink handling, skew handling.
+
+Reference parity: networkit/cpp/centrality/PageRank.cpp::PageRank::run —
+``r_{k+1}(u) = (1-d)/n + d * (Σ_{v∈in(u)} r_k(v)·w(v,u)/wdeg_out(v)
++ sinkMass/n)`` with L1 (or L2) residual convergence and
+``SinkHandling::{NO_SINK_HANDLING, DISTRIBUTE_SINKS}``. The driver metric
+(BASELINE.json:2) is edges/sec per superstep of this loop to 1e-6.
+
+Plan per superstep (the three shuffles named in BASELINE.json:6):
+1. message exchange: ranks ⋈ edges_frac on src → groupBy(dst).sum —
+   partial aggregation combines map-side, so hub *in*-degree skew never
+   concentrates raw rows on one reducer;
+2. degree aggregation happens ONCE up front (edges_frac precomputes
+   w/wdeg_out and is persisted across all iterations — static);
+3. label/rank frontier re-join with the node set (left join, coalesce 0).
+
+Explicit hub-skew handling (north rule: "partitioning / shuffle / skew
+handled explicitly"): `hub_top_k` splits the rank⋈edge join — edges whose
+src is a top-k out-degree heavy hitter join against a BROADCAST of just
+those k frontier rows (k rows ≪ memory), everything else takes the normal
+shuffle hash join; AQE skew-join remains the backstop. At fixture scale the
+split is exercised by tests; at 10^12 scale k≈10^4 hubs cover the Zipf head.
+
+Resumability: every superstep is checkpointed with a manifest (residual,
+rows, per-partition counts) via linkgraph.superstep — a killed run resumes
+from the last completed iteration (BASELINE.json:14).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.graph import Graph
+from linkgraph.superstep import Superstep
+
+
+def pagerank(
+    graph: Graph,
+    damping: float = 0.85,
+    tol: float = 1e-8,
+    max_iter: int = 100,
+    distribute_sinks: bool = True,
+    norm: str = "l1",
+    hub_top_k: int = 0,
+    work_dir: str | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """Return ``(id, rank)``; ranks sum to 1 when ``distribute_sinks``.
+
+    ``tol=0`` with a finite ``max_iter`` gives an exact fixed-iteration run
+    (used by the unrolled-SQL DuckDB oracle).
+    """
+    spark = graph.edges.sparkSession
+    work_dir = work_dir or tempfile.mkdtemp(prefix="lg_pr_")
+
+    nodes = graph.nodes().persist()
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("id", F.lit(0.0).alias("rank"))
+
+    # Directed graphs rank over stored edges; undirected over both directions
+    # (NetworKit treats undirected neighbors symmetrically).
+    e = graph.edges if graph.directed else graph.symmetric_edges()
+    if not graph.weighted:
+        e = e.withColumn("weight", F.lit(1.0))
+
+    out = e.groupBy("src").agg(F.sum("weight").alias("wdeg"))
+    edges_frac = (
+        e.join(out, "src")
+        .select("src", "dst", (F.col("weight") / F.col("wdeg")).alias("frac"))
+        .persist()
+    )
+    edges_frac.count()  # materialize once; static across supersteps
+
+    # nodes with no outgoing edge = sinks (dangling mass)
+    sinks = nodes.join(out.select(F.col("src").alias("id")), "id", "left_anti").persist()
+
+    hubs = None
+    if hub_top_k > 0:
+        hubs = (
+            out.orderBy(F.desc("wdeg"), F.asc("src"))
+            .limit(hub_top_k)
+            .select(F.col("src").alias("id"))
+            .persist()
+        )
+        hub_edges = edges_frac.join(
+            F.broadcast(hubs.withColumnRenamed("id", "src")), "src"
+        ).persist()
+        rest_edges = edges_frac.join(
+            F.broadcast(hubs.withColumnRenamed("id", "src")), "src", "left_anti"
+        ).persist()
+
+    teleport = (1.0 - damping) / n
+
+    def init() -> DataFrame:
+        return nodes.select("id", F.lit(1.0 / n).alias("rank"))
+
+    def step(ranks: DataFrame, k: int) -> tuple[DataFrame, float]:
+        if hubs is not None:
+            # heavy-hitter split: tiny hub frontier is broadcast, avoiding a
+            # shuffle of the (huge) hub edge block on the skewed key
+            hub_ranks = ranks.join(F.broadcast(hubs), "id")
+            msg_hub = hub_edges.join(
+                F.broadcast(hub_ranks.withColumnRenamed("id", "src")), "src"
+            )
+            msg_rest = rest_edges.join(ranks.withColumnRenamed("id", "src"), "src")
+            contrib = msg_hub.unionByName(msg_rest)
+        else:
+            contrib = edges_frac.join(ranks.withColumnRenamed("id", "src"), "src")
+        msgs = contrib.groupBy("dst").agg(F.sum(F.col("rank") * F.col("frac")).alias("msg"))
+
+        if distribute_sinks:
+            sink_mass = (
+                ranks.join(sinks, "id").agg(F.sum("rank").alias("s")).collect()[0]["s"]
+                or 0.0
+            )
+        else:
+            sink_mass = 0.0
+
+        new = (
+            nodes.join(msgs.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("msg"), F.lit(0.0)) + F.lit(sink_mass / n))
+                ).alias("rank"),
+            )
+        )
+        diff = new.alias("n").join(ranks.alias("o"), "id").select(
+            (F.col("n.rank") - F.col("o.rank")).alias("d")
+        )
+        if norm == "l2":
+            residual = diff.agg(F.sqrt(F.sum(F.col("d") * F.col("d")))).collect()[0][0]
+        else:
+            residual = diff.agg(F.sum(F.abs(F.col("d")))).collect()[0][0]
+        return new, float(residual or 0.0)
+
+    result = Superstep(spark, work_dir, "pagerank").run(
+        init, step, tol=tol, max_iter=max_iter, resume=resume
+    )
+    for df in (edges_frac, sinks, nodes):
+        df.unpersist()
+    return result.state.select("id", "rank")

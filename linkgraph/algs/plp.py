@@ -1,0 +1,99 @@
+"""PLP — label-propagation community detection (synchronous, deterministic).
+
+Reference parity: networkit/cpp/community/PLP.cpp::PLP::run — every node
+adopts the (weight-)most-frequent label among its neighbors; iteration stops
+when the number of label updates drops below ``update_threshold``. The
+reference is ASYNCHRONOUS under OpenMP (in-place updates, run-to-run
+nondeterministic). This engine is deliberately synchronous + deterministic
+(SURVEY §2A "semantic gap"): acceptance is "exact up to canonical
+relabeling" on LP-stable fixtures, plus modularity parity and
+parallelism-invariance everywhere else (SURVEY §5.2).
+
+Determinism rules (N-vs-4N result identity, BASELINE.json:14):
+- tie-break = highest neighbor-label weight, then current-label preference
+  (a node KEEPS its label whenever tied for the max — the synchronous
+  stand-in for async "no change if already dominant" and the oscillation
+  damper), then ``xxhash64(label, iteration)``, then label id. The hash
+  term replaces the reference's random tie-breaking with a seeded,
+  partition-independent pseudo-random pick: a plain smallest-label rule
+  would flood minimum ids through the graph and collapse every component
+  into one community (observed on karate); hashing breaks that bias while
+  keeping the order total and deterministic.
+
+Plan per superstep: labels ⋈ sym_edges → groupBy(dst,label).sum(weight)
+(partial agg soaks hub skew) → window row_number over (dst) ordered by
+(keep-current desc, weight desc, label asc) → changed count.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from linkgraph.graph import Graph
+from linkgraph.superstep import Superstep
+
+
+def label_propagation(
+    graph: Graph,
+    max_iter: int = 100,
+    update_threshold: int = 0,
+    work_dir: str | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """Return ``(id, label)``; labels are canonicalized to the min member id
+    of each community so output is comparable across runs."""
+    spark = graph.edges.sparkSession
+    work_dir = work_dir or tempfile.mkdtemp(prefix="lg_plp_")
+    sym = graph.symmetric_edges().where(F.col("src") != F.col("dst")).persist()
+
+    def init() -> DataFrame:
+        return graph.nodes().select("id", F.col("id").alias("label"))
+
+    def step(labels: DataFrame, k: int) -> tuple[DataFrame, float]:
+        votes = (
+            labels.join(sym, labels.id == sym.src)
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.sum("weight").alias("w"))
+        )
+        cur = labels.select("id", F.col("label").alias("cur_label"))
+        ranked = votes.join(cur, "id").withColumn(
+            "is_cur", (F.col("label") == F.col("cur_label")).cast("int")
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.desc("w"),
+            F.desc("is_cur"),
+            F.asc(F.xxhash64(F.col("label"), F.lit(k))),
+            F.asc("label"),
+        )
+        best = (
+            ranked.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", "label")
+        )
+        # isolated nodes (no votes) keep their label
+        new = (
+            labels.select("id", F.col("label").alias("old"))
+            .join(best, "id", "left")
+            .select("id", F.coalesce("label", "old").alias("label"), "old")
+        )
+        changed = new.where(F.col("label") != F.col("old")).count()
+        return new.select("id", "label"), float(changed)
+
+    result = Superstep(spark, work_dir, "plp").run(
+        init,
+        step,
+        tol=float(update_threshold),
+        max_iter=max_iter,
+        resume=resume,
+    )
+    sym.unpersist()
+    return canonicalize_labels(result.state)
+
+
+def canonicalize_labels(labels: DataFrame) -> DataFrame:
+    """Relabel every community to its minimum member id (the canonical form
+    used by tests, oracles, and partition comparison — FIXTURES.md §3)."""
+    canon = labels.groupBy("label").agg(F.min("id").alias("canon"))
+    return labels.join(canon, "label").select("id", F.col("canon").alias("label"))

@@ -1,0 +1,105 @@
+"""Per-vertex / per-edge triangle counting and clustering coefficients.
+
+Reference parity: networkit/cpp/edgescores/TriangleEdgeScore.cpp (per-edge
+counts via sorted neighbor intersection on degree-ordered adjacency) and
+centrality/LocalClusteringCoefficient.cpp, global/ClusteringCoefficient.cpp.
+
+Spark plan (degree-orientation, SURVEY §2A): orient every undirected edge
+from its (degree, id)-smaller endpoint to the larger; then
+
+    wedges  = O e1 ⋈ O e2  ON e1.dst = e2.src          (a→b, b→c)
+    closed  = wedges ⋈ O e3 ON (e3.src, e3.dst) = (e1.src, e2.dst)
+
+Each triangle {a,b,c} (a<b<c in orientation order) is found exactly once.
+Orientation bounds any vertex's oriented out-degree by O(√m), so the wedge
+join cannot explode on hub vertices — the same trick that makes NetworKit's
+sorted-intersection linear-ish, expressed as join authoring instead of data
+structure choice. Pure SQL-expressible ⇒ exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.graph import Graph
+
+
+def triangle_corners(graph: Graph) -> DataFrame:
+    """(a, b, c) rows, one per triangle, a→b→c in degree orientation."""
+    o = graph.orient_by_degree().persist()
+    e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+
+
+def per_vertex_triangles(graph: Graph) -> DataFrame:
+    """(id, triangles) — every vertex of every triangle gets +1; vertices in
+    no triangle appear with 0 (left join against the node set)."""
+    tri = triangle_corners(graph)
+    corners = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+    )
+    counts = corners.groupBy("id").agg(F.count("*").alias("triangles"))
+    return (
+        graph.nodes()
+        .join(counts, "id", "left")
+        .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+    )
+
+
+def per_edge_triangles(graph: Graph) -> DataFrame:
+    """(src, dst, triangles) per canonical (src<dst) edge — TriangleEdgeScore.
+    Each triangle increments all three of its edges."""
+    tri = triangle_corners(graph)
+    pairs = (
+        tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+        .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+        .select(F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst"))
+    )
+    counts = pairs.groupBy("src", "dst").agg(F.count("*").alias("triangles"))
+    canon = (
+        graph.symmetric_edges()
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return (
+        canon.join(counts, ["src", "dst"], "left")
+        .select("src", "dst", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+    )
+
+
+def local_clustering_coefficient(graph: Graph) -> DataFrame:
+    """(id, lcc) = 2·tri(v) / (deg(v)·(deg(v)−1)) on the simple graph
+    (self-loops excluded) — LocalClusteringCoefficient.cpp semantics."""
+    simple = graph.remove_self_loops()
+    tri = per_vertex_triangles(simple)
+    deg = simple.degrees().select("id", "degree")
+    return tri.join(deg, "id").select(
+        "id",
+        F.when(
+            F.col("degree") >= 2,
+            2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
+        )
+        .otherwise(0.0)
+        .alias("lcc"),
+    )
+
+
+def global_clustering_coefficient(graph: Graph) -> float:
+    """3·triangles / wedges (ClusteringCoefficient::exactGlobal)."""
+    simple = graph.remove_self_loops()
+    tri_total = triangle_corners(simple).count()
+    deg = simple.degrees()
+    wedges = deg.agg(
+        F.sum(F.col("degree") * (F.col("degree") - 1) / 2.0).alias("w")
+    ).collect()[0]["w"]
+    return 3.0 * tri_total / wedges if wedges else 0.0
+
+
+def avg_local_clustering_coefficient(graph: Graph) -> float:
+    row = local_clustering_coefficient(graph).agg(F.avg("lcc").alias("a")).collect()[0]
+    return float(row["a"] or 0.0)

@@ -1,0 +1,230 @@
+"""Edge-DataFrame graph handle — the engine's core data model.
+
+Reference parity: NetworKit's ``Graph`` (networkit/cpp/graph/Graph.hpp) is an
+in-memory adjacency array with ``weighted``/``directed`` flags, degree views
+and ``GraphTools`` transforms (toUndirected, transpose, subgraphFromNodes,
+getCompactedGraph, density, volume). Here the graph IS a DataFrame
+``(src BIGINT, dst BIGINT, weight DOUBLE)`` plus the same two flags; every
+"method" is a declarative DataFrame program Catalyst can optimize — no
+adjacency structure is ever materialized driver-side.
+
+Scale notes:
+- ``symmetrize`` is a union + dedup, one shuffle; results should be
+  checkpointed/cached by iterative callers (they are, via Superstep).
+- ``degrees`` is a partial+final hash agg (map-side combine — no raw edge
+  shuffle of the full table when AQE/partial aggregation applies).
+- ``orient_by_degree`` (for triangles) makes hub vertices the high side so
+  out-wedge fan-out per row stays bounded — the distributed twin of
+  NetworKit's degree-ordered adjacency trick.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+EDGE_COLS = ("src", "dst", "weight")
+
+
+def _with_weight(edges: DataFrame) -> DataFrame:
+    if "weight" not in edges.columns:
+        edges = edges.withColumn("weight", F.lit(1.0))
+    return edges.select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+
+
+@dataclass(frozen=True)
+class Graph:
+    """Immutable handle over an edge DataFrame.
+
+    ``edges`` holds one row per stored edge. For ``directed=False`` the
+    convention is one row per unordered pair (either orientation);
+    :meth:`symmetric_edges` expands to both directions on demand.
+    """
+
+    edges: DataFrame
+    directed: bool = False
+    weighted: bool = False
+    _sym_cache: list = field(default_factory=list, compare=False, repr=False)
+
+    # -- construction ------------------------------------------------------
+    @staticmethod
+    def from_edges(edges: DataFrame, directed: bool = False, weighted: bool = False) -> "Graph":
+        return Graph(_with_weight(edges), directed=directed, weighted=weighted)
+
+    # -- basic views -------------------------------------------------------
+    def symmetric_edges(self) -> DataFrame:
+        """Both-direction edge view ``(src, dst, weight)``.
+
+        Directed graphs are symmetrized (direction ignored); undirected
+        stored pairs are expanded. Self-loops contribute a single row.
+        Dedup keeps max weight so that duplicate input pairs are stable.
+        """
+        if self._sym_cache:
+            return self._sym_cache[0]
+        e = self.edges
+        both = e.select("src", "dst", "weight").unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        )
+        sym = both.groupBy("src", "dst").agg(F.max("weight").alias("weight"))
+        self._sym_cache.append(sym)
+        return sym
+
+    def transpose(self) -> "Graph":
+        """Reverse every edge (GraphTools::transpose) — a column swap, no shuffle."""
+        t = self.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+        return replace(self, edges=t, _sym_cache=[])
+
+    def to_undirected(self) -> "Graph":
+        if not self.directed:
+            return self
+        canon = self.edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        ).groupBy("src", "dst").agg(F.max("weight").alias("weight"))
+        return Graph(canon, directed=False, weighted=self.weighted)
+
+    def to_unweighted(self) -> "Graph":
+        return replace(
+            self,
+            edges=self.edges.withColumn("weight", F.lit(1.0)),
+            weighted=False,
+            _sym_cache=[],
+        )
+
+    # -- nodes -------------------------------------------------------------
+    def nodes(self) -> DataFrame:
+        """Distinct vertex ids ``(id)`` appearing on any endpoint."""
+        e = self.edges
+        return (
+            e.select(F.col("src").alias("id"))
+            .unionAll(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+
+    def num_nodes(self) -> int:
+        return self.nodes().count()
+
+    def num_edges(self) -> int:
+        return self.edges.count()
+
+    # -- degrees (NetworKit Graph::degree/degreeIn/degreeOut/weightedDegree)
+    def out_degrees(self) -> DataFrame:
+        """(id, degree, weighted_degree) by outgoing edges; isolated-on-out
+        nodes appear with 0 via a left join against the full node set."""
+        agg = self.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count("*").alias("degree"),
+            F.sum("weight").alias("weighted_degree"),
+        )
+        return self._fill_zero(agg)
+
+    def in_degrees(self) -> DataFrame:
+        agg = self.edges.groupBy(F.col("dst").alias("id")).agg(
+            F.count("*").alias("degree"),
+            F.sum("weight").alias("weighted_degree"),
+        )
+        return self._fill_zero(agg)
+
+    def degrees(self) -> DataFrame:
+        """Undirected degree over the symmetrized view. Self-loops count 1
+        here (row (v,v) appears once in symmetric_edges)."""
+        agg = self.symmetric_edges().groupBy(F.col("src").alias("id")).agg(
+            F.count("*").alias("degree"),
+            F.sum("weight").alias("weighted_degree"),
+        )
+        return self._fill_zero(agg)
+
+    def _fill_zero(self, agg: DataFrame) -> DataFrame:
+        return (
+            self.nodes()
+            .join(agg, "id", "left")
+            .select(
+                "id",
+                F.coalesce("degree", F.lit(0)).alias("degree"),
+                F.coalesce("weighted_degree", F.lit(0.0)).alias("weighted_degree"),
+            )
+        )
+
+    # -- transforms ---------------------------------------------------------
+    def subgraph(self, node_ids: DataFrame) -> "Graph":
+        """GraphTools::subgraphFromNodes — keep edges with BOTH endpoints in
+        ``node_ids`` (column ``id``). Two left-semi joins: no payload widening,
+        broadcastable when the node set is small."""
+        ids = node_ids.select(F.col("id"))
+        e = (
+            self.edges.join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst", "weight")
+        )
+        return replace(self, edges=e, _sym_cache=[])
+
+    def compact_ids(self) -> tuple["Graph", DataFrame]:
+        """GraphTools::getContinuousNodeIds — dense 0..n-1 relabeling.
+
+        Returns (relabeled graph, mapping(id, new_id)). Uses a global sort
+        window once; intended for fixture-scale parity checks only — at
+        10^12 scale keep hash ids (see extract.dictionary_encode).
+        """
+        from pyspark.sql import Window
+
+        mapping = self.nodes().select(
+            "id",
+            (F.row_number().over(Window.orderBy("id")) - 1).cast("bigint").alias("new_id"),
+        )
+        e = (
+            self.edges.join(mapping.withColumnRenamed("id", "src"), "src")
+            .drop("src")
+            .withColumnRenamed("new_id", "src")
+            .join(mapping.withColumnRenamed("id", "dst"), "dst")
+            .drop("dst")
+            .withColumnRenamed("new_id", "dst")
+            .select("src", "dst", "weight")
+        )
+        return replace(self, edges=e, _sym_cache=[]), mapping
+
+    def remove_self_loops(self) -> "Graph":
+        return replace(self, edges=self.edges.where(F.col("src") != F.col("dst")), _sym_cache=[])
+
+    def orient_by_degree(self) -> DataFrame:
+        """Orient each undirected edge from the (degree, id)-smaller endpoint
+        to the larger: the canonical skew-killer for triangle/wedge plans.
+
+        Returns (src, dst) with self-loops dropped and exact dedup. The total
+        out-degree of any vertex in the oriented graph is O(sqrt(m)), so the
+        wedge self-join below it cannot blow up on hub vertices.
+        """
+        deg = self.degrees().select("id", "degree")
+        e = (
+            self.symmetric_edges()
+            .where(F.col("src") != F.col("dst"))
+            .join(deg.withColumnRenamed("id", "src").withColumnRenamed("degree", "sdeg"), "src")
+            .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("degree", "ddeg"), "dst")
+        )
+        keep: Column = (F.col("sdeg") < F.col("ddeg")) | (
+            (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
+        )
+        return e.where(keep).select("src", "dst")
+
+    # -- scalar stats (GraphTools::density/volume/maxDegree) ----------------
+    def density(self) -> float:
+        n = self.num_nodes()
+        m = self.num_edges()
+        if n < 2:
+            return 0.0
+        return m / (n * (n - 1)) if self.directed else 2.0 * m / (n * (n - 1))
+
+    def volume(self) -> float:
+        row = self.edges.agg(F.sum("weight").alias("w")).collect()[0]
+        w = row["w"] or 0.0
+        return float(w) if self.directed else 2.0 * float(w)
+
+    def max_degree(self) -> int:
+        row = self.degrees().agg(F.max("degree").alias("m")).collect()[0]
+        return int(row["m"] or 0)
