@@ -1,38 +1,574 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Design (SURVEY §5.2.2, FIXTURES.md §5): graph queries run over an edge
+table derived DETERMINISTICALLY from the driver's ``documents`` table with
+pure integer arithmetic — identical semantics in Spark SQL and DuckDB —
+so ``queries()`` (engine DataFrame programs) and ``oracle_sql()`` (ANSI
+SQL) see the same input. Iterative ops get exact oracles too: connected
+components via a recursive min-label CTE, PageRank via a PROGRAMMATICALLY
+UNROLLED fixed-iteration SQL plan (15 supersteps, rounded to 6 dp on both
+sides). Non-SQL-expressible ops (PLP, k-core, MinHash/SimHash, LSH ANN)
+are registered without oracles → rows-only checks, validated instead by
+the pytest oracle suite (numpy/union-find/brute force).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# ---------------------------------------------------------------------------
+# Shared edge derivation (portable SQL: runs verbatim in Spark SQL + DuckDB)
+# ---------------------------------------------------------------------------
+
+EDGES_CTE = """
+e0 AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * 3 + d.n_chars) % (SELECT count(*) FROM documents) AS dst
+  FROM documents d
+  UNION
+  SELECT d.doc_id,
+         (d.doc_id * 5 + d.n_chars + 7) % (SELECT count(*) FROM documents)
+  FROM documents d
+  UNION
+  SELECT d.doc_id,
+         (d.doc_id * 7 + d.n_chars + 13) % (SELECT count(*) FROM documents)
+  FROM documents d
+),
+edges AS (
+  SELECT src, dst, CAST(1 + (src + dst) % 5 AS DOUBLE) AS weight
+  FROM e0 WHERE src <> dst
+),
+sym AS (
+  SELECT src, dst, MAX(weight) AS weight FROM (
+    SELECT src, dst, weight FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst, weight FROM edges
+  ) b GROUP BY src, dst
+),
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges
+  ) u
+)
+"""
+
+
+def _register(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _doc_graph(spark: SparkSession, sf_dir: str, directed: bool = True):
+    from linkgraph.graph import Graph
+
+    _register(spark, sf_dir)
+    edges = spark.sql(f"WITH {EDGES_CTE} SELECT src, dst, weight FROM edges")
+    return Graph.from_edges(edges, directed=directed, weighted=True)
+
+
+# ---------------------------------------------------------------------------
+# Flagship entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank over the sf0.001 document link graph, top-20
+    vertices with scores and degrees (scan → join/agg supersteps → top-k)."""
+    from linkgraph.algs.pagerank import pagerank
 
+    g = _doc_graph(spark, "/root/testdata/sf0.001")
+    pr = pagerank(g, damping=0.85, tol=1e-8, max_iter=50, hub_top_k=8)
+    deg = g.out_degrees().select("id", F.col("degree").alias("out_degree"))
+    return (
+        pr.join(deg, "id")
+        .select("id", F.round("rank", 6).alias("rank"), "out_degree")
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries(): engine DataFrame programs
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from linkgraph.algs.centrality import core_decomposition
+    from linkgraph.algs.components import component_sizes, connected_components
+    from linkgraph.algs.linkpred import adamic_adar, common_neighbors, jaccard_index
+    from linkgraph.algs.pagerank import pagerank
+    from linkgraph.algs.plp import label_propagation
+    from linkgraph.algs.triangles import (
+        local_clustering_coefficient,
+        per_vertex_triangles,
+    )
+    from linkgraph.text.dedup import (
+        exact_duplicate_groups,
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_duplicates,
+    )
+    from linkgraph.text.quality import language_id, quality_scores, token_count
+    from linkgraph.text.similarity import cosine_topk, lsh_cosine_topk
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def doc_degrees(spark, sf):
+        g = _doc_graph(spark, sf)
+        return g.degrees().select(
+            "id", "degree", F.round("weighted_degree", 6).alias("weighted_degree")
+        )
+
+    def doc_out_degrees(spark, sf):
+        g = _doc_graph(spark, sf)
+        return g.out_degrees().select("id", "degree")
+
+    def degree_top10(spark, sf):
+        g = _doc_graph(spark, sf)
+        return (
+            g.degrees()
+            .orderBy(F.desc("degree"), F.asc("id"))
+            .limit(10)
+            .select("id", "degree")
+        )
+
+    def doc_components(spark, sf):
+        g = _doc_graph(spark, sf)
+        return connected_components(g)
+
+    def doc_component_sizes(spark, sf):
+        g = _doc_graph(spark, sf)
+        return component_sizes(connected_components(g))
+
+    def doc_triangles(spark, sf):
+        g = _doc_graph(spark, sf)
+        return per_vertex_triangles(g)
+
+    def doc_lcc(spark, sf):
+        g = _doc_graph(spark, sf)
+        return local_clustering_coefficient(g).select(
+            "id", F.round("lcc", 6).alias("lcc")
+        )
+
+    def doc_pagerank(spark, sf):
+        g = _doc_graph(spark, sf)
+        uw = g.to_unweighted()
+        pr = pagerank(uw, damping=0.85, tol=0.0, max_iter=15, distribute_sinks=True)
+        return pr.select("id", F.round("rank", 6).alias("rank"))
+
+    def doc_common_neighbors(spark, sf):
+        g = _doc_graph(spark, sf)
+        return common_neighbors(g).select("u", "v", "score")
+
+    def doc_adamic_adar(spark, sf):
+        g = _doc_graph(spark, sf)
+        return adamic_adar(g).select("u", "v", F.round("score", 6).alias("score"))
+
+    def doc_jaccard_lp(spark, sf):
+        g = _doc_graph(spark, sf)
+        return jaccard_index(g).select("u", "v", F.round("score", 6).alias("score"))
+
+    def doc_assortativity(spark, sf):
+        from linkgraph.algs.centrality import assortativity
+
+        g = _doc_graph(spark, sf)
+        r = assortativity(g)
+        return spark.createDataFrame([(round(r, 6),)], "assortativity double")
+
+    # --- iterative / hash ops without SQL oracles (rows-only checks) -----
+    def doc_plp(spark, sf):
+        g = _doc_graph(spark, sf)
+        return label_propagation(g, max_iter=30)
+
+    def doc_kcore(spark, sf):
+        g = _doc_graph(spark, sf)
+        return core_decomposition(g)
+
+    # --- documents table: text pipeline ----------------------------------
+    def dup_groups(spark, sf):
+        _register(spark, sf)
+        return exact_duplicate_groups(spark.table("documents"))
+
+    def token_counts(spark, sf):
+        _register(spark, sf)
+        return token_count(spark.table("documents"))
+
+    def lang_dist(spark, sf):
+        _register(spark, sf)
+        return spark.table("documents").groupBy("lang").agg(F.count("*").alias("n"))
+
+    def doc_quality(spark, sf):
+        _register(spark, sf)
+        q = quality_scores(spark.table("documents"))
+        return q.select(
+            "doc_id",
+            "n_chars",
+            "n_tokens",
+            F.round("avg_token_len", 6).alias("avg_token_len"),
+            F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        )
+
+    def ngram_dups(spark, sf):
+        _register(spark, sf)
+        return ngram_jaccard_pairs(spark.table("documents"), k=3, threshold=0.8).select(
+            "a", "b", F.round("jaccard", 6).alias("jaccard")
+        )
+
+    def doc_lang_id(spark, sf):
+        _register(spark, sf)
+        return language_id(spark.table("documents")).select("doc_id", "lang_pred")
+
+    def minhash_dups(spark, sf):
+        _register(spark, sf)
+        return minhash_dedup_pairs(spark.table("documents"), threshold=0.7)
+
+    def simhash_dups(spark, sf):
+        _register(spark, sf)
+        return simhash_near_duplicates(spark.table("documents"), max_hamming=3)
+
+    # --- events table: window/agg relational surface ---------------------
+    def events_top_value_per_user(spark, sf):
+        from pyspark.sql import Window
+
+        _register(spark, sf)
+        w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+        return (
+            spark.table("events")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_id", "value")
+        )
+
+    def events_hourly(spark, sf):
+        _register(spark, sf)
+        return (
+            spark.table("events")
+            .groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("hour"))
+            .agg(F.count("*").alias("n"))
+        )
+
+    def events_type_stats(spark, sf):
+        _register(spark, sf)
+        return (
+            spark.table("events")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 3).alias("sum_value"),
+                F.round(F.avg("value"), 6).alias("avg_value"),
+            )
+        )
+
+    # --- embeddings: similarity search ------------------------------------
+    def embed_cosine_top5(spark, sf):
+        _register(spark, sf)
+        emb = spark.table("embeddings")
+        qs = emb.where(F.col("vec_id") < 10)
+        return cosine_topk(emb, qs, k=5).select(
+            "query_id", "neighbor_id", F.round("cos", 4).alias("cos")
+        )
+
+    def embed_lsh_top5(spark, sf):
+        _register(spark, sf)
+        emb = spark.table("embeddings")
+        qs = emb.where(F.col("vec_id") < 10)
+        return lsh_cosine_topk(emb, qs, k=5, n_planes=8).select(
+            "query_id", "neighbor_id", F.round("cos", 4).alias("cos")
+        )
+
+    return {
+        "doc_degrees": doc_degrees,
+        "doc_out_degrees": doc_out_degrees,
+        "degree_top10": degree_top10,
+        "doc_components": doc_components,
+        "doc_component_sizes": doc_component_sizes,
+        "doc_triangles": doc_triangles,
+        "doc_lcc": doc_lcc,
+        "doc_pagerank": doc_pagerank,
+        "doc_common_neighbors": doc_common_neighbors,
+        "doc_adamic_adar": doc_adamic_adar,
+        "doc_jaccard_lp": doc_jaccard_lp,
+        "doc_assortativity": doc_assortativity,
+        "doc_plp": doc_plp,
+        "doc_kcore": doc_kcore,
+        "dup_groups": dup_groups,
+        "token_counts": token_counts,
+        "lang_dist": lang_dist,
+        "doc_quality": doc_quality,
+        "ngram_dups": ngram_dups,
+        "doc_lang_id": doc_lang_id,
+        "minhash_dups": minhash_dups,
+        "simhash_dups": simhash_dups,
+        "events_top_value_per_user": events_top_value_per_user,
+        "events_hourly": events_hourly,
+        "events_type_stats": events_type_stats,
+        "embed_cosine_top5": embed_cosine_top5,
+        "embed_lsh_top5": embed_lsh_top5,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle_sql(): DuckDB equivalents
+# ---------------------------------------------------------------------------
+
+# DuckDB-only variant: MATERIALIZED stops CTE inlining (the plain version
+# re-opens the parquet file per reference and trips the fd limit when the
+# unrolled PageRank references edges 15+ times). Spark keeps EDGES_CTE.
+EDGES_CTE_MAT = (
+    EDGES_CTE.replace("e0 AS (", "e0 AS MATERIALIZED (")
+    .replace("edges AS (", "edges AS MATERIALIZED (")
+    .replace("sym AS (", "sym AS MATERIALIZED (")
+    .replace("nodes AS (", "nodes AS MATERIALIZED (")
+)
+
+
+def _pagerank_unrolled_sql(iters: int = 15, damping: float = 0.85) -> str:
+    """Generate the fixed-iteration PageRank as chained CTEs: r0 = 1/n;
+    per iteration — message sum over out-edges (unweighted), dangling
+    (sink) mass redistributed uniformly; matches linkgraph.algs.pagerank
+    with tol=0, max_iter=iters, distribute_sinks=True on the unweighted
+    directed graph."""
+    parts = [
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "outd AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank / o.od) AS msg "
+            f"FROM r{p} r JOIN edges e ON e.src = r.id JOIN outd o ON o.src = r.id "
+            f"GROUP BY e.dst)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS s FROM r{p} r "
+            f"LEFT JOIN outd o ON o.src = r.id WHERE o.src IS NULL)"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT nd.id, {1.0 - damping}/(SELECT n FROM nn) + "
+            f"{damping} * (COALESCE(m.msg, 0.0) + (SELECT s FROM s{i})/(SELECT n FROM nn)) AS rank "
+            f"FROM nodes nd LEFT JOIN m{i} m ON m.id = nd.id)"
+        )
+    return (
+        f"WITH {EDGES_CTE_MAT}, " + ",\n".join(parts) +
+        f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{iters}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {}
+
+    sql["doc_degrees"] = f"""
+WITH {EDGES_CTE}
+SELECT src AS id, count(*) AS degree, ROUND(SUM(weight), 6) AS weighted_degree
+FROM sym GROUP BY src
+"""
+
+    sql["doc_out_degrees"] = f"""
+WITH {EDGES_CTE}
+SELECT n.id, COALESCE(o.degree, 0) AS degree FROM nodes n
+LEFT JOIN (SELECT src AS id, count(*) AS degree FROM edges GROUP BY src) o
+  ON o.id = n.id
+"""
+
+    sql["degree_top10"] = f"""
+WITH {EDGES_CTE}
+SELECT src AS id, count(*) AS degree FROM sym GROUP BY src
+ORDER BY degree DESC, id ASC LIMIT 10
+"""
+
+    sql["doc_components"] = f"""
+WITH RECURSIVE {EDGES_CTE},
+reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id
+  WHERE r.label < s.dst
+)
+SELECT id, MIN(label) AS component FROM reach GROUP BY id
+"""
+
+    sql["doc_component_sizes"] = f"""
+WITH RECURSIVE {EDGES_CTE},
+reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id
+  WHERE r.label < s.dst
+),
+comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id)
+SELECT component, count(*) AS size FROM comp GROUP BY component
+"""
+
+    tri_cte = """
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1 JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (
+  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+),
+tcount AS (SELECT id, count(*) AS triangles FROM corners GROUP BY id)
+"""
+
+    sql["doc_triangles"] = f"""
+WITH {EDGES_CTE},
+{tri_cte}
+SELECT n.id, COALESCE(t.triangles, 0) AS triangles
+FROM nodes n LEFT JOIN tcount t ON t.id = n.id
+"""
+
+    sql["doc_lcc"] = f"""
+WITH {EDGES_CTE},
+{tri_cte},
+deg AS (SELECT src AS id, count(*) AS d FROM sym WHERE src <> dst GROUP BY src)
+SELECT n.id,
+  ROUND(CASE WHEN COALESCE(d.d,0) >= 2
+        THEN 2.0 * COALESCE(t.triangles,0) / (d.d * (d.d - 1)) ELSE 0.0 END, 6) AS lcc
+FROM nodes n LEFT JOIN tcount t ON t.id = n.id LEFT JOIN deg d ON d.id = n.id
+"""
+
+    sql["doc_pagerank"] = _pagerank_unrolled_sql(15, 0.85)
+
+    lp_cte = """
+symn AS (SELECT src, dst FROM sym WHERE src <> dst),
+wedge AS (
+  SELECT e1.src AS u, e2.src AS v, e1.dst AS w
+  FROM symn e1 JOIN symn e2 ON e1.dst = e2.dst AND e1.src < e2.src
+),
+deg AS (SELECT src AS id, count(*) AS d FROM symn GROUP BY src)
+"""
+
+    sql["doc_common_neighbors"] = f"""
+WITH {EDGES_CTE},
+{lp_cte}
+SELECT u, v, CAST(count(*) AS DOUBLE) AS score FROM wedge GROUP BY u, v
+"""
+
+    sql["doc_adamic_adar"] = f"""
+WITH {EDGES_CTE},
+{lp_cte}
+SELECT w.u, w.v, ROUND(SUM(1.0 / LN(CAST(d.d AS DOUBLE))), 6) AS score
+FROM wedge w JOIN deg d ON d.id = w.w GROUP BY w.u, w.v
+"""
+
+    sql["doc_jaccard_lp"] = f"""
+WITH {EDGES_CTE},
+{lp_cte},
+cn AS (SELECT u, v, count(*) AS c FROM wedge GROUP BY u, v)
+SELECT cn.u, cn.v,
+       ROUND(CAST(cn.c AS DOUBLE) / (du.d + dv.d - cn.c), 6) AS score
+FROM cn JOIN deg du ON du.id = cn.u JOIN deg dv ON dv.id = cn.v
+"""
+
+    sql["doc_assortativity"] = f"""
+WITH {EDGES_CTE},
+deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+SELECT ROUND(CORR(CAST(ds.d AS DOUBLE), CAST(dd.d AS DOUBLE)), 6) AS assortativity
+FROM sym s JOIN deg ds ON ds.id = s.src JOIN deg dd ON dd.id = s.dst
+"""
+
+    sql["dup_groups"] = """
+WITH keyed AS (SELECT doc_id, text FROM documents),
+grp AS (SELECT text, MIN(doc_id) AS group_id, count(*) AS n
+        FROM keyed GROUP BY text HAVING count(*) > 1)
+SELECT g.group_id, k.doc_id FROM keyed k JOIN grp g ON g.text = k.text
+"""
+
+    sql["token_counts"] = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+"""
+
+    sql["lang_dist"] = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+
+    sql["doc_quality"] = """
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         string_split(text, ' ') AS toks
+  FROM documents
+)
+SELECT doc_id, n_chars, len(toks) AS n_tokens,
+  ROUND(CASE WHEN len(toks) > 0
+        THEN CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks) ELSE 0.0 END, 6)
+    AS avg_token_len,
+  ROUND(CASE WHEN len(toks) > 0
+        THEN CAST(len(list_filter(toks, x -> x IN
+          ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) / len(toks)
+        ELSE 0.0 END, 6) AS stopword_ratio
+FROM t
+"""
+
+    sql["ngram_dups"] = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+  FROM tk, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+"""
+
+    # argmax parity with array_max(struct(score, lang)): max score, then
+    # lexicographically LARGEST language name on ties
+    lang_rows = []
+    from linkgraph.text.quality import LANG_MARKERS
+
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        inlist = ",".join(f"'{m}'" for m in markers)
+        lang_rows.append(
+            f"SELECT doc_id, '{lang}' AS lang_pred, "
+            f"len(list_filter(toks, x -> x IN ({inlist}))) AS s FROM t"
+        )
+    sql["doc_lang_id"] = (
+        "WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),\n"
+        "s AS (" + " UNION ALL ".join(lang_rows) + ")\n"
+        "SELECT doc_id, lang_pred FROM (\n"
+        "  SELECT doc_id, lang_pred,\n"
+        "         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, lang_pred DESC) AS rn\n"
+        "  FROM s) WHERE rn = 1"
+    )
+
+    sql["events_top_value_per_user"] = """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+    sql["events_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+    sql["events_type_stats"] = """
+SELECT event_type, count(*) AS n, ROUND(SUM(value), 3) AS sum_value,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+    sql["embed_cosine_top5"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+    return sql

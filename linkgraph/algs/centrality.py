@@ -1,0 +1,175 @@
+"""Degree/eigenvector/Katz centrality, k-core decomposition, assortativity.
+
+Reference parity:
+- centrality/DegreeCentrality.cpp — one hash agg (optionally normalized).
+- centrality/EigenvectorCentrality.cpp — power iteration on the adjacency,
+  L2-normalized each superstep.
+- centrality/KatzCentrality.cpp — iterate x' = α·Aᵀx + β until L2 tol.
+- centrality/CoreDecomposition.cpp — peeling; expressed as the distributed
+  iterative-peel: repeatedly delete vertices of degree < k, k ascending.
+- correlation/Assortativity.cpp — Pearson correlation of endpoint degrees,
+  one join + corr() agg.
+
+Eigenvector/Katz reuse the PageRank superstep shape (ranks ⋈ edges →
+groupBy(dst).sum) with a scalar normalization broadcast — same three
+shuffles, same skew story (partial aggs + AQE; hub split not needed since
+messages are not degree-normalized).
+"""
+
+from __future__ import annotations
+
+import math
+import tempfile
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.graph import Graph
+from linkgraph.superstep import Superstep
+
+
+def degree_centrality(graph: Graph, normalized: bool = False) -> DataFrame:
+    """(id, score): (weighted) degree; normalized divides by n-1."""
+    deg = graph.degrees()
+    col = F.col("weighted_degree") if graph.weighted else F.col("degree").cast("double")
+    if normalized:
+        n = graph.num_nodes()
+        col = col / max(n - 1, 1)
+    return deg.select("id", col.alias("score"))
+
+
+def eigenvector_centrality(
+    graph: Graph, tol: float = 1e-9, max_iter: int = 100, work_dir: str | None = None
+) -> DataFrame:
+    """(id, score), L2-normalized dominant eigenvector of the (symmetric)
+    adjacency. Converges for connected non-bipartite graphs."""
+    spark = graph.edges.sparkSession
+    work_dir = work_dir or tempfile.mkdtemp(prefix="lg_ev_")
+    e = (graph.edges if graph.directed else graph.symmetric_edges()).persist()
+    nodes = graph.nodes().persist()
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("id", F.lit(0.0).alias("score"))
+
+    def init() -> DataFrame:
+        return nodes.select("id", F.lit(1.0 / math.sqrt(n)).alias("score"))
+
+    def step(x: DataFrame, k: int) -> tuple[DataFrame, float]:
+        msgs = (
+            e.join(x.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("score") * F.col("weight")).alias("m"))
+        )
+        raw = nodes.join(msgs.withColumnRenamed("dst", "id"), "id", "left").select(
+            "id", F.coalesce("m", F.lit(0.0)).alias("m")
+        )
+        norm = raw.agg(F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("n")).collect()[0]["n"]
+        norm = norm or 1.0
+        new = raw.select("id", (F.col("m") / F.lit(norm)).alias("score"))
+        resid = (
+            new.alias("a")
+            .join(x.alias("b"), "id")
+            .agg(F.sqrt(F.sum((F.col("a.score") - F.col("b.score")) ** 2)))
+            .collect()[0][0]
+        )
+        return new, float(resid or 0.0)
+
+    res = Superstep(spark, work_dir, "eigenvector").run(init, step, tol=tol, max_iter=max_iter)
+    e.unpersist()
+    nodes.unpersist()
+    return res.state.select("id", "score")
+
+
+def katz_centrality(
+    graph: Graph,
+    alpha: float = 0.005,
+    beta: float = 1.0,
+    tol: float = 1e-9,
+    max_iter: int = 100,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """(id, score): x' = α·(messages along in-edges) + β, to L2 tol."""
+    spark = graph.edges.sparkSession
+    work_dir = work_dir or tempfile.mkdtemp(prefix="lg_katz_")
+    e = (graph.edges if graph.directed else graph.symmetric_edges()).persist()
+    nodes = graph.nodes().persist()
+
+    def init() -> DataFrame:
+        return nodes.select("id", F.lit(beta).alias("score"))
+
+    def step(x: DataFrame, k: int) -> tuple[DataFrame, float]:
+        msgs = (
+            e.join(x.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("score") * F.col("weight")).alias("m"))
+        )
+        new = nodes.join(msgs.withColumnRenamed("dst", "id"), "id", "left").select(
+            "id",
+            (F.lit(alpha) * F.coalesce("m", F.lit(0.0)) + F.lit(beta)).alias("score"),
+        )
+        resid = (
+            new.alias("a")
+            .join(x.alias("b"), "id")
+            .agg(F.sqrt(F.sum((F.col("a.score") - F.col("b.score")) ** 2)))
+            .collect()[0][0]
+        )
+        return new, float(resid or 0.0)
+
+    res = Superstep(spark, work_dir, "katz").run(init, step, tol=tol, max_iter=max_iter)
+    e.unpersist()
+    nodes.unpersist()
+    return res.state.select("id", "score")
+
+
+def core_decomposition(graph: Graph, max_k: int | None = None) -> DataFrame:
+    """(id, core): largest k such that the vertex survives k-core peeling.
+
+    Distributed peel (CoreDecomposition.cpp's bucket queue re-expressed):
+    for k = 1, 2, …: repeatedly drop vertices with degree < k in the
+    remaining subgraph until stable; survivors have core ≥ k. Inner loop is
+    a filter + semi-join fixpoint; edge set shrinks monotonically so later
+    rounds get cheaper. O(max_core) outer rounds.
+    """
+    simple = graph.remove_self_loops()
+    sym = simple.symmetric_edges().select("src", "dst").persist()
+    nodes = simple.nodes()
+    result = nodes.select("id", F.lit(0).alias("core"))
+    k = 1
+    while True:
+        if max_k is not None and k > max_k:
+            break
+        # peel to the k-core of the current remaining graph
+        while True:
+            deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+            low = deg.where(F.col("d") < k).select(F.col("src").alias("id"))
+            if low.isEmpty():
+                break
+            keep = deg.where(F.col("d") >= k).select(F.col("src").alias("id"))
+            sym = (
+                sym.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+        survivors = sym.select(F.col("src").alias("id")).distinct()
+        if survivors.isEmpty():
+            break
+        result = (
+            result.join(survivors.withColumn("k", F.lit(k)), "id", "left")
+            .select("id", F.coalesce("k", "core").alias("core"))
+            .localCheckpoint(eager=True)
+        )
+        k += 1
+    return result
+
+
+def assortativity(graph: Graph) -> float:
+    """Degree assortativity: Pearson corr of (deg(src), deg(dst)) over the
+    symmetric edge list (correlation/Assortativity.cpp)."""
+    deg = graph.degrees().select("id", "degree")
+    e = (
+        graph.symmetric_edges()
+        .join(deg.withColumnRenamed("id", "src").withColumnRenamed("degree", "ds"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("degree", "dd"), "dst")
+    )
+    row = e.agg(F.corr(F.col("ds").cast("double"), F.col("dd").cast("double")).alias("r")).collect()[0]
+    return float(row["r"]) if row["r"] is not None else 0.0

@@ -1,0 +1,246 @@
+"""Deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All signature computation is JVM-side (xxhash64 + hash-agg) — no Python in
+the hot path; candidate generation is always bucket-join shaped so the
+quadratic all-pairs comparison never materializes.
+
+Scale shapes:
+- exact: groupBy(sha2(text)) — one shuffle on the hash, partial agg.
+- ngram-Jaccard: explode DISTINCT shingles → self-join on shingle →
+  pair-count agg. A shingle shared by d docs creates d² pairs, so super-
+  common shingles are dropped via ``max_shingle_freq`` (the same heavy-
+  hitter discipline as the link-prediction wedge join).
+- MinHash: H independent min-aggregations over shingle hashes (one
+  hash-agg, H columns); LSH bands of r rows → band-hash bucket join;
+  candidates verified with exact signature similarity.
+- SimHash: 64 per-bit weighted sums in one agg; near-dup candidates via
+  16-bit chunk buckets (any pair within Hamming distance 3 shares ≥1 of 4
+  chunks exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.text.quality import shingles, tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(group_id, doc_id) for docs whose text is byte-identical; group_id =
+    min doc_id of the group. Single-member groups excluded."""
+    keyed = docs.select("doc_id", F.sha2(F.col(text_col), 256).alias("k"))
+    groups = keyed.groupBy("k").agg(
+        F.min("doc_id").alias("group_id"), F.count("*").alias("n")
+    ).where(F.col("n") > 1)
+    return keyed.join(groups, "k").select("group_id", "doc_id")
+
+
+def deduplicate_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the min-doc_id representative of every identical-text group."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy("doc_id")
+    return docs.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """(a, b, jaccard) for doc pairs with Jaccard(shingle sets) ≥ threshold.
+
+    EXACT similarity (not probabilistic): |A∩B| from the shingle join,
+    |A∪B| = |A|+|B|−|A∩B| from per-doc distinct-shingle counts.
+    """
+    sh = (
+        docs.select("doc_id", F.explode(shingles(F.col(text_col), k)).alias("sh"))
+        .distinct()
+    )
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
+        sh = sh.join(freq.where(F.col("f") <= max_shingle_freq), "sh", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "sh")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sa"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sb"), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 64, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>) — sig[h] = min over shingles of
+    xxhash64(shingle, seed=h). One explode + one hash-agg with H min
+    columns; entirely JVM-side."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col), k)).alias("sh")
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(h))).alias(f"m{h}")
+        for h in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"m{h}") for h in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """(a, b) candidate near-dup pairs: docs agreeing exactly on at least
+    one LSH band. bands*rows_per_band must equal the signature length."""
+    banded = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        ),
+                        F.lit(b),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.7,
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash near-dup pipeline: signatures → LSH candidates →
+    verify candidates by estimated Jaccard (fraction of agreeing hashes).
+    Returns (a, b, est_jaccard ≥ threshold)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, k, text_col).persist()
+    cand = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    est = (
+        cand.join(sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sa")), "a")
+        .join(sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+                        lambda z: z == 1,
+                    )
+                )
+                / F.lit(num_hashes)
+            ).alias("est_jaccard"),
+        )
+    )
+    return est.where(F.col("est_jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash BIGINT) — 64-bit SimHash over token frequencies:
+    bit i of the signature is 1 iff Σ_tokens freq·(±1 per token-hash bit i)
+    is positive. One explode + token-count agg + 64 conditional sums."""
+    tok = (
+        docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("f"))
+        .withColumn("h", F.xxhash64("t"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("f"))
+            .otherwise(-F.col("f"))
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for i in range(64):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        shifted = F.shiftleft(term, i)
+        sig = shifted if sig is None else sig.bitwiseXOR(shifted)
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(a, b, hamming ≤ max_hamming) — candidates from 16-bit chunk
+    buckets (pigeonhole: hamming ≤ 3 ⇒ one of the 4 chunks matches
+    exactly), verified with bit_count of the XOR."""
+    sigs = simhash_signatures(docs, text_col).persist()
+    chunks = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk", "cv"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "cv"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    return (
+        cand.join(sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha")), "a")
+        .join(sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb")), "b")
+        .select("a", "b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,141 @@
+"""Text analysis: tokenization, quality scoring, language-ID, fingerprints.
+
+Everything here is pure JVM expression work (split/filter/aggregate/
+xxhash64) — whole-stage-codegen friendly, no Python in the hot path, and
+(deliberately) SQL-expressible so the DuckDB oracle can replay it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# small fixed stopword list — pinned, shared with the SQL oracle
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# tiny per-language marker lists for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "los", "que", "es"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization — THE pinned token definition."""
+    return F.split(text, " ")
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens)."""
+    return docs.select("doc_id", F.size(tokens(F.col(text_col))).alias("n_tokens"))
+
+
+def bpe_ish_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_subtokens) — a BPE-like proxy: split on whitespace AND
+    transitions (letter/digit/punct boundaries), the usual pretraining
+    budget estimator when no tokenizer model ships with the engine."""
+    sub = F.split(
+        F.regexp_replace(F.col(text_col), r"([0-9]+|[^\sA-Za-z0-9]+)", r" $1 "), r"\s+"
+    )
+    return docs.select(
+        "doc_id", F.size(F.filter(sub, lambda x: x != F.lit(""))).alias("n_subtokens")
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
+    punct_ratio, quality) — length/stopword/punctuation heuristics in the
+    Gopher/C4-filter style, all as codegen expressions."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    avg_len = F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    quality = (
+        F.when((n_tok >= 5) & (avg_len >= 2) & (avg_len <= 12), 1.0).otherwise(0.0)
+        * (1.0 - punct_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred, lang_score) — marker-word voting heuristic.
+
+    Deterministic tie-break by language name so results are partition-
+    order independent. A real deployment swaps in fastText/cld3 behind the
+    same signature; the Spark plan (per-doc score columns + greatest) is
+    the production shape.
+    """
+    t = tokens(F.lower(F.col(text_col)))
+
+    def contains(arr):
+        # single-arg lambda factory: a default-arg lambda would be treated
+        # by PySpark as the (element, index) two-arg filter form
+        return lambda x: F.array_contains(arr, x)
+
+    score_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        score_cols.append(F.size(F.filter(t, contains(arr))).alias(f"s_{lang}"))
+    scored = docs.select("doc_id", F.size(t).alias("n"), *score_cols)
+    langs = sorted(LANG_MARKERS)
+    pairs = F.array(
+        *[F.struct(F.col(f"s_{l}").alias("s"), F.lit(l).alias("l")) for l in langs]
+    )
+    best = F.array_max(pairs)  # struct compare: score first, then lang name
+    return scored.select(
+        "doc_id",
+        best["l"].alias("lang_pred"),
+        F.when(F.col("n") > 0, best["s"] / F.col("n")).otherwise(0.0).alias("lang_score"),
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles as an array of strings; empty below k tokens.
+
+    Guarded sequence: F.sequence(1, n-k+1) would DESCEND for n < k (Spark
+    generates reversed ranges), hence the explicit when()."""
+    t = tokens(text)
+    n = F.size(t)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(t, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 5, window: int = 4
+) -> DataFrame:
+    """(doc_id, fingerprint) rows — winnowing document fingerprints
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every word k-gram
+    (rolling window), keep the minimum hash of each consecutive
+    ``window``-sized block. Near-identical documents share most
+    fingerprints; used for copy detection at corpus scale.
+
+    Plan: explode positioned shingles → per-doc sliding-window min (window
+    frame, no shuffle beyond the doc_id partition) → distinct.
+    """
+    pos = docs.select(
+        "doc_id", F.posexplode(shingles(F.col(text_col), k)).alias("pos", "sh")
+    ).withColumn("h", F.xxhash64("sh"))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        pos.select("doc_id", F.min("h").over(w).alias("fingerprint"))
+        .distinct()
+    )
