@@ -51,29 +51,42 @@ def eigenvector_centrality(
         return nodes.select("id", F.lit(0.0).alias("score"))
 
     def init() -> DataFrame:
-        return nodes.select("id", F.lit(1.0 / math.sqrt(n)).alias("score"))
+        return nodes.select(
+            "id", F.lit(1.0 / math.sqrt(n)).alias("score"), F.lit(0.0).alias("delta")
+        )
 
-    def step(x: DataFrame, k: int) -> tuple[DataFrame, float]:
+    def step(x: DataFrame, k: int) -> DataFrame:
         msgs = (
-            e.join(x.withColumnRenamed("id", "src"), "src")
+            e.join(x.select("id", "score").withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("score") * F.col("weight")).alias("m"))
         )
-        raw = nodes.join(msgs.withColumnRenamed("dst", "id"), "id", "left").select(
-            "id", F.coalesce("m", F.lit(0.0)).alias("m")
+        # materialize the expensive join/agg once: the norm is a scalar
+        # action, and Superstep will materialize the returned frame — the
+        # local checkpoint here keeps the plan from running twice
+        raw = (
+            nodes.join(msgs.withColumnRenamed("dst", "id"), "id", "left")
+            .select("id", F.coalesce("m", F.lit(0.0)).alias("m"))
+            .localCheckpoint(eager=True)
         )
         norm = raw.agg(F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("n")).collect()[0]["n"]
         norm = norm or 1.0
-        new = raw.select("id", (F.col("m") / F.lit(norm)).alias("score"))
-        resid = (
-            new.alias("a")
-            .join(x.alias("b"), "id")
-            .agg(F.sqrt(F.sum((F.col("a.score") - F.col("b.score")) ** 2)))
-            .collect()[0][0]
+        return (
+            raw.join(x.select("id", F.col("score").alias("old")), "id")
+            .select(
+                "id",
+                (F.col("m") / F.lit(norm)).alias("score"),
+                (F.col("m") / F.lit(norm) - F.col("old")).alias("delta"),
+            )
         )
-        return new, float(resid or 0.0)
 
-    res = Superstep(spark, work_dir, "eigenvector").run(init, step, tol=tol, max_iter=max_iter)
+    def metric(state: DataFrame) -> float:
+        r = state.agg(F.sqrt(F.sum(F.col("delta") * F.col("delta")))).collect()[0][0]
+        return float(r or 0.0)
+
+    res = Superstep(spark, work_dir, "eigenvector").run(
+        init, step, metric, tol=tol, max_iter=max_iter
+    )
     e.unpersist()
     nodes.unpersist()
     return res.state.select("id", "score")
@@ -94,27 +107,30 @@ def katz_centrality(
     nodes = graph.nodes().persist()
 
     def init() -> DataFrame:
-        return nodes.select("id", F.lit(beta).alias("score"))
+        return nodes.select("id", F.lit(beta).alias("score"), F.lit(0.0).alias("delta"))
 
-    def step(x: DataFrame, k: int) -> tuple[DataFrame, float]:
+    def step(x: DataFrame, k: int) -> DataFrame:
         msgs = (
-            e.join(x.withColumnRenamed("id", "src"), "src")
+            e.join(x.select("id", "score").withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("score") * F.col("weight")).alias("m"))
         )
-        new = nodes.join(msgs.withColumnRenamed("dst", "id"), "id", "left").select(
-            "id",
-            (F.lit(alpha) * F.coalesce("m", F.lit(0.0)) + F.lit(beta)).alias("score"),
+        new_score = F.lit(alpha) * F.coalesce("m", F.lit(0.0)) + F.lit(beta)
+        return (
+            x.select("id", F.col("score").alias("old"))
+            .join(msgs.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                new_score.alias("score"),
+                (new_score - F.col("old")).alias("delta"),
+            )
         )
-        resid = (
-            new.alias("a")
-            .join(x.alias("b"), "id")
-            .agg(F.sqrt(F.sum((F.col("a.score") - F.col("b.score")) ** 2)))
-            .collect()[0][0]
-        )
-        return new, float(resid or 0.0)
 
-    res = Superstep(spark, work_dir, "katz").run(init, step, tol=tol, max_iter=max_iter)
+    def metric(state: DataFrame) -> float:
+        r = state.agg(F.sqrt(F.sum(F.col("delta") * F.col("delta")))).collect()[0][0]
+        return float(r or 0.0)
+
+    res = Superstep(spark, work_dir, "katz").run(init, step, metric, tol=tol, max_iter=max_iter)
     e.unpersist()
     nodes.unpersist()
     return res.state.select("id", "score")

@@ -46,29 +46,37 @@ def connected_components(
     work_dir = work_dir or tempfile.mkdtemp(prefix="lg_cc_")
 
     def init() -> DataFrame:
-        return graph.nodes().select("id", F.col("id").alias("label"))
+        return graph.nodes().select(
+            "id", F.col("id").alias("label"), F.lit(1).alias("changed")
+        )
 
-    def step(labels: DataFrame, k: int) -> tuple[DataFrame, float]:
-        # neighbor labels: a vertex receives its neighbors' current labels
-        nbr = (
-            labels.join(sym, labels.id == sym.src)
-            .select(F.col("dst").alias("id"), "label")
+    def step(state: DataFrame, k: int) -> DataFrame:
+        # neighbor labels: a vertex receives its neighbors' current labels;
+        # new label = min(own, min over neighbors). The candidate agg and
+        # the state join are both hash-partitioned on id — co-partitioned.
+        cand = (
+            state.select("id", "label")
+            .join(sym, F.col("id") == sym.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("cand"))
         )
-        new = (
-            labels.unionByName(nbr)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
+        return (
+            state.select("id", F.col("label").alias("old"))
+            .join(cand, "id", "left")
+            .select(
+                "id",
+                F.least("old", F.coalesce("cand", "old")).alias("label"),
+                (F.least("old", F.coalesce("cand", "old")) != F.col("old"))
+                .cast("int")
+                .alias("changed"),
+            )
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        return new, float(changed)
+
+    def metric(state: DataFrame) -> float:
+        return float(state.agg(F.sum("changed")).collect()[0][0] or 0)
 
     result = Superstep(spark, work_dir, "cc").run(
-        init, step, tol=0.0, max_iter=max_iter, resume=resume
+        init, step, metric, tol=0.0, max_iter=max_iter, resume=resume
     )
     sym.unpersist()
     return result.state.select("id", F.col("label").alias("component"))

@@ -74,9 +74,6 @@ def pagerank(
     )
     edges_frac.count()  # materialize once; static across supersteps
 
-    # nodes with no outgoing edge = sinks (dangling mass)
-    sinks = nodes.join(out.select(F.col("src").alias("id")), "id", "left_anti").persist()
-
     hubs = None
     if hub_top_k > 0:
         hubs = (
@@ -95,9 +92,29 @@ def pagerank(
     teleport = (1.0 - damping) / n
 
     def init() -> DataFrame:
-        return nodes.select("id", F.lit(1.0 / n).alias("rank"))
+        # sink flag is static per vertex → carried in the state so the
+        # per-superstep dangling-mass sum is a scan-agg on the already-
+        # materialized O(n) state, not a shuffle join
+        out_ids = edges_frac.select(F.col("src").alias("id")).distinct()
+        return nodes.join(
+            out_ids.withColumn("has_out", F.lit(True)), "id", "left"
+        ).select(
+            "id",
+            F.lit(1.0 / n).alias("rank"),
+            (~F.coalesce(F.col("has_out"), F.lit(False))).alias("sink"),
+            F.lit(0.0).alias("delta"),
+        )
 
-    def step(ranks: DataFrame, k: int) -> tuple[DataFrame, float]:
+    def step(state: DataFrame, k: int) -> DataFrame:
+        if distribute_sinks:
+            sink_mass = (
+                state.where("sink").agg(F.sum("rank").alias("s")).collect()[0]["s"]
+                or 0.0
+            )
+        else:
+            sink_mass = 0.0
+
+        ranks = state.select("id", "rank")
         if hubs is not None:
             # heavy-hitter split: tiny hub frontier is broadcast, avoiding a
             # shuffle of the (huge) hub edge block on the skewed key
@@ -111,37 +128,32 @@ def pagerank(
             contrib = edges_frac.join(ranks.withColumnRenamed("id", "src"), "src")
         msgs = contrib.groupBy("dst").agg(F.sum(F.col("rank") * F.col("frac")).alias("msg"))
 
-        if distribute_sinks:
-            sink_mass = (
-                ranks.join(sinks, "id").agg(F.sum("rank").alias("s")).collect()[0]["s"]
-                or 0.0
-            )
-        else:
-            sink_mass = 0.0
-
-        new = (
-            nodes.join(msgs.withColumnRenamed("dst", "id"), "id", "left")
+        new_rank = (
+            F.lit(teleport)
+            + F.lit(damping)
+            * (F.coalesce(F.col("msg"), F.lit(0.0)) + F.lit(sink_mass / n))
+        )
+        return (
+            state.select("id", F.col("rank").alias("old_rank"), "sink")
+            .join(msgs.withColumnRenamed("dst", "id"), "id", "left")
             .select(
                 "id",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("msg"), F.lit(0.0)) + F.lit(sink_mass / n))
-                ).alias("rank"),
+                new_rank.alias("rank"),
+                "sink",
+                (new_rank - F.col("old_rank")).alias("delta"),
             )
         )
-        diff = new.alias("n").join(ranks.alias("o"), "id").select(
-            (F.col("n.rank") - F.col("o.rank")).alias("d")
-        )
+
+    def metric(state: DataFrame) -> float:
         if norm == "l2":
-            residual = diff.agg(F.sqrt(F.sum(F.col("d") * F.col("d")))).collect()[0][0]
+            r = state.agg(F.sqrt(F.sum(F.col("delta") * F.col("delta")))).collect()[0][0]
         else:
-            residual = diff.agg(F.sum(F.abs(F.col("d")))).collect()[0][0]
-        return new, float(residual or 0.0)
+            r = state.agg(F.sum(F.abs(F.col("delta")))).collect()[0][0]
+        return float(r or 0.0)
 
     result = Superstep(spark, work_dir, "pagerank").run(
-        init, step, tol=tol, max_iter=max_iter, resume=resume
+        init, step, metric, tol=tol, max_iter=max_iter, resume=resume
     )
-    for df in (edges_frac, sinks, nodes):
+    for df in (edges_frac, nodes):
         df.unpersist()
     return result.state.select("id", "rank")

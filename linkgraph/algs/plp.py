@@ -49,9 +49,12 @@ def label_propagation(
     sym = graph.symmetric_edges().where(F.col("src") != F.col("dst")).persist()
 
     def init() -> DataFrame:
-        return graph.nodes().select("id", F.col("id").alias("label"))
+        return graph.nodes().select(
+            "id", F.col("id").alias("label"), F.lit(1).alias("changed")
+        )
 
-    def step(labels: DataFrame, k: int) -> tuple[DataFrame, float]:
+    def step(state: DataFrame, k: int) -> DataFrame:
+        labels = state.select("id", "label")
         votes = (
             labels.join(sym, labels.id == sym.src)
             .groupBy(F.col("dst").alias("id"), "label")
@@ -70,20 +73,26 @@ def label_propagation(
         best = (
             ranked.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
-            .select("id", "label")
+            .select("id", F.col("label").alias("best"))
         )
         # isolated nodes (no votes) keep their label
-        new = (
-            labels.select("id", F.col("label").alias("old"))
+        return (
+            state.select("id", F.col("label").alias("old"))
             .join(best, "id", "left")
-            .select("id", F.coalesce("label", "old").alias("label"), "old")
+            .select(
+                "id",
+                F.coalesce("best", "old").alias("label"),
+                (F.coalesce("best", "old") != F.col("old")).cast("int").alias("changed"),
+            )
         )
-        changed = new.where(F.col("label") != F.col("old")).count()
-        return new.select("id", "label"), float(changed)
+
+    def metric(state: DataFrame) -> float:
+        return float(state.agg(F.sum("changed")).collect()[0][0] or 0)
 
     result = Superstep(spark, work_dir, "plp").run(
         init,
         step,
+        metric,
         tol=float(update_threshold),
         max_iter=max_iter,
         resume=resume,

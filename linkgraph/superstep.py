@@ -100,11 +100,18 @@ class Superstep:
     def run(
         self,
         init: Callable[[], DataFrame],
-        step: Callable[[DataFrame, int], tuple[DataFrame, float]],
+        step: Callable[[DataFrame, int], DataFrame],
+        metric: Callable[[DataFrame], float],
         tol: float = 0.0,
         max_iter: int = 100,
         resume: bool = True,
     ) -> SuperstepResult:
+        """``step(state, k) -> new_state`` builds the superstep plan (it may
+        carry helper columns, e.g. a per-row delta); the state is
+        MATERIALIZED first (checkpoint), then ``metric(state)`` runs one
+        cheap action on the materialized O(n)-row result. Computing the
+        metric before materialization would execute the whole join/agg
+        plan twice per superstep — the classic iterative-Spark trap."""
         manifest = self._read_manifest() if resume else []
         if not resume and os.path.exists(self.dir):
             shutil.rmtree(self.dir, ignore_errors=True)
@@ -131,18 +138,23 @@ class Superstep:
         converged = False
         while k < max_iter:
             t0 = time.time()
-            new_state, metric = step(state, k)
+            new_state = step(state, k)
             k += 1
-            converged = metric <= tol
-            make_durable = converged or (k % self.checkpoint_every == 0)
+            make_durable = k % self.checkpoint_every == 0
             if make_durable:
                 state = self._write_state(new_state, k)
             else:
                 # eager local checkpoint: truncates lineage, no disk round-trip
                 state = new_state.localCheckpoint(eager=True)
+            m = float(metric(state))
+            converged = m <= tol
+            if converged and not make_durable:
+                # converged on a non-durable iteration: persist it after all
+                self._write_state(state, k)
+                make_durable = True
             entry = {
                 "iteration": k,
-                "metric": float(metric),
+                "metric": m,
                 "wall_s": round(time.time() - t0, 3),
                 "converged": converged,
                 "durable": make_durable,
