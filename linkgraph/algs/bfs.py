@@ -1,0 +1,77 @@
+"""Traversal: BFS / SSSP as frontier-expansion supersteps; diameter bounds.
+
+Reference parity: distance/BFS.cpp, Dijkstra.cpp (SSSP with optional
+target), Diameter.cpp (estimatedRange via double-sweep). Dijkstra's
+priority queue is inherently sequential; the distributed formulation is
+Bellman-Ford-style relaxation rounds — same results for non-negative
+weights, O(diameter) rounds instead of O(m log n) sequential steps.
+
+Plan per round: frontier ⋈ edges → groupBy(dst).min(dist) → compare with
+settled distances; converges when no distance improves. The frontier is
+usually a small fraction of V — it is broadcast when under the session
+broadcast threshold (Catalyst decides from stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.graph import Graph
+
+
+def bfs(graph: Graph, source: int, max_iter: int = 10_000) -> DataFrame:
+    """(id, dist) hop distances from ``source``; unreachable vertices are
+    absent (the reference reports infinity — filter semantics chosen so the
+    result is a compact frontier table)."""
+    uw = graph.to_unweighted()
+    return sssp(uw, source, max_iter=max_iter)
+
+
+def sssp(graph: Graph, source: int, max_iter: int = 10_000) -> DataFrame:
+    """(id, dist) shortest weighted distances from ``source``; directed
+    graphs follow edge direction, undirected expand both ways."""
+    spark = graph.edges.sparkSession
+    e = (graph.edges if graph.directed else graph.symmetric_edges()).select(
+        "src", "dst", "weight"
+    ).persist()
+    dist = spark.createDataFrame([(source, 0.0)], "id bigint, dist double").persist()
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(e, frontier.id == e.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("nd"))
+        )
+        improved = (
+            cand.join(dist.withColumnRenamed("dist", "old"), "id", "left")
+            .where(F.col("old").isNull() | (F.col("nd") < F.col("old")))
+            .select("id", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select("id"), "id", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    e.unpersist()
+    return dist
+
+
+def eccentricity(graph: Graph, source: int) -> float:
+    """Max finite distance from source (distance/Eccentricity.cpp)."""
+    row = bfs(graph, source).agg(F.max("dist").alias("m")).collect()[0]
+    return float(row["m"] or 0.0)
+
+
+def diameter_lower_bound(graph: Graph, seed_vertex: int | None = None) -> float:
+    """Double-sweep lower bound (Diameter.cpp estimatedRange's cheap half):
+    BFS from a seed, then BFS from the farthest vertex found; the second
+    eccentricity lower-bounds the diameter."""
+    if seed_vertex is None:
+        seed_vertex = graph.nodes().agg(F.min("id")).collect()[0][0]
+    d1 = bfs(graph, int(seed_vertex))
+    far = d1.orderBy(F.desc("dist"), F.asc("id")).limit(1).collect()[0]["id"]
+    return eccentricity(graph, int(far))

@@ -187,5 +187,13 @@ def assortativity(graph: Graph) -> float:
         .join(deg.withColumnRenamed("id", "src").withColumnRenamed("degree", "ds"), "src")
         .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("degree", "dd"), "dst")
     )
-    row = e.agg(F.corr(F.col("ds").cast("double"), F.col("dd").cast("double")).alias("r")).collect()[0]
-    return float(row["r"]) if row["r"] is not None else 0.0
+    # explicit Pearson (sample) with a zero-variance guard: ANSI mode makes
+    # corr() raise DIVIDE_BY_ZERO on regular graphs (all degrees equal)
+    row = e.agg(
+        F.covar_samp(F.col("ds").cast("double"), F.col("dd").cast("double")).alias("c"),
+        F.stddev_samp(F.col("ds").cast("double")).alias("sa"),
+        F.stddev_samp(F.col("dd").cast("double")).alias("sb"),
+    ).collect()[0]
+    if not row["c"] or not row["sa"] or not row["sb"]:
+        return 0.0
+    return float(row["c"] / (row["sa"] * row["sb"]))

@@ -89,6 +89,103 @@ def weakly_connected_components(graph: Graph, **kw) -> DataFrame:
     return connected_components(graph, **kw)
 
 
+def strongly_connected_components(
+    graph: Graph, max_rounds: int = 100, work_dir: str | None = None
+) -> DataFrame:
+    """SCC via iterative forward-backward coloring (the distributed
+    formulation of components/StronglyConnectedComponents.cpp's Tarjan —
+    Tarjan's DFS stack does not distribute; FB-coloring does):
+
+    repeat until no vertices remain: pick pivot = min remaining id per
+    color; F = forward-reachable(pivot), B = backward-reachable(pivot);
+    F∩B is an SCC; the three remainders (F−B, B−F, rest) recurse, tracked
+    with a color column so ALL current subproblems advance in the same
+    DataFrame pass (no driver-side recursion per component).
+    """
+    spark = graph.edges.sparkSession
+    e = graph.edges.select("src", "dst").distinct().persist()
+    remaining = graph.nodes().select("id", F.lit(0).alias("color")).persist()
+    result = spark.createDataFrame([], "id bigint, component bigint")
+
+    for _ in range(max_rounds):
+        if remaining.isEmpty():
+            break
+        # trim: vertices with no in- or no out-edge INSIDE their remaining
+        # subgraph are singleton SCCs — resolving them wholesale avoids one
+        # pivot round each (dominant on sparse random graphs)
+        ids = remaining.select("id")
+        induced = (
+            e.join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        )
+        has_out = induced.select(F.col("src").alias("id")).distinct()
+        has_in = induced.select(F.col("dst").alias("id")).distinct()
+        both = has_out.join(has_in, "id", "left_semi")
+        trivial = remaining.join(both, "id", "left_anti").select(
+            "id", F.col("id").alias("component")
+        )
+        result = result.unionByName(trivial).localCheckpoint(eager=True)
+        remaining = remaining.join(both, "id", "left_semi").localCheckpoint(eager=True)
+        if remaining.isEmpty():
+            break
+        pivots = remaining.groupBy("color").agg(F.min("id").alias("pivot"))
+        state = remaining.join(pivots, "color").select(
+            "id", "color", "pivot",
+            (F.col("id") == F.col("pivot")).alias("fwd"),
+            (F.col("id") == F.col("pivot")).alias("bwd"),
+        ).localCheckpoint(eager=True)
+        # propagate reachability within each color simultaneously
+        while True:
+            fwd_next = (
+                state.where("fwd").join(e, state.id == e.src)
+                .select(F.col("dst").alias("id"), "color")
+                .distinct()
+            )
+            bwd_next = (
+                state.where("bwd").join(e, state.id == e.dst)
+                .select(F.col("src").alias("id"), "color")
+                .distinct()
+            )
+            new = (
+                state.alias("s")
+                .join(fwd_next.withColumn("nf", F.lit(True)), ["id", "color"], "left")
+                .join(bwd_next.withColumn("nb", F.lit(True)), ["id", "color"], "left")
+                .select(
+                    "id", "color", "pivot",
+                    (F.col("fwd") | F.coalesce("nf", F.lit(False))).alias("fwd"),
+                    (F.col("bwd") | F.coalesce("nb", F.lit(False))).alias("bwd"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            grew = (
+                new.where("fwd").count() > state.where("fwd").count()
+                or new.where("bwd").count() > state.where("bwd").count()
+            )
+            state = new
+            if not grew:
+                break
+        scc = state.where(F.col("fwd") & F.col("bwd")).select(
+            "id", F.col("pivot").alias("component")
+        )
+        result = result.unionByName(scc).localCheckpoint(eager=True)
+        # split remainders into fresh colors: hash-fold (color, branch) so
+        # (F−B), (B−F) and (neither) get disjoint colors without the
+        # exponential growth of an arithmetic encoding (3^rounds overflows)
+        remaining = (
+            state.where(~(F.col("fwd") & F.col("bwd")))
+            .select(
+                "id",
+                F.xxhash64(
+                    F.col("color"),
+                    F.when(F.col("fwd"), 1).when(F.col("bwd"), 2).otherwise(0),
+                ).alias("color"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return result
+
+
 def component_sizes(components: DataFrame) -> DataFrame:
     """(component, size) — ConnectedComponents::getComponentSizes."""
     return components.groupBy("component").agg(F.count("*").alias("size"))

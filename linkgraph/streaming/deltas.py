@@ -1,0 +1,159 @@
+"""Graph-event streams — the Structured-Streaming twin of NetworKit's
+dynamics module (dynamics/GraphEvent.hpp: EDGE_ADDITION/REMOVAL/
+WEIGHT_UPDATE + TIME_STEP driven through GraphUpdater; DGSStreamParser).
+
+Design (SURVEY §2B streaming row): deltas arrive as micro-batches of rows
+``(op, src, dst, weight, ts)``; a watermark on ``ts`` bounds late-event
+state; ``foreachBatch`` merges each micro-batch into the durable edge
+table and re-triggers affected supersteps. The heavy state (the edge
+table, vertex labels) lives in checkpointed TABLES, not stream operator
+state — stream state stays O(watermark window), so the stream survives
+restarts via the normal checkpointLocation mechanism.
+
+Scale: merge-on-read beats read-modify-write at 10^12 edges — on Iceberg
+the batch merge becomes MERGE INTO (delete + append manifests); the plain-
+parquet fallback here rewrites the table, correct at fixture scale and
+behind the same function signature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+DELTA_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),  # add_edge | remove_edge | update_weight
+        T.StructField("src", T.LongType()),
+        T.StructField("dst", T.LongType()),
+        T.StructField("weight", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def read_delta_stream(
+    spark: SparkSession, path: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Micro-batch source of graph events from a directory of JSON files
+    (the DGSStreamParser analogue), watermarked on event time."""
+    return (
+        spark.readStream.schema(DELTA_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+        .withWatermark("ts", watermark)
+    )
+
+
+def edge_rate_windows(deltas: DataFrame, window: str = "1 minute") -> DataFrame:
+    """Tumbling-window event-rate metrics per op — the streaming
+    aggregation surface (late rows beyond the watermark are dropped)."""
+    return (
+        deltas.groupBy(F.window("ts", window).alias("w"), "op")
+        .agg(F.count("*").alias("n"), F.sum("weight").alias("total_weight"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "op",
+            "n",
+            "total_weight",
+        )
+    )
+
+
+def apply_deltas(edges: DataFrame, deltas: DataFrame) -> DataFrame:
+    """Pure batch merge: apply one micro-batch of events to an edge table.
+
+    Last-writer-wins per (src, dst) within the batch (by ts, then op
+    precedence), then: removals anti-join, additions/updates upsert.
+    Deterministic regardless of batch row order.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src", "dst").orderBy(F.desc("ts"), F.desc("op"))
+    last = (
+        deltas.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    removes = last.where(F.col("op") == "remove_edge").select("src", "dst")
+    upserts = last.where(F.col("op") != "remove_edge").select("src", "dst", "weight")
+    kept = edges.join(removes.unionByName(upserts.select("src", "dst")), ["src", "dst"], "left_anti")
+    return kept.unionByName(upserts)
+
+
+def stream_apply_deltas(
+    spark: SparkSession,
+    delta_path: str,
+    table_path: str,
+    checkpoint_path: str,
+    watermark: str = "10 minutes",
+):
+    """Wire the stream: each micro-batch merges into the parquet edge table
+    via foreachBatch (Iceberg MERGE INTO when available). Returns the
+    StreamingQuery; caller awaits/ stops it."""
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark_b = batch.sparkSession
+        try:
+            current = spark_b.read.parquet(table_path)
+        except Exception:
+            current = spark_b.createDataFrame([], "src bigint, dst bigint, weight double")
+        merged = apply_deltas(current, batch)
+        # write-to-temp + swap keeps readers consistent (parquet fallback
+        # for Iceberg's atomic snapshot commit)
+        tmp = table_path + f"._staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark_b.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(table_path)
+
+    stream = read_delta_stream(spark, delta_path, watermark)
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def incremental_cc_additions(labels: DataFrame, added_edges: DataFrame) -> DataFrame:
+    """Incremental connected components under edge ADDITIONS (monotone:
+    labels only merge — DynConnectedComponents.cpp's cheap path).
+
+    Each added edge (u,v) unions u's and v's components: iterate label-min
+    over the (tiny) component-adjacency induced by the additions, then
+    broadcast-join the relabeling back onto the full label table. Cost is
+    O(|additions| + #affected components), not O(n).
+    """
+    lab = labels.select("id", "label")
+    e = (
+        added_edges.select("src", "dst")
+        .join(lab.withColumnRenamed("id", "src").withColumnRenamed("label", "la"), "src")
+        .join(lab.withColumnRenamed("id", "dst").withColumnRenamed("label", "lb"), "dst")
+        .select("la", "lb")
+        .where(F.col("la") != F.col("lb"))
+        .distinct()
+    )
+    # label-graph is tiny: close it driver-side with union-find
+    pairs = [(r["la"], r["lb"]) for r in e.collect()]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    mapping = [(old, find(old)) for old in parent]
+    if not mapping:
+        return labels
+    spark = labels.sparkSession
+    remap = spark.createDataFrame(mapping, "label bigint, new_label bigint")
+    return (
+        lab.join(F.broadcast(remap), "label", "left")
+        .select("id", F.coalesce("new_label", "label").alias("label"))
+    )

@@ -1,0 +1,110 @@
+"""CSR-block edge-table layout — the engine's physical table design.
+
+North rule (BASELINE.json:6): "edges are stored as salted, range-partitioned
+CSR-block Iceberg tables". This module is the format adapter: identical
+layout on plain parquet locally; the same writer targets an Iceberg catalog
+when the runtime jar is on the classpath (none is bundled in this sandbox —
+verified, SURVEY §1.2).
+
+Layout:
+- ``block`` column = src id range-bucketed into ``n_blocks`` (hash-free
+  range partitioning keeps src locality → min/max pruning per file);
+- ``salt`` column = xxhash64(src,dst) % n_salts for hub domains whose block
+  would otherwise be one giant file — within a block, rows for a hub src
+  spread over salts, so downstream range scans parallelize;
+- files partitioned by (block) and sorted within partitions by (src, dst):
+  each parquet file is a CSR-ish run of adjacency — the distributed twin of
+  NetworKit's adjacency array (graph/Graph.hpp outEdges).
+
+Reading back restores a src-clustered edge DataFrame whose parquet
+min/max statistics prune block ranges for subgraph/ego queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def write_csr_blocks(
+    edges: DataFrame,
+    path: str,
+    n_blocks: int = 64,
+    n_salts: int = 8,
+    id_bits: int = 63,
+) -> None:
+    """Write (src, dst, weight) as a salted, range-partitioned CSR-block
+    parquet table. Range width derives from the id domain (2^id_bits for
+    xxhash-encoded ids; pass smaller for dense fixture ids)."""
+    span = (1 << id_bits) // n_blocks or 1
+    df = edges.select(
+        "src",
+        "dst",
+        "weight",
+        (F.col("src") % (1 << id_bits) / span).cast("int").alias("block"),
+        (F.abs(F.xxhash64("src", "dst")) % n_salts).cast("int").alias("salt"),
+    )
+    (
+        df.repartition("block", "salt")
+        .sortWithinPartitions("src", "dst")
+        .write.mode("overwrite")
+        .partitionBy("block")
+        .parquet(path)
+    )
+
+
+def read_csr_blocks(spark: SparkSession, path: str) -> DataFrame:
+    """Read a CSR-block table back to (src, dst, weight). Predicate
+    pushdown on src benefits from the per-file sort + block partitioning
+    (partition pruning on ``block``, row-group min/max on ``src``)."""
+    return spark.read.parquet(path).select("src", "dst", "weight")
+
+
+def read_block_range(
+    spark: SparkSession, path: str, src_min: int, src_max: int,
+    n_blocks: int = 64, id_bits: int = 63,
+) -> DataFrame:
+    """Pruned scan: only blocks overlapping [src_min, src_max] are read
+    (partition pruning via the block predicate + pushed src filter)."""
+    span = (1 << id_bits) // n_blocks or 1
+    b_lo, b_hi = src_min // span, src_max // span
+    return (
+        spark.read.parquet(path)
+        .where((F.col("block") >= b_lo) & (F.col("block") <= b_hi))
+        .where((F.col("src") >= src_min) & (F.col("src") <= src_max))
+        .select("src", "dst", "weight")
+    )
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is usable (runtime jar present)."""
+    try:
+        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+def write_edges_table(
+    spark: SparkSession,
+    edges: DataFrame,
+    name_or_path: str,
+    n_blocks: int = 64,
+    n_salts: int = 8,
+    id_bits: int = 63,
+) -> str:
+    """Format adapter: Iceberg table when the runtime is present, plain
+    parquet CSR blocks otherwise. Returns the storage kind used."""
+    if iceberg_available(spark):
+        # identical logical layout via Iceberg's partition transforms
+        span = (1 << id_bits) // n_blocks or 1
+        df = edges.select(
+            "src", "dst", "weight",
+            (F.col("src") % (1 << id_bits) / span).cast("int").alias("block"),
+            (F.abs(F.xxhash64("src", "dst")) % n_salts).cast("int").alias("salt"),
+        )
+        df.sortWithinPartitions("src", "dst").writeTo(name_or_path).partitionedBy(
+            "block"
+        ).createOrReplace()
+        return "iceberg"
+    write_csr_blocks(edges, name_or_path, n_blocks, n_salts, id_bits)
+    return "parquet"

@@ -1,0 +1,107 @@
+"""Text pipeline: dedup (exact/ngram/minhash/simhash), quality, lang-id,
+fingerprints — against hand-built documents with known relationships."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.text.dedup import (
+    deduplicate_exact,
+    exact_duplicate_groups,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    simhash_signatures,
+)
+from linkgraph.text.quality import (
+    bpe_ish_token_count,
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the old river bank now"
+    rows = [
+        (0, base, "en"),
+        (1, base, "en"),                      # exact dup of 0
+        (2, near, "en"),                      # near dup of 0 (1 word differs)
+        (3, "der hund und die katze sind im haus und das ist gut", "de"),
+        (4, "completely different text about spark dataframes and shuffles", "en"),
+        (5, "el gato y el perro que viven en la casa grande es bonito", "es"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicate_groups(docs).collect()
+    assert {(r.group_id, r.doc_id) for r in groups} == {(0, 0), (0, 1)}
+    kept = deduplicate_exact(docs)
+    assert kept.count() == 5
+    assert kept.where("doc_id = 1").count() == 0  # min-id representative wins
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0  # identical
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 4) not in pairs
+
+
+def test_minhash_estimates_jaccard(docs):
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(docs, num_hashes=64).collect()}
+    assert sigs[0] == sigs[1]  # identical text → identical signature
+    est_02 = sum(a == b for a, b in zip(sigs[0], sigs[2])) / 64
+    assert est_02 > 0.4  # true jaccard ~0.76 on 3-shingles
+    est_04 = sum(a == b for a, b in zip(sigs[0], sigs[4])) / 64
+    assert est_04 < 0.2
+
+
+def test_minhash_lsh_pipeline(docs):
+    pairs = {(r.a, r.b) for r in minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert (0, 4) not in pairs
+
+
+def test_simhash(docs):
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    near = {(r.a, r.b): r.hamming for r in simhash_near_duplicates(docs, max_hamming=10).collect()}
+    assert near[(0, 1)] == 0
+    assert (0, 2) in near  # near-dup within 10 bits
+    assert (0, 4) not in near
+
+
+def test_token_counts(docs):
+    tc = {r.doc_id: r.n_tokens for r in token_count(docs).collect()}
+    assert tc[0] == 15
+    sub = {r.doc_id: r.n_subtokens for r in bpe_ish_token_count(docs).collect()}
+    assert sub[0] >= tc[0]
+
+
+def test_quality_scores(docs):
+    q = {r.doc_id: r for r in quality_scores(docs).collect()}
+    assert q[0].n_tokens == 15
+    assert abs(q[0].stopword_ratio - 3 / 15) < 1e-9  # 'the' x3
+    assert q[0].quality > 0
+
+
+def test_language_id(docs):
+    pred = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+    assert pred[0] == "en" and pred[3] == "de" and pred[5] == "es"
+
+
+def test_fingerprints_overlap(docs):
+    fp = fingerprints(docs, k=3, window=4)
+    by_doc = {
+        r.doc_id: set(x.fingerprint for x in fp.where(F.col("doc_id") == r.doc_id).collect())
+        for r in fp.select("doc_id").distinct().collect()
+    }
+    assert by_doc[0] == by_doc[1]
+    inter = len(by_doc[0] & by_doc[2]) / max(len(by_doc[0] | by_doc[2]), 1)
+    assert inter > 0.4  # near-dups share most winnowed fingerprints
+    assert len(by_doc[0] & by_doc[4]) == 0
