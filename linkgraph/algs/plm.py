@@ -1,0 +1,154 @@
+"""PLM — parallel Louvain method (modularity maximization).
+
+Reference parity: community/PLM.cpp::PLM::run — move phase (each node
+greedily joins the neighboring community with the best modularity gain) →
+coarsen communities (coarsening/ParallelPartitionCoarsening) → recurse on
+the coarse graph → prolong labels back down. The reference's move phase is
+asynchronous OpenMP with atomic flips; the distributed formulation is
+synchronous rounds with TWO determinism/oscillation guards:
+
+1. parity dampening — in round t only vertices with xxhash64(id, t) even
+   may move (synchronous Louvain without this oscillates on symmetric
+   structures, the same pathology as sync label propagation);
+2. total-order tie-breaks — (gain desc, community asc) under a window.
+
+Gain of moving i (degree k_i) from community d to c:
+    ΔQ ∝ w(i→c) − w(i→d\\{i}) − γ·k_i·(vol(c) − vol(d\\{i}))/(2W)
+Comparing candidates for a fixed i, the d-terms are constant, so ranking
+maximizes w(i→c) − γ·k_i·vol(c\\{i})/(2W) — one wedge-shaped join +
+window per round (the PLP plan plus a community-volume broadcast).
+
+Levels: move-phase fixpoint → coarsen (parallel edge contraction) →
+recurse; label prolongation composes the per-level mappings. Coarse
+graphs shrink geometrically, so level cost is dominated by level 0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from linkgraph.algs.community import coarsen
+from linkgraph.algs.plp import canonicalize_labels
+from linkgraph.graph import Graph
+
+
+def _local_move(
+    graph: Graph, gamma: float, max_rounds: int, two_w: float
+) -> DataFrame:
+    """One Louvain move phase on ``graph``; returns (id, community)."""
+    sym = graph.symmetric_edges().persist()
+    # volume convention: a self-loop (coarse graphs: contracted intra-
+    # community weight) contributes TWICE to its vertex's degree, keeping
+    # Σk = 2W invariant across coarsening levels
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.sum(
+            F.when(F.col("src") == F.col("dst"), 2.0 * F.col("weight")).otherwise(
+                F.col("weight")
+            )
+        ).alias("k")
+    ).persist()
+    labels = deg.select("id", F.col("id").alias("community")).localCheckpoint(eager=True)
+    stalled = 0
+    for t in range(max_rounds):
+        lab = labels.select("id", "community")
+        vol = (
+            lab.join(deg, "id")
+            .groupBy("community")
+            .agg(F.sum("k").alias("vol"))
+        )
+        # w(i → c): weight from i to each neighboring community
+        w_ic = (
+            sym.where(F.col("src") != F.col("dst"))
+            .join(lab.withColumnRenamed("id", "dst").withColumnRenamed("community", "c"), "dst")
+            .groupBy(F.col("src").alias("id"), "c")
+            .agg(F.sum("weight").alias("w"))
+        )
+        # candidate set = neighboring communities ∪ own (w=0 if no edge)
+        own = lab.select("id", F.col("community").alias("c")).withColumn("w0", F.lit(0.0))
+        cands = (
+            w_ic.join(own.select("id", "c", "w0"), ["id", "c"], "full")
+            .select("id", "c", F.coalesce("w", "w0", F.lit(0.0)).alias("w"))
+        )
+        scored = (
+            cands.join(lab, "id")
+            .join(deg, "id")
+            .join(vol.withColumnRenamed("community", "c"), "c")
+            .select(
+                "id",
+                "c",
+                "community",
+                (
+                    F.col("w")
+                    - F.lit(gamma)
+                    * F.col("k")
+                    * (F.col("vol") - F.when(F.col("c") == F.col("community"), F.col("k")).otherwise(0.0))
+                    / F.lit(two_w)
+                ).alias("gain"),
+            )
+        )
+        win = Window.partitionBy("id").orderBy(
+            F.desc("gain"), F.asc(F.col("c") != F.col("community")), F.asc("c")
+        )
+        best = (
+            scored.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select("id", F.col("c").alias("target"), "community")
+        )
+        # parity dampening: only half the vertices move per round
+        movers = best.where(
+            (F.col("target") != F.col("community"))
+            & (F.xxhash64("id", F.lit(t)) % 2 == 0)
+        )
+        n_moves = movers.count()
+        if n_moves == 0:
+            stalled += 1
+            if stalled >= 2:  # both parity classes had no move
+                break
+            continue
+        stalled = 0
+        labels = (
+            labels.join(movers.select("id", "target"), "id", "left")
+            .select("id", F.coalesce("target", "community").alias("community"))
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    deg.unpersist()
+    return labels
+
+
+def louvain(
+    graph: Graph,
+    gamma: float = 1.0,
+    max_levels: int = 8,
+    max_rounds: int = 32,
+) -> DataFrame:
+    """(id, label) — canonical (min-member-id) Louvain communities."""
+    g = Graph(
+        graph.symmetric_edges().where(F.col("src") <= F.col("dst")),
+        directed=False,
+        weighted=True,
+    )
+    two_w = 0.0
+    row = g.symmetric_edges().agg(F.sum("weight")).collect()[0]
+    two_w = float(row[0] or 0.0)
+    if two_w == 0.0:
+        return graph.nodes().select("id", F.col("id").alias("label"))
+
+    mapping = graph.nodes().select("id", F.col("id").alias("label"))
+    for _level in range(max_levels):
+        comm = _local_move(g, gamma, max_rounds, two_w)
+        n_before = comm.count()
+        n_after = comm.select("community").distinct().count()
+        mapping = (
+            mapping.join(
+                comm.withColumnRenamed("id", "label").withColumnRenamed("community", "new_label"),
+                "label",
+            )
+            .select("id", F.col("new_label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        if n_after == n_before:
+            break
+        g = coarsen(g, comm.select("id", F.col("community").alias("label")))
+        g = Graph(g.edges.localCheckpoint(eager=True), directed=False, weighted=True)
+    return canonicalize_labels(mapping)
