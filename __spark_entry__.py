@@ -177,6 +177,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         r = assortativity(g)
         return spark.createDataFrame([(round(r, 6),)], "assortativity double")
 
+    def doc_modularity_fixed(spark, sf):
+        """Modularity of the FIXED labeling label=id%7 — makes the
+        modularity aggregation itself oracle-checkable (PLP/Louvain
+        labelings are engine-specific, a fixed one is portable SQL)."""
+        from linkgraph.algs.community import modularity
+
+        g = _doc_graph(spark, sf)
+        labels = g.nodes().select("id", (F.col("id") % 7).alias("label"))
+        q = modularity(g, labels)
+        return spark.createDataFrame([(round(q, 6),)], "modularity double")
+
+    def events_sessions(spark, sf):
+        """Gap-based sessionization (30-min inactivity): sessions per
+        user — lag + conditional cumulative sum windows."""
+        from pyspark.sql import Window
+
+        _register(spark, sf)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ev = (
+            spark.table("events")
+            .withColumn("prev_ts", F.lag("ts").over(w))
+            .withColumn(
+                "new_sess",
+                (
+                    F.col("prev_ts").isNull()
+                    # NTZ won't cast to long directly; via LTZ timestamp the
+                    # zone shift cancels in the difference
+                    | (
+                        F.col("ts").cast("timestamp").cast("long")
+                        - F.col("prev_ts").cast("timestamp").cast("long")
+                        > 1800
+                    )
+                ).cast("int"),
+            )
+        )
+        return ev.groupBy("user_id").agg(
+            F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
+        )
+
     # --- iterative / hash ops without SQL oracles (rows-only checks) -----
     def doc_plp(spark, sf):
         g = _doc_graph(spark, sf)
@@ -185,6 +224,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_kcore(spark, sf):
         g = _doc_graph(spark, sf)
         return core_decomposition(g)
+
+    def doc_louvain(spark, sf):
+        from linkgraph.algs.plm import louvain
+
+        g = _doc_graph(spark, sf)
+        # kept intentionally small: each move round is several joins and
+        # the driver gate runs every query serially
+        return louvain(g, max_rounds=6, max_levels=2)
+
+    def doc_neighborhood_2hop(spark, sf):
+        from linkgraph.algs.anf import per_vertex_neighborhood_size
+
+        g = _doc_graph(spark, sf)
+        return per_vertex_neighborhood_size(g, 2).select(
+            "id", F.round("est", 3).alias("est")
+        )
 
     # --- documents table: text pipeline ----------------------------------
     def dup_groups(spark, sf):
@@ -291,8 +346,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_adamic_adar": doc_adamic_adar,
         "doc_jaccard_lp": doc_jaccard_lp,
         "doc_assortativity": doc_assortativity,
+        "doc_modularity_fixed": doc_modularity_fixed,
+        "events_sessions": events_sessions,
         "doc_plp": doc_plp,
         "doc_kcore": doc_kcore,
+        "doc_louvain": doc_louvain,
+        "doc_neighborhood_2hop": doc_neighborhood_2hop,
         "dup_groups": dup_groups,
         "token_counts": token_counts,
         "lang_dist": lang_dist,
@@ -469,6 +528,38 @@ WITH {EDGES_CTE},
 deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
 SELECT ROUND(CORR(CAST(ds.d AS DOUBLE), CAST(dd.d AS DOUBLE)), 6) AS assortativity
 FROM sym s JOIN deg ds ON ds.id = s.src JOIN deg dd ON dd.id = s.dst
+"""
+
+    sql["doc_modularity_fixed"] = f"""
+WITH {EDGES_CTE},
+lab AS (SELECT id, id % 7 AS label FROM nodes),
+le AS (
+  SELECT s.weight, ls.label AS sl, ld.label AS dl
+  FROM sym s JOIN lab ls ON ls.id = s.src JOIN lab ld ON ld.id = s.dst
+),
+tot AS (
+  SELECT SUM(weight) AS two_w,
+         SUM(CASE WHEN sl = dl THEN weight ELSE 0.0 END) AS intra
+  FROM le
+),
+vol AS (SELECT sl, SUM(weight) AS v FROM le GROUP BY sl),
+v2 AS (SELECT SUM(v * v) AS vv FROM vol)
+SELECT ROUND(tot.intra / tot.two_w - v2.vv / (tot.two_w * tot.two_w), 6) AS modularity
+FROM tot, v2
+"""
+
+    sql["events_sessions"] = """
+WITH ev AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev_ts IS NULL
+                     OR date_diff('second', prev_ts, ts) > 1800
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM ev GROUP BY user_id
 """
 
     sql["dup_groups"] = """

@@ -63,8 +63,12 @@ def main() -> None:
 
     pr_dir = f"/tmp/lg_bench_pr_{os.getpid()}"
 
+    # hub_top_k=0: measured at R-MAT scale 23, the heavy-hitter split costs
+    # ~26% (extra joins/broadcast churn) while AQE alone absorbs this skew
+    # level; the split stays available for genuinely extreme hubs (see
+    # BENCH/BASELINE.md)
     def run_pr():
-        return pagerank(rg, tol=1e-6, max_iter=60, hub_top_k=64, work_dir=pr_dir)
+        return pagerank(rg, tol=1e-6, max_iter=60, hub_top_k=0, work_dir=pr_dir)
 
     pr = timed("rmat_pagerank", run_pr)
     n_checked = pr.count()

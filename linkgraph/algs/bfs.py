@@ -60,6 +60,75 @@ def sssp(graph: Graph, source: int, max_iter: int = 10_000) -> DataFrame:
     return dist
 
 
+def multi_source_bfs(graph: Graph, sources: list, max_iter: int = 10_000) -> DataFrame:
+    """(source, id, dist) hop distances from EVERY source simultaneously —
+    the source id rides as a frontier column, so S sources cost one
+    superstep loop, not S (the plan shape behind ApproxCloseness /
+    sampled betweenness/diameter estimators; SURVEY §2A distance rows)."""
+    spark = graph.edges.sparkSession
+    e = (
+        (graph.edges if graph.directed else graph.symmetric_edges())
+        .select("src", "dst")
+        .persist()
+    )
+    dist = spark.createDataFrame(
+        [(int(s), int(s), 0.0) for s in sources], "source bigint, id bigint, dist double"
+    ).persist()
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(e, frontier.id == e.src)
+            .groupBy("source", F.col("dst").alias("id"))
+            .agg(F.min(F.col("dist") + 1.0).alias("nd"))
+        )
+        improved = (
+            cand.join(
+                dist.withColumnRenamed("dist", "old"), ["source", "id"], "left"
+            )
+            .where(F.col("old").isNull() | (F.col("nd") < F.col("old")))
+            .select("source", "id", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select("source", "id"), ["source", "id"], "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    e.unpersist()
+    return dist
+
+
+def harmonic_closeness_sampled(
+    graph: Graph, n_samples: int = 16, seed: int = 42
+) -> DataFrame:
+    """(id, score) — sampled harmonic closeness (TopHarmonicCloseness /
+    ApproxCloseness family): score(v) = (n−1)/|S| · Σ_{s∈S} 1/d(s,v) over
+    deterministic hash-sampled sources; exact when n_samples ≥ n. On
+    undirected graphs d(s,v)=d(v,s), so source-rooted BFS suffices."""
+    nodes = graph.nodes()
+    n = nodes.count()
+    sources = [
+        r["id"]
+        for r in nodes.orderBy(F.xxhash64("id", F.lit(seed)), F.asc("id"))
+        .limit(min(n_samples, n))
+        .collect()
+    ]
+    d = multi_source_bfs(graph, sources)
+    scale = (n - 1) / len(sources) if sources else 0.0
+    scores = (
+        d.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg((F.lit(scale) * F.sum(1.0 / F.col("dist"))).alias("score"))
+    )
+    return (
+        nodes.join(scores, "id", "left")
+        .select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
+    )
+
+
 def eccentricity(graph: Graph, source: int) -> float:
     """Max finite distance from source (distance/Eccentricity.cpp)."""
     row = bfs(graph, source).agg(F.max("dist").alias("m")).collect()[0]

@@ -108,6 +108,63 @@ def preferential_attachment(graph: Graph) -> DataFrame:
     )
 
 
+def roc_auc(scores: DataFrame, positives: DataFrame) -> float:
+    """AUC of a (u, v, score) prediction table against a (u, v) positive
+    set (ROCMetric.cpp's summary statistic): rank-sum / Mann-Whitney form
+    via a cume_dist-free window — AUC = (Σ ranks⁺ − P(P+1)/2) / (P·N).
+    Ties get average ranks (rank + (count−1)/2)."""
+    from pyspark.sql import Window
+
+    labeled = scores.join(
+        positives.select("u", "v").withColumn("pos", F.lit(1)), ["u", "v"], "left"
+    ).select("score", F.coalesce("pos", F.lit(0)).alias("pos"))
+    w = Window.orderBy("score")
+    ranked = labeled.select(
+        "pos",
+        (
+            F.rank().over(w)
+            + (F.count("*").over(Window.partitionBy("score")) - 1) / 2.0
+        ).alias("r"),
+    )
+    row = ranked.agg(
+        F.sum(F.when(F.col("pos") == 1, F.col("r")).otherwise(0.0)).alias("rs"),
+        F.sum("pos").alias("p"),
+        F.count("*").alias("t"),
+    ).collect()[0]
+    p = float(row["p"] or 0)
+    neg = float(row["t"]) - p
+    if p == 0 or neg == 0:
+        return 0.5
+    return (float(row["rs"]) - p * (p + 1) / 2.0) / (p * neg)
+
+
+def precision_at_k(scores: DataFrame, positives: DataFrame, k: int) -> float:
+    """Fraction of the top-k predictions that are true links
+    (PrecisionRecallMetric's precision point at k)."""
+    top = (
+        scores.orderBy(F.desc("score"), F.asc("u"), F.asc("v"))
+        .limit(k)
+        .join(positives.select("u", "v"), ["u", "v"], "left_semi")
+    )
+    return top.count() / k if k else 0.0
+
+
+def random_link_sample(graph: Graph, fraction: float, seed: int = 42) -> tuple:
+    """Deterministic hash-split of the canonical edge set into (train,
+    test) — RandomLinkSampler; stable across partitioning."""
+    canon = (
+        graph.symmetric_edges()
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", "weight")
+    )
+    coin = (
+        F.abs(F.xxhash64("src", "dst", F.lit(seed))) % F.lit(1_000_000_007)
+    ) / 1_000_000_007.0
+    test = canon.where(coin < fraction)
+    train = canon.where(coin >= fraction)
+    return train, test
+
+
 def missing_links(graph: Graph, scores: DataFrame) -> DataFrame:
     """Filter a (u,v,score) table to NON-edges (MissingLinksFinder.cpp) —
     an anti-join against the canonical undirected edge set."""

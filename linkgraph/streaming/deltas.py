@@ -124,6 +124,8 @@ def incremental_cc_additions(labels: DataFrame, added_edges: DataFrame) -> DataF
     broadcast-join the relabeling back onto the full label table. Cost is
     O(|additions| + #affected components), not O(n).
     """
+    if "component" in labels.columns and "label" not in labels.columns:
+        labels = labels.withColumnRenamed("component", "label")
     lab = labels.select("id", "label")
     e = (
         added_edges.select("src", "dst")
