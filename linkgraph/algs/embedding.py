@@ -1,0 +1,87 @@
+"""Node2Vec random-walk generation (embedding/Node2Vec.cpp parity — the
+walk corpus; training the skip-gram model is out of scope, as SURVEY §2A
+notes: "random-walk generation = iterative sampled joins").
+
+Second-order (p, q)-biased walks, fully distributed and DETERMINISTIC:
+- every step explodes the current vertices' candidate neighbors (one join
+  with the symmetric edge list);
+- the return/in-out bias weights each candidate: 1/p if it equals the
+  previous vertex, 1 if it neighbors the previous vertex (checked with a
+  left join on the edge list), else 1/q;
+- weighted sampling uses the exponential-race trick: candidate with the
+  max of u^(1/w) wins, where u = hash-uniform(walk, step, candidate) —
+  partition-order independent, reproducible from the seed.
+
+State is (walk_id, step, prev, cur); walk length L costs L rounds of
+join + window. At web scale the explode fan-out is bounded per round by
+the average degree; hub rows can be pre-capped with the same wedge-degree
+discipline as link prediction if needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from linkgraph.graph import Graph
+
+
+def node2vec_walks(
+    graph: Graph,
+    walks_per_node: int = 2,
+    walk_length: int = 5,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """(walk_id, pos, vertex) — walk corpus rows in step order."""
+    spark = graph.edges.sparkSession
+    sym = graph.symmetric_edges().select("src", "dst").persist()
+    edge_set = sym.select(
+        F.col("src").alias("prev"), F.col("dst").alias("cand")
+    ).withColumn("is_nbr", F.lit(1)).persist()
+
+    starts = (
+        graph.nodes()
+        .crossJoin(spark.range(walks_per_node).withColumnRenamed("id", "w"))
+        .select(
+            (F.col("id") * walks_per_node + F.col("w")).alias("walk_id"),
+            F.col("id").alias("cur"),
+            F.lit(None).cast("bigint").alias("prev"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    corpus = starts.select("walk_id", F.lit(0).alias("pos"), F.col("cur").alias("vertex"))
+    state = starts
+
+    for step in range(1, walk_length):
+        cands = state.join(sym, state.cur == sym.src).select(
+            "walk_id", "prev", "cur", F.col("dst").alias("cand")
+        )
+        scored = cands.join(edge_set, ["prev", "cand"], "left").withColumn(
+            "w",
+            F.when(F.col("cand") == F.col("prev"), 1.0 / p)
+            .when(F.col("is_nbr").isNotNull(), 1.0)
+            .otherwise(1.0 / q),
+        )
+        u = (
+            (F.abs(F.xxhash64("walk_id", "cand", F.lit(step), F.lit(seed))) + 1)
+            % F.lit(1_000_000_007)
+        ) / 1_000_000_007.0
+        # exponential race: max u^(1/w) ⇔ weighted sample; log form avoids
+        # pow underflow and keeps the comparison monotone
+        key = F.log(u) / F.col("w")
+        win = Window.partitionBy("walk_id").orderBy(F.desc(key), F.asc("cand"))
+        nxt = (
+            scored.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select("walk_id", F.col("cur").alias("prev"), F.col("cand").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        # walks at dead ends (no candidates) simply stop
+        state = nxt
+        corpus = corpus.unionByName(
+            state.select("walk_id", F.lit(step).alias("pos"), F.col("cur").alias("vertex"))
+        )
+    sym.unpersist()
+    edge_set.unpersist()
+    return corpus.localCheckpoint(eager=True)
