@@ -216,14 +216,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
         )
 
-    # --- iterative / hash ops without SQL oracles (rows-only checks) -----
+    # --- iterative ops with UNROLLED / portable-hash SQL oracles ----------
     def doc_plp(spark, sf):
+        # portable tie hash → the 30 synchronous rounds unroll to an exact
+        # DuckDB oracle (gate_sql.plp_sql); vote sums are integer-valued
+        # doubles, so every comparison is exact on both engines
         g = _doc_graph(spark, sf)
-        return label_propagation(g, max_iter=30)
+        return label_propagation(g, max_iter=30, tie_hash="portable")
 
     def doc_kcore(spark, sf):
         g = _doc_graph(spark, sf)
-        return core_decomposition(g)
+        return core_decomposition(g).select("id", F.col("core").cast("bigint").alias("core"))
+
+    def doc_eigenvector(spark, sf):
+        from linkgraph.algs.centrality import eigenvector_centrality
+
+        g = _doc_graph(spark, sf)
+        ev = eigenvector_centrality(g, tol=0.0, max_iter=12)
+        return ev.select("id", F.round("score", 6).alias("score"))
+
+    def doc_katz(spark, sf):
+        from linkgraph.algs.centrality import katz_centrality
+
+        g = _doc_graph(spark, sf)
+        kz = katz_centrality(g, alpha=0.01, beta=1.0, tol=0.0, max_iter=12)
+        return kz.select("id", F.round("score", 6).alias("score"))
+
+    def doc_bfs(spark, sf):
+        from linkgraph.algs.bfs import bfs
+
+        g = _doc_graph(spark, sf, directed=False)
+        return bfs(g, 0).select("id", F.col("dist").cast("bigint").alias("dist"))
+
+    def doc_sssp(spark, sf):
+        from linkgraph.algs.bfs import sssp
+
+        g = _doc_graph(spark, sf, directed=False)
+        return sssp(g, 0).select("id", F.round("dist", 6).alias("dist"))
+
+    def doc_closeness(spark, sf):
+        from linkgraph.algs.bfs import closeness
+
+        g = _doc_graph(spark, sf, directed=False)
+        return closeness(g).select("id", F.round("score", 6).alias("score"))
+
+    def doc_harmonic(spark, sf):
+        from linkgraph.algs.bfs import closeness
+
+        g = _doc_graph(spark, sf, directed=False)
+        return closeness(g, harmonic=True).select(
+            "id", F.round("score", 6).alias("score")
+        )
+
+    def doc_eccentricity(spark, sf):
+        from linkgraph.algs.bfs import eccentricities
+
+        g = _doc_graph(spark, sf, directed=False)
+        return eccentricities(g)
+
+    def doc_scc(spark, sf):
+        from linkgraph.algs.components import strongly_connected_components
+
+        g = _doc_graph(spark, sf)
+        return strongly_connected_components(g)
+
+    def doc_betweenness(spark, sf):
+        """Sampled Brandes betweenness (EstimateBetweenness contract);
+        rows-only — sources are xxhash-sampled, validated by the pytest
+        networkx-exact suite instead of a SQL oracle."""
+        from linkgraph.algs.betweenness import betweenness
+
+        g = _doc_graph(spark, sf, directed=False)
+        return betweenness(g, n_samples=24).select(
+            "id", F.round("score", 4).alias("score")
+        )
+
+    def doc_spanning_stats(spark, sf):
+        from linkgraph.algs.spanning import spanning_forest
+
+        g = _doc_graph(spark, sf)
+        forest = spanning_forest(g)
+        return forest.agg(
+            F.count("*").alias("n_edges"),
+            F.round(F.sum("weight"), 6).alias("total_weight"),
+        )
 
     def doc_louvain(spark, sf):
         from linkgraph.algs.plm import louvain
@@ -237,7 +313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from linkgraph.algs.anf import per_vertex_neighborhood_size
 
         g = _doc_graph(spark, sf)
-        return per_vertex_neighborhood_size(g, 2).select(
+        # portable sketch hash → the FM bit_or pipeline replays exactly in
+        # DuckDB (gate_sql.anf_sql): integer bit ops end to end
+        return per_vertex_neighborhood_size(g, 2, portable=True).select(
             "id", F.round("est", 3).alias("est")
         )
 
@@ -277,11 +355,139 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def minhash_dups(spark, sf):
         _register(spark, sf)
-        return minhash_dedup_pairs(spark.table("documents"), threshold=0.7)
+        return minhash_dedup_pairs(
+            spark.table("documents"), threshold=0.7, portable=True
+        )
+
+    def minhash_dup_groups(spark, sf):
+        from linkgraph.text.dedup import near_duplicate_groups
+
+        _register(spark, sf)
+        docs = spark.table("documents")
+        pairs = minhash_dedup_pairs(docs, threshold=0.7, portable=True)
+        return near_duplicate_groups(docs, pairs)
 
     def simhash_dups(spark, sf):
         _register(spark, sf)
-        return simhash_near_duplicates(spark.table("documents"), max_hamming=3)
+        return simhash_near_duplicates(
+            spark.table("documents"), max_hamming=3, portable=True
+        ).select("a", "b", F.col("hamming").cast("bigint").alias("hamming"))
+
+    # --- partition quality metrics over the fixed labeling id % 7 --------
+    def doc_hub_dominance(spark, sf):
+        from linkgraph.algs.community import hub_dominance
+
+        g = _doc_graph(spark, sf)
+        labels = g.nodes().select("id", (F.col("id") % 7).alias("label"))
+        return hub_dominance(g, labels).select(
+            "label", F.round("hub_dominance", 6).alias("hub_dominance")
+        )
+
+    def doc_conductance(spark, sf):
+        from linkgraph.algs.community import isolated_interpartition_conductance
+
+        g = _doc_graph(spark, sf)
+        labels = g.nodes().select("id", (F.col("id") % 7).alias("label"))
+        return isolated_interpartition_conductance(g, labels).select(
+            "label", F.round("conductance", 6).alias("conductance")
+        )
+
+    def doc_stable_nodes(spark, sf):
+        from linkgraph.algs.community import stable_partition_nodes
+
+        g = _doc_graph(spark, sf)
+        labels = g.nodes().select("id", (F.col("id") % 7).alias("label"))
+        return stable_partition_nodes(g, labels)
+
+    def doc_fragmentation(spark, sf):
+        from linkgraph.algs.community import partition_fragmentation
+
+        g = _doc_graph(spark, sf)
+        labels = g.nodes().select("id", (F.col("id") % 7).alias("label"))
+        return partition_fragmentation(g, labels).select(
+            "label", F.round("fragmentation", 6).alias("fragmentation")
+        )
+
+    # --- link-prediction additions + edge scores ---------------------------
+    def doc_total_neighbors(spark, sf):
+        from linkgraph.algs.linkpred import total_neighbors
+
+        g = _doc_graph(spark, sf)
+        return total_neighbors(g).select("u", "v", "score")
+
+    def doc_neighborhood_distance(spark, sf):
+        from linkgraph.algs.linkpred import neighborhood_distance
+
+        g = _doc_graph(spark, sf)
+        return neighborhood_distance(g).select(
+            "u", "v", F.round("score", 6).alias("score")
+        )
+
+    def doc_katz_index(spark, sf):
+        from linkgraph.algs.linkpred import katz_index
+
+        g = _doc_graph(spark, sf)
+        return katz_index(g, beta=0.005, max_length=3).select(
+            "u", "v", F.round("score", 9).alias("score")
+        )
+
+    def doc_prefix_jaccard(spark, sf):
+        from linkgraph.algs.edgescores import prefix_jaccard_score
+
+        g = _doc_graph(spark, sf)
+        return prefix_jaccard_score(g, k=5).select(
+            "src", "dst", F.round("score", 6).alias("score")
+        )
+
+    def doc_simmelian(spark, sf):
+        from linkgraph.algs.edgescores import simmelian_overlap_score
+
+        g = _doc_graph(spark, sf)
+        return simmelian_overlap_score(g, max_rank=10)
+
+    # --- rows-only entries (hash-seeded internals; pytest-validated) ------
+    def doc_leiden(spark, sf):
+        from linkgraph.algs.leiden import leiden
+
+        # light budget: the driver gate runs every query serially, and each
+        # refine round costs several actions; quality is pytest's job
+        g = _doc_graph(spark, sf)
+        return leiden(g, max_rounds=4, max_levels=1, refine_rounds=4)
+
+    def doc_suitor_matching(spark, sf):
+        from linkgraph.algs.matching import suitor_matching
+
+        g = _doc_graph(spark, sf)
+        return suitor_matching(g)
+
+    def doc_ego_cover(spark, sf):
+        from linkgraph.algs.egosplit import ego_splitting
+
+        g = _doc_graph(spark, sf, directed=False)
+        return ego_splitting(g, max_ego_degree=100, plp_max_iter=10)
+
+    def embed_lsh_banded_top5(spark, sf):
+        from linkgraph.text.similarity import lsh_cosine_topk_banded
+
+        _register(spark, sf)
+        emb = spark.table("embeddings")
+        qs = emb.where(F.col("vec_id") < 10)
+        return lsh_cosine_topk_banded(emb, qs, k=5, n_planes=16, bands=8).select(
+            "query_id", "neighbor_id", F.round("cos", 4).alias("cos")
+        )
+
+    # --- extraction: engine pipeline vs independent DuckDB regexp oracle --
+    def extraction_edges(spark, sf):
+        """pages → hrefs (pandas UDF) → normalize → dense dictionary →
+        (src, dst, weight), over the COMMITTED deterministic pages fixture
+        (tests/fixtures/gate_pages, synth_pages seed=42) so query and
+        oracle read identical bytes. The oracle re-implements extraction
+        independently in DuckDB regexp SQL — full end-to-end parity."""
+        from linkgraph.extract import pages_to_edges
+
+        pages = spark.read.parquet("/root/repo/tests/fixtures/gate_pages")
+        edges, _ = pages_to_edges(pages, dense_ids=True)
+        return edges.select("src", "dst", "weight")
 
     # --- events table: window/agg relational surface ---------------------
     def events_top_value_per_user(spark, sf):
@@ -315,6 +521,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.round(F.avg("value"), 6).alias("avg_value"),
             )
         )
+
+    def events_rollup(spark, sf):
+        """ROLLUP (event_type, day) — the grouping-sets surface (SURVEY
+        §2B) exercised for real: per-(type, day), per-type subtotals, and
+        the grand total in one pass."""
+        _register(spark, sf)
+        return (
+            spark.table("events")
+            .rollup("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+        )
+
+    def node2vec_walks(spark, sf):
+        """Deterministic Node2Vec walk generation (rows-only gate entry:
+        the exponential-race sampling is xxhash-seeded — validated by the
+        pytest bias/determinism suite instead of a SQL oracle)."""
+        from linkgraph.algs.embedding import node2vec_walks as walks
+
+        g = _doc_graph(spark, sf)
+        return walks(g, walk_length=5, walks_per_node=1, p=1.0, q=1.0, seed=7)
 
     # --- embeddings: similarity search ------------------------------------
     def embed_cosine_top5(spark, sf):
@@ -350,7 +576,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": events_sessions,
         "doc_plp": doc_plp,
         "doc_kcore": doc_kcore,
+        "doc_eigenvector": doc_eigenvector,
+        "doc_katz": doc_katz,
+        "doc_bfs": doc_bfs,
+        "doc_sssp": doc_sssp,
+        "doc_closeness": doc_closeness,
+        "doc_harmonic": doc_harmonic,
+        "doc_eccentricity": doc_eccentricity,
+        "doc_scc": doc_scc,
+        "doc_betweenness": doc_betweenness,
+        "doc_spanning_stats": doc_spanning_stats,
         "doc_louvain": doc_louvain,
+        "doc_leiden": doc_leiden,
+        "doc_hub_dominance": doc_hub_dominance,
+        "doc_conductance": doc_conductance,
+        "doc_stable_nodes": doc_stable_nodes,
+        "doc_fragmentation": doc_fragmentation,
+        "doc_total_neighbors": doc_total_neighbors,
+        "doc_neighborhood_distance": doc_neighborhood_distance,
+        "doc_katz_index": doc_katz_index,
+        "doc_prefix_jaccard": doc_prefix_jaccard,
+        "doc_simmelian": doc_simmelian,
+        "doc_suitor_matching": doc_suitor_matching,
+        "doc_ego_cover": doc_ego_cover,
+        "embed_lsh_banded_top5": embed_lsh_banded_top5,
         "doc_neighborhood_2hop": doc_neighborhood_2hop,
         "dup_groups": dup_groups,
         "token_counts": token_counts,
@@ -359,7 +608,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_dups": ngram_dups,
         "doc_lang_id": doc_lang_id,
         "minhash_dups": minhash_dups,
+        "minhash_dup_groups": minhash_dup_groups,
         "simhash_dups": simhash_dups,
+        "extraction_edges": extraction_edges,
+        "events_rollup": events_rollup,
+        "node2vec_walks": node2vec_walks,
         "events_top_value_per_user": events_top_value_per_user,
         "events_hourly": events_hourly,
         "events_type_stats": events_type_stats,
@@ -594,10 +847,13 @@ FROM t
 
     sql["ngram_dups"] = """
 WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
   FROM tk, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
 ),
+-- mirrors the engine's max_shingle_freq=10000 heavy-hitter guard
+keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 10000),
+sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN keep k USING (sh)),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
@@ -661,5 +917,42 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
   FROM scored
 ) WHERE rn <= 5
 """
+
+    # --- round-2 additions: unrolled / portable-hash / independent oracles
+    import gate_sql as G
+
+    sql["doc_plp"] = G.plp_sql(EDGES_CTE_MAT, iters=30)
+    sql["doc_kcore"] = G.kcore_sql(EDGES_CTE_MAT, iters=10)
+    sql["doc_eigenvector"] = G.eigenvector_sql(EDGES_CTE_MAT, iters=12)
+    sql["doc_katz"] = G.katz_sql(EDGES_CTE_MAT, alpha=0.01, beta=1.0, iters=12)
+    sql["doc_bfs"] = G.bfs_sql(EDGES_CTE_MAT, source=0, hops=12)
+    sql["doc_sssp"] = G.sssp_sql(EDGES_CTE_MAT, source=0, rounds=16)
+    sql["doc_closeness"] = G.closeness_sql(EDGES_CTE_MAT, harmonic=False, hops=12)
+    sql["doc_harmonic"] = G.closeness_sql(EDGES_CTE_MAT, harmonic=True, hops=12)
+    sql["doc_eccentricity"] = G.eccentricity_sql(EDGES_CTE_MAT, hops=12)
+    sql["doc_scc"] = G.scc_sql(EDGES_CTE_MAT)
+    sql["doc_spanning_stats"] = G.spanning_stats_sql(EDGES_CTE_MAT)
+    sql["doc_neighborhood_2hop"] = G.anf_sql(EDGES_CTE_MAT, hops=2, registers=8)
+    sql["minhash_dups"] = G.minhash_pairs_sql(64, 16, 0.7)
+    sql["minhash_dup_groups"] = G.minhash_groups_sql(64, 16, 0.7)
+    sql["simhash_dups"] = G.simhash_sql(max_hamming=3)
+    sql["extraction_edges"] = G.extraction_edges_sql(
+        "/root/repo/tests/fixtures/gate_pages/*.parquet"
+    )
+    sql["events_rollup"] = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n, ROUND(SUM(value), 3) AS sum_value
+FROM events GROUP BY ROLLUP(event_type, day)
+"""
+
+    sql["doc_hub_dominance"] = G.hub_dominance_sql(EDGES_CTE_MAT)
+    sql["doc_conductance"] = G.conductance_sql(EDGES_CTE_MAT)
+    sql["doc_stable_nodes"] = G.stable_nodes_sql(EDGES_CTE_MAT)
+    sql["doc_fragmentation"] = G.fragmentation_sql(EDGES_CTE_MAT)
+    sql["doc_total_neighbors"] = G.total_neighbors_sql(EDGES_CTE_MAT)
+    sql["doc_neighborhood_distance"] = G.neighborhood_distance_sql(EDGES_CTE_MAT)
+    sql["doc_katz_index"] = G.katz_index_sql(EDGES_CTE_MAT, beta=0.005, max_length=3)
+    sql["doc_prefix_jaccard"] = G.prefix_jaccard_sql(EDGES_CTE_MAT, k=5)
+    sql["doc_simmelian"] = G.simmelian_sql(EDGES_CTE_MAT, max_rank=10)
 
     return sql

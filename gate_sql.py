@@ -1,0 +1,654 @@
+"""DuckDB oracle-SQL builders for __spark_entry__.oracle_sql().
+
+Every builder returns ANSI-ish SQL DuckDB executes over the driver's
+pre-registered parquet views, mirroring the engine's exact semantics:
+iterative operators are PROGRAMMATICALLY UNROLLED (fixed iteration counts,
+MATERIALIZED CTEs so DuckDB doesn't exponentially inline the chain), and
+hash-dependent operators use the portable md5 hash (linkgraph.portable)
+that Spark and DuckDB compute identically.
+
+Unroll constants are sized from measured sf0.01 doc-graph properties
+(diameter 10, weighted-SSSP max dist 14, max core 4 with h-index
+convergence at 6 iterations) with margin; they are verified end-to-end by
+tools/check_entry.py before each round.
+
+Builders take the shared edges CTE string as a parameter — no circular
+import with __spark_entry__.
+"""
+
+from __future__ import annotations
+
+from linkgraph.portable import phash_sql
+
+# ---------------------------------------------------------------------------
+# Distance family — unrolled frontier relaxation
+# ---------------------------------------------------------------------------
+
+
+def bfs_sql(cte: str, source: int = 0, hops: int = 12) -> str:
+    """Single-source hop distances over the symmetrized graph."""
+    parts = [f"b0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS id, 0 AS dist)"]
+    for i in range(1, hops + 1):
+        p = i - 1
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM ("
+            f"SELECT id, dist FROM b{p} UNION ALL "
+            f"SELECT e.dst AS id, b.dist + 1 FROM b{p} b JOIN sym e ON e.src = b.id"
+            f") u GROUP BY id)"
+        )
+    return (
+        f"WITH {cte},\n" + ",\n".join(parts) +
+        f"\nSELECT id, CAST(dist AS BIGINT) AS dist FROM b{hops}"
+    )
+
+
+def sssp_sql(cte: str, source: int = 0, rounds: int = 16) -> str:
+    """Single-source weighted distances (Bellman-Ford rounds) over sym."""
+    parts = [f"s0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS id, 0.0 AS dist)"]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM ("
+            f"SELECT id, dist FROM s{p} UNION ALL "
+            f"SELECT e.dst AS id, s.dist + e.weight FROM s{p} s JOIN sym e ON e.src = s.id"
+            f") u GROUP BY id)"
+        )
+    return (
+        f"WITH {cte},\n" + ",\n".join(parts) +
+        f"\nSELECT id, ROUND(dist, 6) AS dist FROM s{rounds}"
+    )
+
+
+def _all_pairs_cte(hops: int) -> str:
+    """CTE chain ap0..ap{hops}: (s, id, dist) hop distances for ALL source
+    vertices at once (incl. dist 0 self rows)."""
+    parts = ["ap0 AS MATERIALIZED (SELECT id AS s, id, 0 AS dist FROM nodes)"]
+    for i in range(1, hops + 1):
+        p = i - 1
+        parts.append(
+            f"ap{i} AS MATERIALIZED (SELECT s, id, MIN(dist) AS dist FROM ("
+            f"SELECT s, id, dist FROM ap{p} UNION ALL "
+            f"SELECT a.s, e.dst AS id, a.dist + 1 FROM ap{p} a JOIN sym e ON e.src = a.id"
+            f") u GROUP BY s, id)"
+        )
+    return ",\n".join(parts)
+
+
+def closeness_sql(cte: str, harmonic: bool, hops: int = 12) -> str:
+    if harmonic:
+        score = "SUM(1.0 / dist)"
+    else:
+        score = (
+            "CAST(count(*) AS DOUBLE) * count(*) / "
+            "((SELECT CAST(count(*) AS DOUBLE) - 1 FROM nodes) * SUM(dist))"
+        )
+    return f"""
+WITH {cte},
+{_all_pairs_cte(hops)},
+sc AS (SELECT s, {score} AS score FROM ap{hops} WHERE dist > 0 GROUP BY s)
+SELECT n.id, ROUND(COALESCE(sc.score, 0.0), 6) AS score
+FROM nodes n LEFT JOIN sc ON sc.s = n.id
+"""
+
+
+def eccentricity_sql(cte: str, hops: int = 12) -> str:
+    return f"""
+WITH {cte},
+{_all_pairs_cte(hops)},
+ec AS (SELECT s, MAX(dist) AS ecc FROM ap{hops} GROUP BY s)
+SELECT n.id, CAST(COALESCE(ec.ecc, 0) AS BIGINT) AS ecc
+FROM nodes n LEFT JOIN ec ON ec.s = n.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration family — unrolled supersteps (directed weighted edges)
+# ---------------------------------------------------------------------------
+
+
+def eigenvector_sql(cte: str, iters: int = 12) -> str:
+    parts = [
+        "evn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "x0 AS MATERIALIZED (SELECT id, 1.0/sqrt((SELECT n FROM evn)) AS score FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"em{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(x.score * e.weight) AS m "
+            f"FROM x{p} x JOIN edges e ON e.src = x.id GROUP BY e.dst)"
+        )
+        parts.append(
+            f"er{i} AS MATERIALIZED (SELECT n.id, COALESCE(m.m, 0.0) AS m "
+            f"FROM nodes n LEFT JOIN em{i} m ON m.id = n.id)"
+        )
+        parts.append(
+            f"en{i} AS MATERIALIZED (SELECT CASE WHEN COALESCE(sqrt(SUM(m*m)), 0.0) = 0.0 "
+            f"THEN 1.0 ELSE sqrt(SUM(m*m)) END AS nrm FROM er{i})"
+        )
+        parts.append(
+            f"x{i} AS MATERIALIZED (SELECT id, m / (SELECT nrm FROM en{i}) AS score FROM er{i})"
+        )
+    return (
+        f"WITH {cte},\n" + ",\n".join(parts) +
+        f"\nSELECT id, ROUND(score, 6) AS score FROM x{iters}"
+    )
+
+
+def katz_sql(cte: str, alpha: float, beta: float, iters: int = 12) -> str:
+    parts = [f"k0 AS MATERIALIZED (SELECT id, {beta!r} AS score FROM nodes)"]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"km{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(x.score * e.weight) AS m "
+            f"FROM k{p} x JOIN edges e ON e.src = x.id GROUP BY e.dst)"
+        )
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT n.id, {alpha!r} * COALESCE(m.m, 0.0) + {beta!r} AS score "
+            f"FROM nodes n LEFT JOIN km{i} m ON m.id = n.id)"
+        )
+    return (
+        f"WITH {cte},\n" + ",\n".join(parts) +
+        f"\nSELECT id, ROUND(score, 6) AS score FROM k{iters}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core via unrolled h-index fixpoint (Lü et al. 2016: converges to core)
+# ---------------------------------------------------------------------------
+
+
+def kcore_sql(cte: str, iters: int = 10) -> str:
+    parts = [
+        "symn AS MATERIALIZED (SELECT src, dst FROM sym WHERE src <> dst)",
+        "hc0 AS MATERIALIZED (SELECT n.id, COALESCE(d.v, 0) AS v FROM nodes n "
+        "LEFT JOIN (SELECT src AS id, count(*) AS v FROM symn GROUP BY src) d ON d.id = n.id)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"hc{i} AS MATERIALIZED (SELECT n.id, COALESCE(h.hv, 0) AS v FROM nodes n LEFT JOIN ("
+            f"SELECT src AS id, MAX(LEAST(v, rn)) AS hv FROM ("
+            f"SELECT e.src AS src, p.v, ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY p.v DESC) AS rn "
+            f"FROM symn e JOIN hc{p} p ON p.id = e.dst) t GROUP BY src) h ON h.id = n.id)"
+        )
+    return (
+        f"WITH {cte},\n" + ",\n".join(parts) +
+        f"\nSELECT id, CAST(v AS BIGINT) AS core FROM hc{iters}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCC via transitive closure (fixture-scale oracle)
+# ---------------------------------------------------------------------------
+
+
+def scc_sql(cte: str) -> str:
+    return f"""
+WITH RECURSIVE {cte},
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+mutual AS (
+  SELECT a.src AS u, a.dst AS v FROM reach a
+  JOIN reach b ON b.src = a.dst AND b.dst = a.src
+)
+SELECT n.id, LEAST(n.id, COALESCE(MIN(m.u), n.id)) AS component
+FROM nodes n LEFT JOIN mutual m ON m.v = n.id GROUP BY n.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Minimum spanning forest — Kruskal counting identity
+# ---------------------------------------------------------------------------
+
+
+def spanning_stats_sql(cte: str, weights: tuple = (1, 2, 3, 4, 5)) -> str:
+    """MSF (edge count, total weight) WITHOUT computing a forest: edges of
+    weight exactly t in any MSF = c_{<=t-1} - c_{<=t}, where c_{<=x} is the
+    component count of the subgraph restricted to weight <= x (Kruskal
+    exchange argument — the MSF weight multiset is unique even under
+    ties)."""
+    parts = []
+    for t in weights:
+        parts.append(
+            f"st{t}(id, label) AS (SELECT id, id FROM nodes UNION "
+            f"SELECT e.dst, r.label FROM st{t} r JOIN sym e ON e.src = r.id "
+            f"AND e.weight <= {t} WHERE r.label < e.dst)"
+        )
+        parts.append(
+            f"c{t} AS (SELECT count(DISTINCT label) AS c FROM "
+            f"(SELECT id, MIN(label) AS label FROM st{t} GROUP BY id) z)"
+        )
+    terms = []
+    prev = "(SELECT count(*) FROM nodes)"
+    for t in weights:
+        terms.append(f"{float(t)} * ({prev} - (SELECT c FROM c{t}))")
+        prev = f"(SELECT c FROM c{t})"
+    last = weights[-1]
+    return (
+        f"WITH RECURSIVE {cte},\n" + ",\n".join(parts) + "\n"
+        f"SELECT CAST((SELECT count(*) FROM nodes) - (SELECT c FROM c{last}) AS BIGINT) AS n_edges,\n"
+        f"ROUND({' + '.join(terms)}, 6) AS total_weight"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PLP — unrolled synchronous label propagation with the portable tie hash
+# ---------------------------------------------------------------------------
+
+
+def plp_sql(cte: str, iters: int = 30) -> str:
+    parts = [
+        "symn AS MATERIALIZED (SELECT src, dst, weight FROM sym WHERE src <> dst)",
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        tie = phash_sql("v.label", str(i - 1))
+        parts.append(
+            f"v{i} AS MATERIALIZED (SELECT e.dst AS id, l.label, SUM(e.weight) AS w "
+            f"FROM l{p} l JOIN symn e ON e.src = l.id GROUP BY e.dst, l.label)"
+        )
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT id, label FROM ("
+            f"SELECT v.id, v.label, ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY "
+            f"v.w DESC, (CASE WHEN v.label = c.label THEN 1 ELSE 0 END) DESC, "
+            f"{tie} ASC, v.label ASC) AS rn "
+            f"FROM v{i} v JOIN l{p} c ON c.id = v.id) z WHERE rn = 1)"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT n.id, COALESCE(b.label, c.label) AS label "
+            f"FROM nodes n JOIN l{p} c ON c.id = n.id LEFT JOIN b{i} b ON b.id = n.id)"
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {cte},
+{body},
+canon AS (SELECT label, MIN(id) AS cl FROM l{iters} GROUP BY label)
+SELECT l.id, c.cl AS label FROM l{iters} l JOIN canon c ON c.label = l.label
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANF — portable FM sketches, h hops
+# ---------------------------------------------------------------------------
+
+
+def anf_sql(cte: str, hops: int = 2, registers: int = 8) -> str:
+    h = phash_sql("q.id", "q.r")
+    parts = [
+        f"regs AS MATERIALIZED (SELECT r FROM generate_series(0, {registers - 1}) t(r))",
+        f"fmh AS MATERIALIZED (SELECT q.id, q.r, {h} AS h "
+        f"FROM (SELECT n.id, g.r FROM nodes n CROSS JOIN regs g) q)",
+        "fm0 AS MATERIALIZED (SELECT id, r, "
+        "(CAST(1 AS BIGINT) << CAST(LEAST(bit_count((h & -h) - 1), 62) AS INT)) AS bits "
+        "FROM fmh)",
+    ]
+    for i in range(1, hops + 1):
+        p = i - 1
+        parts.append(
+            f"fm{i} AS MATERIALIZED (SELECT id, r, bit_or(bits) AS bits FROM ("
+            f"SELECT id, r, bits FROM fm{p} UNION ALL "
+            f"SELECT e.dst AS id, i.r, i.bits FROM fm{p} i JOIN sym e ON e.src = i.id"
+            f") u GROUP BY id, r)"
+        )
+    return (
+        f"WITH {cte},\n" + ",\n".join(parts) + f""",
+fme AS (SELECT id, AVG(CAST(bit_count(((bits + 1) & ~bits) - 1) AS DOUBLE)) AS bbar
+        FROM fm{hops} GROUP BY id)
+SELECT id, ROUND(pow(2.0, bbar) / 0.77351, 3) AS est FROM fme
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash / SimHash — portable signatures over the documents table
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTE = """
+tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+shg AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+  FROM tk, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+)"""
+
+
+def _minhash_cte(num_hashes: int, bands: int, threshold: float) -> str:
+    rpb = num_hashes // bands
+    mins = ", ".join(
+        f"MIN({phash_sql('sh', str(h))}) AS m{h}" for h in range(num_hashes)
+    )
+    band_rows = []
+    for b in range(bands):
+        concat = " || ',' || ".join(
+            f"CAST(m{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, {phash_sql(concat, str(b))} AS bh FROM sg"
+        )
+    agree = " + ".join(
+        f"(CASE WHEN sa.m{h} = sb.m{h} THEN 1 ELSE 0 END)" for h in range(num_hashes)
+    )
+    return f"""
+{_SHINGLE_CTE},
+sg AS MATERIALIZED (SELECT doc_id, {mins} FROM shg GROUP BY doc_id),
+bd AS MATERIALIZED ({' UNION ALL '.join(band_rows)}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bd x JOIN bd y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+),
+est AS MATERIALIZED (
+  SELECT c.a, c.b, ({agree}) / {float(num_hashes)} AS est_jaccard
+  FROM cand c JOIN sg sa ON sa.doc_id = c.a JOIN sg sb ON sb.doc_id = c.b
+),
+hits AS (SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= {threshold!r})"""
+
+
+def minhash_pairs_sql(num_hashes: int = 64, bands: int = 16, threshold: float = 0.7) -> str:
+    return f"WITH {_minhash_cte(num_hashes, bands, threshold)}\nSELECT a, b, est_jaccard FROM hits"
+
+
+def minhash_groups_sql(num_hashes: int = 64, bands: int = 16, threshold: float = 0.7) -> str:
+    return f"""
+WITH RECURSIVE {_minhash_cte(num_hashes, bands, threshold)},
+pe AS MATERIALIZED (SELECT a AS src, b AS dst FROM hits UNION SELECT b, a FROM hits),
+gr(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT p.dst, g.label FROM gr g JOIN pe p ON p.src = g.id WHERE g.label < p.dst
+)
+SELECT d.doc_id, MIN(g.label) AS group_id,
+       CAST(CASE WHEN MIN(g.label) = d.doc_id THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM documents d JOIN gr g ON g.id = d.doc_id GROUP BY d.doc_id
+"""
+
+
+def simhash_sql(max_hamming: int = 3) -> str:
+    th = phash_sql("t")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN f ELSE -f END) AS b{i}"
+        for i in range(60)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(60)
+    )
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {c} AS chunk, (simhash >> {16 * c}) & 65535 AS cv FROM sig"
+        for c in range(4)
+    )
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, t, count(*) AS f, {th} AS h FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+  ) z GROUP BY doc_id, t
+),
+bs AS MATERIALIZED (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id),
+sig AS MATERIALIZED (SELECT doc_id, {sig} AS simhash FROM bs),
+ch AS MATERIALIZED ({chunk_rows}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM ch x JOIN ch y ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id
+)
+SELECT c.a, c.b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Extraction — independent DuckDB re-implementation of pages → edges
+# ---------------------------------------------------------------------------
+
+
+def extraction_edges_sql(pages_glob: str) -> str:
+    """Href extraction + url normalization + dense dictionary encoding +
+    (src, dst, weight) aggregation, written INDEPENDENTLY in DuckDB SQL
+    (regexp ops) against the committed deterministic pages fixture — an
+    end-to-end extraction parity check with no shared code."""
+    return f"""
+WITH pages AS MATERIALIZED (
+  SELECT url, decode(html) AS html FROM read_parquet('{pages_glob}')
+),
+hrefs AS MATERIALIZED (
+  SELECT url, UNNEST(regexp_extract_all(html, '<a\\s+href="([^"]*)"', 1)) AS href
+  FROM pages
+),
+stripped AS (
+  SELECT url, split_part(split_part(href, '#', 1), '?', 1) AS u FROM hrefs
+),
+norm AS MATERIALIZED (
+  SELECT url, CASE
+    WHEN u = '' THEN NULL
+    WHEN u LIKE 'http://%' OR u LIKE 'https://%' THEN u
+    WHEN regexp_extract(url, '^(https?://[^/]+)(/.*)?$', 1) = '' THEN NULL
+    WHEN u LIKE '/%' THEN regexp_extract(url, '^(https?://[^/]+)(/.*)?$', 1) || u
+    ELSE regexp_extract(url, '^(https?://[^/]+)(/.*)?$', 1) ||
+         regexp_replace(CASE WHEN COALESCE(regexp_extract(url, '^(https?://[^/]+)(/.*)?$', 2), '') = ''
+                        THEN '/' ELSE regexp_extract(url, '^(https?://[^/]+)(/.*)?$', 2) END,
+                        '/[^/]*$', '') || '/' || u
+  END AS out0
+  FROM stripped
+),
+trimmed AS (
+  SELECT url, CASE WHEN length(out0) > 8 AND out0 LIKE '%/'
+              THEN rtrim(out0, '/') ELSE out0 END AS dst_url
+  FROM norm WHERE out0 IS NOT NULL
+),
+dict AS MATERIALIZED (
+  SELECT url, ROW_NUMBER() OVER (ORDER BY url) - 1 AS id
+  FROM (SELECT DISTINCT url FROM pages) d
+)
+SELECT ds.id AS src, dd.id AS dst, CAST(count(*) AS DOUBLE) AS weight
+FROM trimmed t
+JOIN dict dd ON dd.url = t.dst_url
+JOIN dict ds ON ds.url = t.url
+GROUP BY ds.id, dd.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Partition-quality metrics over the FIXED labeling label = id % 7
+# (fixed labels make the aggregations oracle-checkable; engine-produced
+# labelings are covered by their own oracles)
+# ---------------------------------------------------------------------------
+
+_LABELED = """
+lab AS (SELECT id, id % 7 AS label FROM nodes),
+le AS MATERIALIZED (
+  SELECT s.src, s.dst, s.weight, ls.label AS sl, ld.label AS dl
+  FROM sym s JOIN lab ls ON ls.id = s.src JOIN lab ld ON ld.id = s.dst
+)"""
+
+
+def hub_dominance_sql(cte: str) -> str:
+    return f"""
+WITH {cte},
+{_LABELED},
+idm AS (SELECT src AS id, sl AS label, count(*) AS d FROM le WHERE sl = dl GROUP BY src, sl),
+mx AS (SELECT label, MAX(d) AS max_d FROM idm GROUP BY label),
+sz AS (SELECT label, count(*) AS size FROM lab GROUP BY label)
+SELECT sz.label, ROUND(CASE WHEN sz.size > 1
+  THEN CAST(COALESCE(mx.max_d, 0) AS DOUBLE) / (sz.size - 1) ELSE 0.0 END, 6) AS hub_dominance
+FROM sz LEFT JOIN mx ON mx.label = sz.label
+"""
+
+
+def conductance_sql(cte: str) -> str:
+    return f"""
+WITH {cte},
+{_LABELED},
+tw AS (SELECT SUM(weight) AS two_w FROM le),
+per AS (
+  SELECT sl AS label, SUM(weight) AS vol,
+         SUM(CASE WHEN sl <> dl THEN weight ELSE 0.0 END) AS cut_w
+  FROM le GROUP BY sl
+),
+sz AS (SELECT label, count(*) AS size FROM lab GROUP BY label)
+SELECT sz.label,
+  ROUND(CASE WHEN LEAST(COALESCE(per.vol, 0.0), (SELECT two_w FROM tw) - COALESCE(per.vol, 0.0)) > 0
+        THEN COALESCE(per.cut_w, 0.0) / LEAST(per.vol, (SELECT two_w FROM tw) - per.vol)
+        ELSE 0.0 END, 6) AS conductance
+FROM sz LEFT JOIN per ON per.label = sz.label
+"""
+
+
+def stable_nodes_sql(cte: str) -> str:
+    return f"""
+WITH {cte},
+{_LABELED},
+per AS (
+  SELECT src AS id, SUM(weight) AS wdeg,
+         SUM(CASE WHEN sl = dl THEN weight ELSE 0.0 END) AS w_in
+  FROM le GROUP BY src
+)
+SELECT n.id, CASE WHEN COALESCE(per.wdeg, 0.0) = 0.0 THEN TRUE
+            ELSE per.w_in >= 0.5 * per.wdeg END AS stable
+FROM nodes n LEFT JOIN per ON per.id = n.id
+"""
+
+
+def fragmentation_sql(cte: str) -> str:
+    return f"""
+WITH RECURSIVE {cte},
+{_LABELED},
+intra AS MATERIALIZED (SELECT src, dst FROM le WHERE sl = dl),
+fr(id, blk) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT i.dst, r.blk FROM fr r JOIN intra i ON i.src = r.id WHERE r.blk < i.dst
+),
+blocks AS (SELECT id, MIN(blk) AS blk FROM fr GROUP BY id),
+bs AS (SELECT l.label, b.blk, count(*) AS n FROM lab l JOIN blocks b ON b.id = l.id GROUP BY l.label, b.blk),
+lg AS (SELECT label, MAX(n) AS largest FROM bs GROUP BY label),
+sz AS (SELECT label, count(*) AS size FROM lab GROUP BY label)
+SELECT sz.label, ROUND(1.0 - CAST(lg.largest AS DOUBLE) / sz.size, 6) AS fragmentation
+FROM sz JOIN lg ON lg.label = sz.label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Link-prediction additions
+# ---------------------------------------------------------------------------
+
+_LP_CTE = """
+symn AS (SELECT src, dst FROM sym WHERE src <> dst),
+wedge AS (
+  SELECT e1.src AS u, e2.src AS v, e1.dst AS w
+  FROM symn e1 JOIN symn e2 ON e1.dst = e2.dst AND e1.src < e2.src
+),
+deg AS (SELECT src AS id, count(*) AS d FROM symn GROUP BY src),
+cn AS (SELECT u, v, count(*) AS c FROM wedge GROUP BY u, v)"""
+
+
+def total_neighbors_sql(cte: str) -> str:
+    return f"""
+WITH {cte},
+{_LP_CTE}
+SELECT cn.u, cn.v, CAST(du.d + dv.d - cn.c AS DOUBLE) AS score
+FROM cn JOIN deg du ON du.id = cn.u JOIN deg dv ON dv.id = cn.v
+"""
+
+
+def neighborhood_distance_sql(cte: str) -> str:
+    return f"""
+WITH {cte},
+{_LP_CTE}
+SELECT cn.u, cn.v, ROUND(cn.c / sqrt(CAST(du.d AS DOUBLE) * dv.d), 6) AS score
+FROM cn JOIN deg du ON du.id = cn.u JOIN deg dv ON dv.id = cn.v
+"""
+
+
+def katz_index_sql(cte: str, beta: float, max_length: int = 3) -> str:
+    parts = [
+        "symn AS MATERIALIZED (SELECT src, dst FROM sym WHERE src <> dst)",
+        "p1 AS MATERIALIZED (SELECT src, dst, 1.0 AS cnt FROM symn)",
+    ]
+    for length in range(2, max_length + 1):
+        p = length - 1
+        parts.append(
+            f"p{length} AS MATERIALIZED (SELECT p.src, e.dst, SUM(p.cnt) AS cnt "
+            f"FROM p{p} p JOIN symn e ON e.src = p.dst GROUP BY p.src, e.dst)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT src, dst, POWER({beta!r}, {k}) * cnt AS s FROM p{k}"
+        for k in range(1, max_length + 1)
+    )
+    return (
+        f"WITH {cte},\n" + ",\n".join(parts) + f""",
+allp AS ({unions})
+SELECT src AS u, dst AS v, ROUND(SUM(s), 9) AS score FROM allp
+WHERE src < dst GROUP BY src, dst
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edge scores
+# ---------------------------------------------------------------------------
+
+
+def prefix_jaccard_sql(cte: str, k: int = 5) -> str:
+    return f"""
+WITH {cte},
+nbrs AS MATERIALIZED (SELECT DISTINCT src AS id, dst AS nbr FROM sym WHERE src <> dst),
+dg AS (SELECT id, count(*) AS degree FROM nbrs GROUP BY id),
+ranked AS MATERIALIZED (
+  SELECT n.id, n.nbr,
+         ROW_NUMBER() OVER (PARTITION BY n.id ORDER BY d.degree DESC, n.nbr ASC) AS rn
+  FROM nbrs n JOIN dg d ON d.id = n.nbr
+),
+prefix AS MATERIALIZED (SELECT id, nbr FROM ranked WHERE rn <= {k}),
+canon AS (SELECT DISTINCT src, dst FROM sym WHERE src < dst),
+inter AS (
+  SELECT c.src, c.dst, count(*) AS i
+  FROM canon c JOIN prefix pu ON pu.id = c.src JOIN prefix pv ON pv.id = c.dst
+  WHERE pu.nbr = pv.nbr GROUP BY c.src, c.dst
+),
+szs AS (SELECT id, count(*) AS sz FROM prefix GROUP BY id)
+SELECT c.src, c.dst,
+  ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) / (su.sz + sv.sz - COALESCE(i.i, 0)), 6) AS score
+FROM canon c LEFT JOIN inter i ON i.src = c.src AND i.dst = c.dst
+JOIN szs su ON su.id = c.src JOIN szs sv ON sv.id = c.dst
+"""
+
+
+def simmelian_sql(cte: str, max_rank: int = 10) -> str:
+    tri_cte = """
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst),
+tri AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1 JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+tedges AS (
+  SELECT x AS u, y AS v FROM tri UNION ALL SELECT x, z FROM tri UNION ALL SELECT y, z FROM tri
+),
+tcnt AS (SELECT u AS src, v AS dst, count(*) AS triangles FROM tedges GROUP BY u, v),
+canon AS MATERIALIZED (
+  SELECT s.src, s.dst, COALESCE(t.triangles, 0) AS triangles
+  FROM (SELECT DISTINCT src, dst FROM sym WHERE src < dst) s
+  LEFT JOIN tcnt t ON t.src = s.src AND t.dst = s.dst
+)"""
+    return f"""
+WITH {cte},
+{tri_cte},
+directed AS (
+  SELECT src AS id, dst AS nbr, triangles FROM canon
+  UNION ALL SELECT dst, src, triangles FROM canon
+),
+ranked AS MATERIALIZED (
+  SELECT id, nbr,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY triangles DESC, nbr ASC) AS rn
+  FROM directed
+),
+prefix AS MATERIALIZED (SELECT id, nbr FROM ranked WHERE rn <= {max_rank}),
+inter AS (
+  SELECT c.src, c.dst, count(*) AS i
+  FROM canon c JOIN prefix pu ON pu.id = c.src JOIN prefix pv ON pv.id = c.dst
+  WHERE pu.nbr = pv.nbr GROUP BY c.src, c.dst
+)
+SELECT c.src, c.dst, CAST(COALESCE(i.i, 0) AS DOUBLE) AS score
+FROM canon c LEFT JOIN inter i ON i.src = c.src AND i.dst = c.dst
+"""

@@ -24,9 +24,17 @@ from pyspark.sql import DataFrame, functions as F
 from linkgraph.graph import Graph
 
 
-def _fm_init(spark, nodes: DataFrame, registers: int) -> DataFrame:
+def _fm_init(spark, nodes: DataFrame, registers: int, portable: bool = False) -> DataFrame:
     regs = spark.range(registers).withColumnRenamed("id", "r")
-    h = F.xxhash64("id", "r")
+    if portable:
+        # md5-based hash computable identically in DuckDB → the FM sketch
+        # pipeline (bit_or supersteps + estimator) unrolls to an exact SQL
+        # oracle; xxhash64 stays the production default (codegen, ~10× faster)
+        from linkgraph.portable import phash
+
+        h = phash(F.col("id"), F.col("r"))
+    else:
+        h = F.xxhash64("id", "r")
     # trailing zeros of the hash, capped at 62: bit_count(((h)&(-h))-1)
     low = h.bitwiseAND(-h)
     tz = F.least(F.bit_count(low - 1), F.lit(62))
@@ -100,12 +108,12 @@ def effective_diameter(
 
 
 def per_vertex_neighborhood_size(
-    graph: Graph, h: int, registers: int = 8
+    graph: Graph, h: int, registers: int = 8, portable: bool = False
 ) -> DataFrame:
     """(id, est) — estimated |{u : dist(id,u) ≤ h}| per vertex."""
     spark = graph.edges.sparkSession
     sym = graph.symmetric_edges().select("src", "dst").persist()
-    state = _fm_init(spark, graph.nodes(), registers).localCheckpoint(eager=True)
+    state = _fm_init(spark, graph.nodes(), registers, portable).localCheckpoint(eager=True)
     for _ in range(h):
         nbr = (
             state.join(sym, state.id == sym.src)

@@ -1,0 +1,132 @@
+"""Betweenness centrality — distributed Brandes (exact + sampled).
+
+Reference parity: centrality/Betweenness.cpp (exact Brandes),
+EstimateBetweenness.cpp (sampled sources, scaled n/|S|),
+ApproxBetweenness.cpp (ε-δ sampling — same machinery, caller picks |S|).
+The reference runs one sequential BFS + dependency accumulation per
+source; here ALL sources advance together, the source id riding as a
+column (the multi-source plan of linkgraph/algs/bfs.py):
+
+- forward: level-synchronous BFS over (source, id) state accumulating
+  σ(s,v) = #shortest s→v paths — per level one join + one partial-agg
+  shuffle keyed (source, dst); L = max level rounds;
+- backward: dependencies δ(s,v) = Σ_{w∈succ(v)} σ(s,v)/σ(s,w)·(1+δ(s,w))
+  processed by DESCENDING level — per level one edges join filtered on
+  dist(s,w) = dist(s,v)+1;
+- BC(v) = Σ_s δ(s,v) (halved for undirected; ·n/|S| when sampled).
+
+Scale shape: state is |S|·n rows; exact mode (S = V) is O(n·m) total
+work like the reference and meant for fixture/subgraph scale — web scale
+uses ``n_samples`` (EstimateBetweenness's contract). σ counts are doubles
+(exact integers to 2^53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.graph import Graph
+
+
+def betweenness(
+    graph: Graph,
+    n_samples: int | None = None,
+    seed: int = 42,
+    normalized: bool = False,
+) -> DataFrame:
+    """(id, score) — exact Brandes when ``n_samples`` is None, else the
+    EstimateBetweenness sampled estimator (scaled by n/|S|)."""
+    spark = graph.edges.sparkSession
+    e = (
+        (graph.edges if graph.directed else graph.symmetric_edges())
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    nodes = graph.nodes()
+    n = nodes.count()
+    if n_samples is None or n_samples >= n:
+        src_rows = nodes
+        scale = 1.0
+    else:
+        src_rows = (
+            nodes.orderBy(F.xxhash64("id", F.lit(seed)), F.asc("id")).limit(n_samples)
+        )
+        scale = n / n_samples
+
+    # ---- forward: per-level BFS with shortest-path counts ---------------
+    dist = src_rows.select(
+        F.col("id").alias("source"),
+        F.col("id").alias("id"),
+        F.lit(0).alias("dist"),
+        F.lit(1.0).alias("sigma"),
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    levels = 0
+    while True:
+        cand = (
+            frontier.join(e, frontier.id == e.src)
+            .groupBy("source", F.col("dst").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        new = (
+            cand.join(dist.select("source", "id"), ["source", "id"], "left_anti")
+            .select("source", "id", F.lit(levels + 1).alias("dist"), "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+        levels += 1
+
+    # ---- backward: dependency accumulation, deepest level first ---------
+    delta = dist.select("source", "id", "dist", "sigma", F.lit(0.0).alias("delta"))
+    for lev in range(levels, 0, -1):
+        w_nodes = delta.where(F.col("dist") == lev).select(
+            "source",
+            F.col("id").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+            F.col("delta").alias("delta_w"),
+        )
+        # predecessors v of w: edge v→w with dist(s,v) = lev-1
+        contrib = (
+            w_nodes.join(e.withColumnRenamed("dst", "w"), "w")
+            .select("source", F.col("src").alias("id"), "sigma_w", "delta_w")
+            .join(
+                delta.where(F.col("dist") == lev - 1).select(
+                    "source", "id", F.col("sigma").alias("sigma_v")
+                ),
+                ["source", "id"],
+            )
+            .groupBy("source", "id")
+            .agg(
+                F.sum(
+                    F.col("sigma_v") / F.col("sigma_w") * (1.0 + F.col("delta_w"))
+                ).alias("add")
+            )
+        )
+        delta = (
+            delta.join(contrib, ["source", "id"], "left")
+            .select(
+                "source",
+                "id",
+                "dist",
+                "sigma",
+                (F.col("delta") + F.coalesce("add", F.lit(0.0))).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    per_source = delta.where(F.col("id") != F.col("source"))
+    bc = per_source.groupBy("id").agg(F.sum("delta").alias("score"))
+    factor = scale * (0.5 if not graph.directed else 1.0)
+    if normalized:
+        denom = (n - 1) * (n - 2)
+        factor *= (2.0 if not graph.directed else 1.0) / max(denom, 1)
+    out = nodes.join(bc, "id", "left").select(
+        "id", (F.coalesce("score", F.lit(0.0)) * F.lit(factor)).alias("score")
+    )
+    e.unpersist()
+    return out

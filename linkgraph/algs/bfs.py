@@ -129,10 +129,63 @@ def harmonic_closeness_sampled(
     )
 
 
+def closeness(
+    graph: Graph, harmonic: bool = False, sources: list | None = None
+) -> DataFrame:
+    """(id, score) — EXACT (harmonic) closeness centrality via one
+    multi-source BFS over all vertices (distance/Closeness.cpp,
+    HarmonicCloseness.cpp re-expressed; O(n·m) total work like the
+    reference's all-BFS loop — exact mode is a fixture/subgraph-scale
+    tool; web scale uses :func:`harmonic_closeness_sampled`).
+
+    Pinned formulas (networkx parity, checked in tests):
+    - standard (Wasserman–Faust): c(v) = r_v² / ((n−1)·Σ_u d(v,u)) with
+      r_v = #vertices reachable from v (excluding v); 0 when Σd = 0;
+    - harmonic: c(v) = Σ_u 1/d(v,u) (unnormalized, as networkx).
+    """
+    nodes = graph.nodes()
+    n = nodes.count()
+    if sources is None:
+        sources = [r["id"] for r in nodes.collect()]
+    d = multi_source_bfs(graph, sources).where(F.col("dist") > 0)
+    if harmonic:
+        agg = d.groupBy(F.col("source").alias("id")).agg(
+            F.sum(1.0 / F.col("dist")).alias("score")
+        )
+    else:
+        agg = d.groupBy(F.col("source").alias("id")).agg(
+            (
+                F.count("*") * F.count("*")
+                / (F.lit(float(max(n - 1, 1))) * F.sum("dist"))
+            ).alias("score")
+        )
+    src_df = nodes if len(sources) == n else nodes.sparkSession.createDataFrame(
+        [(int(s),) for s in sources], "id bigint"
+    )
+    return src_df.join(agg, "id", "left").select(
+        "id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+
+
 def eccentricity(graph: Graph, source: int) -> float:
     """Max finite distance from source (distance/Eccentricity.cpp)."""
     row = bfs(graph, source).agg(F.max("dist").alias("m")).collect()[0]
     return float(row["m"] or 0.0)
+
+
+def eccentricities(graph: Graph) -> DataFrame:
+    """(id, ecc) — per-vertex eccentricity (max finite hop distance) for
+    every vertex, via ONE multi-source BFS (exact; fixture/subgraph-scale
+    like exact closeness — isolated vertices get 0)."""
+    nodes = graph.nodes()
+    sources = [r["id"] for r in nodes.collect()]
+    d = multi_source_bfs(graph, sources)
+    agg = d.groupBy(F.col("source").alias("id")).agg(
+        F.max("dist").cast("bigint").alias("ecc")
+    )
+    return nodes.join(agg, "id", "left").select(
+        "id", F.coalesce("ecc", F.lit(0)).alias("ecc")
+    )
 
 
 def diameter_lower_bound(graph: Graph, seed_vertex: int | None = None) -> float:

@@ -176,3 +176,159 @@ def one_partition(graph: Graph) -> DataFrame:
     nodes = graph.nodes()
     m = nodes.agg(F.min("id").alias("m"))
     return nodes.crossJoin(F.broadcast(m)).select("id", F.col("m").alias("label"))
+
+
+# ---------------------------------------------------------------------------
+# Per-community quality metrics (community/{HubDominance, Intrapartition
+# Density, IsolatedInterpartitionConductance/Expansion, StablePartitionNodes,
+# PartitionFragmentation}.cpp). Each returns a per-community DataFrame; the
+# reference's scalar summaries are one agg away. Pinned definitions are in
+# each docstring — all pure joins + hash aggs over labels⋈edges.
+# ---------------------------------------------------------------------------
+
+
+def _community_stats(graph: Graph, labels: DataFrame) -> DataFrame:
+    """(label, size, internal_w, cut_w, vol) — the shared per-community
+    aggregate every quality metric below derives from. internal_w counts
+    each intra edge once; vol = Σ weighted degrees; cut_w = weight leaving
+    the community."""
+    e = _labeled_sym_edges(graph, labels)
+    per = e.groupBy(F.col("src_label").alias("label")).agg(
+        F.sum("weight").alias("vol"),
+        F.sum(
+            F.when(F.col("src_label") == F.col("dst_label"), F.col("weight")).otherwise(0.0)
+        ).alias("intra2"),
+        F.sum(
+            F.when(F.col("src_label") != F.col("dst_label"), F.col("weight")).otherwise(0.0)
+        ).alias("cut_w"),
+    )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("size"))
+    return sizes.join(per, "label", "left").select(
+        "label",
+        "size",
+        (F.coalesce("intra2", F.lit(0.0)) / 2.0).alias("internal_w"),
+        F.coalesce("cut_w", F.lit(0.0)).alias("cut_w"),
+        F.coalesce("vol", F.lit(0.0)).alias("vol"),
+    )
+
+
+def hub_dominance(graph: Graph, labels: DataFrame) -> DataFrame:
+    """(label, hub_dominance) — max INTERNAL degree of any member divided
+    by (size − 1); 0 for singletons (HubDominance.cpp)."""
+    e = _labeled_sym_edges(graph, labels).where(
+        F.col("src_label") == F.col("dst_label")
+    )
+    internal_deg = e.groupBy(
+        F.col("src").alias("id"), F.col("src_label").alias("label")
+    ).agg(F.count("*").alias("d"))
+    max_d = internal_deg.groupBy("label").agg(F.max("d").alias("max_d"))
+    sizes = labels.groupBy("label").agg(F.count("*").alias("size"))
+    return sizes.join(max_d, "label", "left").select(
+        "label",
+        F.when(
+            F.col("size") > 1,
+            F.coalesce("max_d", F.lit(0)) / (F.col("size") - 1),
+        )
+        .otherwise(0.0)
+        .alias("hub_dominance"),
+    )
+
+
+def intrapartition_density(graph: Graph, labels: DataFrame) -> DataFrame:
+    """(label, density) — internal edge count over size·(size−1)/2
+    (IntrapartitionDensity.cpp; unweighted edge counts)."""
+    e = _labeled_sym_edges(graph, labels).where(
+        (F.col("src_label") == F.col("dst_label")) & (F.col("src") < F.col("dst"))
+    )
+    counts = e.groupBy(F.col("src_label").alias("label")).agg(
+        F.count("*").alias("m_in")
+    )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("size"))
+    return sizes.join(counts, "label", "left").select(
+        "label",
+        F.when(
+            F.col("size") > 1,
+            F.coalesce("m_in", F.lit(0)) * 2.0 / (F.col("size") * (F.col("size") - 1)),
+        )
+        .otherwise(0.0)
+        .alias("density"),
+    )
+
+
+def isolated_interpartition_conductance(graph: Graph, labels: DataFrame) -> DataFrame:
+    """(label, conductance) — cut(C) / min(vol(C), 2W − vol(C)), each
+    community scored against the rest of the graph in isolation
+    (IsolatedInterpartitionConductance.cpp). Whole-graph communities get 0."""
+    stats = _community_stats(graph, labels)
+    two_w = graph.symmetric_edges().agg(F.sum("weight")).collect()[0][0] or 0.0
+    denom = F.least(F.col("vol"), F.lit(float(two_w)) - F.col("vol"))
+    return stats.select(
+        "label",
+        F.when(denom > 0, F.col("cut_w") / denom).otherwise(0.0).alias("conductance"),
+    )
+
+
+def isolated_interpartition_expansion(graph: Graph, labels: DataFrame) -> DataFrame:
+    """(label, expansion) — cut(C) / min(|C|, n − |C|)
+    (IsolatedInterpartitionExpansion.cpp)."""
+    stats = _community_stats(graph, labels)
+    n = labels.count()
+    denom = F.least(F.col("size"), F.lit(n) - F.col("size"))
+    return stats.select(
+        "label",
+        F.when(denom > 0, F.col("cut_w") / denom).otherwise(0.0).alias("expansion"),
+    )
+
+
+def stable_partition_nodes(graph: Graph, labels: DataFrame) -> DataFrame:
+    """(id, stable) — a node is stable iff at least half of its weighted
+    degree stays inside its own community (it would not be pulled away by
+    any single other community; StablePartitionNodes.cpp's notion pinned
+    to the weighted-majority rule). Isolated nodes are stable."""
+    e = _labeled_sym_edges(graph, labels)
+    per = e.groupBy(F.col("src").alias("id")).agg(
+        F.sum("weight").alias("wdeg"),
+        F.sum(
+            F.when(F.col("src_label") == F.col("dst_label"), F.col("weight")).otherwise(0.0)
+        ).alias("w_in"),
+    )
+    return (
+        labels.select("id")
+        .join(per, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.coalesce("wdeg", F.lit(0.0)) == 0.0, F.lit(True)
+            )
+            .otherwise(F.col("w_in") >= 0.5 * F.col("wdeg"))
+            .alias("stable"),
+        )
+    )
+
+
+def partition_fragmentation(graph: Graph, labels: DataFrame) -> DataFrame:
+    """(label, fragmentation) — 1 − |largest connected block of C| / |C|
+    (PartitionFragmentation.cpp): 0 ⇔ the community induces a connected
+    subgraph. One CC run on the intra-community edge subset covers ALL
+    communities at once."""
+    from linkgraph.algs.components import connected_components
+
+    lab = labels.select("id", "label")
+    intra = (
+        _labeled_sym_edges(graph, lab)
+        .where(F.col("src_label") == F.col("dst_label"))
+        .select("src", "dst", "weight")
+    )
+    blocks_graph = Graph.from_edges(intra, directed=False)
+    comp = connected_components(blocks_graph)
+    block_sizes = (
+        lab.join(comp, "id", "left")
+        .select("label", F.coalesce("component", F.col("id")).alias("block"))
+        .groupBy("label", "block")
+        .agg(F.count("*").alias("bs"))
+    )
+    largest = block_sizes.groupBy("label").agg(F.max("bs").alias("largest"))
+    sizes = lab.groupBy("label").agg(F.count("*").alias("size"))
+    return sizes.join(largest, "label").select(
+        "label", (1.0 - F.col("largest") / F.col("size")).alias("fragmentation")
+    )

@@ -63,10 +63,12 @@ def node2vec_walks(
             .when(F.col("is_nbr").isNotNull(), 1.0)
             .otherwise(1.0 / q),
         )
+        # pmod, not abs: abs(Long.MIN_VALUE) overflows under ANSI mode;
+        # +1 over M+1 keeps u strictly in (0, 1] so log(u) is finite
         u = (
-            (F.abs(F.xxhash64("walk_id", "cand", F.lit(step), F.lit(seed))) + 1)
-            % F.lit(1_000_000_007)
-        ) / 1_000_000_007.0
+            F.pmod(F.xxhash64("walk_id", "cand", F.lit(step), F.lit(seed)),
+                   F.lit(1_000_000_007)) + 1
+        ) / 1_000_000_008.0
         # exponential race: max u^(1/w) ⇔ weighted sample; log form avoids
         # pow underflow and keeps the comparison monotone
         key = F.log(u) / F.col("w")

@@ -110,32 +110,67 @@ def preferential_attachment(graph: Graph) -> DataFrame:
 
 def roc_auc(scores: DataFrame, positives: DataFrame) -> float:
     """AUC of a (u, v, score) prediction table against a (u, v) positive
-    set (ROCMetric.cpp's summary statistic): rank-sum / Mann-Whitney form
-    via a cume_dist-free window — AUC = (Σ ranks⁺ − P(P+1)/2) / (P·N).
-    Ties get average ranks (rank + (count−1)/2)."""
+    set (ROCMetric.cpp's summary statistic), Mann-Whitney form:
+
+        AUC = [ Σ_s p_s · N_{<s}  +  ½ Σ_s p_s · n_s ] / (P · N)
+
+    over the per-score histogram (p_s positives, n_s negatives at score
+    s; N_{<s} = negatives strictly below s). Scale shape: the billions of
+    scored pairs reduce to ONE hash aggregation on score; the prefix sum
+    N_{<s} runs on the (distinct-score-sized) histogram via range
+    repartitioning + per-partition running sums + a driver-side offset
+    table of one row per partition — no single-partition global window
+    anywhere in the plan."""
     from pyspark.sql import Window
 
     labeled = scores.join(
         positives.select("u", "v").withColumn("pos", F.lit(1)), ["u", "v"], "left"
     ).select("score", F.coalesce("pos", F.lit(0)).alias("pos"))
-    w = Window.orderBy("score")
-    ranked = labeled.select(
-        "pos",
-        (
-            F.rank().over(w)
-            + (F.count("*").over(Window.partitionBy("score")) - 1) / 2.0
-        ).alias("r"),
+    hist = labeled.groupBy("score").agg(
+        F.sum("pos").alias("p"),
+        (F.count("*") - F.sum("pos")).alias("neg"),
+    )
+    spark = scores.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    hist = (
+        hist.repartitionByRange(n_parts, "score")
+        .sortWithinPartitions("score")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin pids across the two uses below
+    )
+    # per-partition negative totals → prefix offsets (one row per partition)
+    part_tot = hist.groupBy("pid").agg(F.sum("neg").alias("tn")).collect()
+    offsets, acc = {}, 0
+    for r in sorted(part_tot, key=lambda r: r["pid"]):
+        offsets[r["pid"]] = acc
+        acc += r["tn"]
+    off_df = spark.createDataFrame(
+        [(k, v) for k, v in offsets.items()] or [(0, 0)], "pid int, off bigint"
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        hist.withColumn("neg_before_local", F.coalesce(F.sum("neg").over(w), F.lit(0)))
+        .join(F.broadcast(off_df), "pid")
+        .select(
+            "p",
+            "neg",
+            (F.col("off") + F.col("neg_before_local")).alias("neg_below"),
+        )
     )
     row = ranked.agg(
-        F.sum(F.when(F.col("pos") == 1, F.col("r")).otherwise(0.0)).alias("rs"),
-        F.sum("pos").alias("p"),
-        F.count("*").alias("t"),
+        F.sum(F.col("p") * F.col("neg_below")).alias("wins"),
+        F.sum(F.col("p") * F.col("neg")).alias("ties"),
+        F.sum("p").alias("pp"),
+        F.sum("neg").alias("nn"),
     ).collect()[0]
-    p = float(row["p"] or 0)
-    neg = float(row["t"]) - p
+    p, neg = float(row["pp"] or 0), float(row["nn"] or 0)
     if p == 0 or neg == 0:
         return 0.5
-    return (float(row["rs"]) - p * (p + 1) / 2.0) / (p * neg)
+    return (float(row["wins"]) + 0.5 * float(row["ties"])) / (p * neg)
 
 
 def precision_at_k(scores: DataFrame, positives: DataFrame, k: int) -> float:
@@ -157,12 +192,151 @@ def random_link_sample(graph: Graph, fraction: float, seed: int = 42) -> tuple:
         .where(F.col("src") < F.col("dst"))
         .select("src", "dst", "weight")
     )
+    # pmod, not abs: abs(Long.MIN_VALUE) overflows under ANSI mode
     coin = (
-        F.abs(F.xxhash64("src", "dst", F.lit(seed))) % F.lit(1_000_000_007)
+        F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(1_000_000_007))
     ) / 1_000_000_007.0
     test = canon.where(coin < fraction)
     train = canon.where(coin >= fraction)
     return train, test
+
+
+def total_neighbors(graph: Graph, max_wedge_degree: int | None = None) -> DataFrame:
+    """(u, v, score) — |Γ(u) ∪ Γ(v)| (TotalNeighborsIndex.cpp) on the
+    common-neighbor candidate set."""
+    cn = common_neighbors(graph, max_wedge_degree).withColumnRenamed("score", "cn")
+    deg = graph.degrees().select("id", "degree")
+    return (
+        cn.join(deg.withColumnRenamed("id", "u").withColumnRenamed("degree", "du"), "u")
+        .join(deg.withColumnRenamed("id", "v").withColumnRenamed("degree", "dv"), "v")
+        .select("u", "v", (F.col("du") + F.col("dv") - F.col("cn")).alias("score"))
+    )
+
+
+def neighborhood_distance(graph: Graph, max_wedge_degree: int | None = None) -> DataFrame:
+    """(u, v, score) — cosine overlap |Γ(u)∩Γ(v)| / sqrt(deg(u)·deg(v))
+    (NeighborhoodDistanceIndex.cpp's similarity form)."""
+    cn = common_neighbors(graph, max_wedge_degree).withColumnRenamed("score", "cn")
+    deg = graph.degrees().select("id", "degree")
+    return (
+        cn.join(deg.withColumnRenamed("id", "u").withColumnRenamed("degree", "du"), "u")
+        .join(deg.withColumnRenamed("id", "v").withColumnRenamed("degree", "dv"), "v")
+        .select(
+            "u", "v",
+            (F.col("cn") / F.sqrt(F.col("du") * F.col("dv"))).alias("score"),
+        )
+    )
+
+
+def same_community(pairs: DataFrame, labels: DataFrame) -> DataFrame:
+    """(u, v, score ∈ {0,1}) — SameCommunityIndex.cpp over any candidate
+    pair table and a (id, label) partition."""
+    return (
+        pairs.select("u", "v")
+        .join(labels.withColumnRenamed("id", "u").withColumnRenamed("label", "lu"), "u")
+        .join(labels.withColumnRenamed("id", "v").withColumnRenamed("label", "lv"), "v")
+        .select(
+            "u", "v",
+            (F.col("lu") == F.col("lv")).cast("double").alias("score"),
+        )
+    )
+
+
+def u_degree_index(graph: Graph) -> DataFrame:
+    """(u, v, score = deg(u)) on the common-neighbor candidate set
+    (UDegreeIndex.cpp; VDegreeIndex is the symmetric column)."""
+    cn = common_neighbors(graph).select("u", "v")
+    deg = graph.degrees().select("id", "degree")
+    return cn.join(
+        deg.withColumnRenamed("id", "u"), "u"
+    ).select("u", "v", F.col("degree").cast("double").alias("score"))
+
+
+def v_degree_index(graph: Graph) -> DataFrame:
+    """(u, v, score = deg(v)) — VDegreeIndex.cpp."""
+    cn = common_neighbors(graph).select("u", "v")
+    deg = graph.degrees().select("id", "degree")
+    return cn.join(
+        deg.withColumnRenamed("id", "v"), "v"
+    ).select("u", "v", F.col("degree").cast("double").alias("score"))
+
+
+def katz_index(graph: Graph, beta: float = 0.005, max_length: int = 3) -> DataFrame:
+    """(u, v, score) — truncated Katz index Σ_{l=1..L} β^l · paths_l(u,v)
+    (KatzIndex.cpp). Path counts are exact integers (doubles to 2^53).
+
+    Scale note: materializes ALL pairs within L hops — the L-step
+    path-count closure densifies, so this exact form is a fixture/
+    candidate-set tool (the reference's on-demand per-pair evaluation has
+    the same total cost when asked for all pairs); at web scale pre-filter
+    candidates and keep L ≤ 2."""
+    sym = (
+        graph.symmetric_edges()
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    paths = sym.select("src", "dst", F.lit(1.0).alias("cnt"))
+    score = paths.select("src", "dst", (F.lit(beta) * F.col("cnt")).alias("score"))
+    acc = score
+    for length in range(2, max_length + 1):
+        paths = (
+            paths.join(
+                sym.select(F.col("src").alias("dst"), F.col("dst").alias("nxt")),
+                "dst",
+            )
+            .groupBy("src", F.col("nxt").alias("dst"))
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        acc = acc.unionByName(
+            paths.select(
+                "src", "dst", (F.lit(beta ** length) * F.col("cnt")).alias("score")
+            )
+        )
+    return (
+        acc.where(F.col("src") < F.col("dst"))
+        .groupBy(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .agg(F.sum("score").alias("score"))
+    )
+
+
+def link_thresholder(scores: DataFrame, threshold: float) -> DataFrame:
+    """Predicted links with score ≥ threshold (LinkThresholder.cpp)."""
+    return scores.where(F.col("score") >= threshold).select("u", "v", "score")
+
+
+def sort_predictions(scores: DataFrame) -> DataFrame:
+    """Canonical prediction ordering (PredictionsSorter.cpp): score desc,
+    then (u, v) asc for a stable total order."""
+    return scores.orderBy(F.desc("score"), F.asc("u"), F.asc("v"))
+
+
+def kfold_cross_validation(
+    graph: Graph,
+    index_fn,
+    k: int = 5,
+    seed: int = 42,
+) -> list[float]:
+    """KFoldCrossValidator.cpp: hash-split the canonical edge set into k
+    folds; for each fold, score the graph WITHOUT those edges using
+    ``index_fn(train_graph)`` and report the AUC of recovering the held-out
+    fold against non-edges. Returns one AUC per fold."""
+    canon = (
+        graph.symmetric_edges()
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", "weight")
+    )
+    fold_col = F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(k))
+    aucs = []
+    for fold in range(k):
+        train = canon.where(fold_col != fold)
+        test = canon.where(fold_col == fold).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        )
+        tg = Graph.from_edges(train, directed=False, weighted=graph.weighted)
+        scores = missing_links(tg, index_fn(tg))
+        aucs.append(roc_auc(scores, test))
+    return aucs
 
 
 def missing_links(graph: Graph, scores: DataFrame) -> DataFrame:

@@ -84,7 +84,7 @@ def pagerank(
     edges_frac = edges_frac.persist()
     edges_frac.count()  # materialize once; static across supersteps
 
-    hubs = None
+    hubs = hub_edges = rest_edges = None
     if hub_top_k > 0:
         hubs = (
             out.orderBy(F.desc("wdeg"), F.asc("src"))
@@ -175,9 +175,14 @@ def pagerank(
         holder["sink_mass"] = float(row["smass"] or 0.0)
         return float(row["resid"] or 0.0)
 
-    result = Superstep(spark, work_dir, "pagerank").run(
-        init, step, metric, tol=tol, max_iter=max_iter, resume=resume
-    )
-    for df in (edges_frac, nodes):
-        df.unpersist()
+    try:
+        result = Superstep(spark, work_dir, "pagerank").run(
+            init, step, metric, tol=tol, max_iter=max_iter, resume=resume
+        )
+    finally:
+        # release everything persisted above (a long-lived session would
+        # otherwise accumulate cached blocks across pagerank() calls)
+        for df in (edges_frac, nodes, hubs, hub_edges, rest_edges):
+            if df is not None:
+                df.unpersist()
     return result.state.select("id", "rank")

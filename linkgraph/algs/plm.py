@@ -7,9 +7,12 @@ the coarse graph → prolong labels back down. The reference's move phase is
 asynchronous OpenMP with atomic flips; the distributed formulation is
 synchronous rounds with TWO determinism/oscillation guards:
 
-1. parity dampening — in round t only vertices with xxhash64(id, t) even
-   may move (synchronous Louvain without this oscillates on symmetric
-   structures, the same pathology as sync label propagation);
+1. parity dampening — in round t only the pseudo-random half with
+   pmod(xxhash64(id, t), 2) == 0 may move (synchronous Louvain without
+   this oscillates on symmetric structures, the same pathology as sync
+   label propagation); when that half has no move, the COMPLEMENTARY
+   half of the same round is checked (and moved) — both halves empty is
+   a sound convergence proof, with no probabilistic stall window;
 2. total-order tie-breaks — (gain desc, community asc) under a window.
 
 Gain of moving i (degree k_i) from community d to c:
@@ -33,9 +36,13 @@ from linkgraph.graph import Graph
 
 
 def _local_move(
-    graph: Graph, gamma: float, max_rounds: int, two_w: float
+    graph: Graph, gamma: float, max_rounds: int, two_w: float,
+    init_labels: DataFrame | None = None,
 ) -> DataFrame:
-    """One Louvain move phase on ``graph``; returns (id, community)."""
+    """One Louvain move phase on ``graph``; returns (id, community).
+    ``init_labels`` (id, community) seeds non-singleton starting labels —
+    Leiden's aggregate levels start from the parent community assignment
+    rather than singletons."""
     sym = graph.symmetric_edges().persist()
     # volume convention: a self-loop (coarse graphs: contracted intra-
     # community weight) contributes TWICE to its vertex's degree, keeping
@@ -47,8 +54,15 @@ def _local_move(
             )
         ).alias("k")
     ).persist()
-    labels = deg.select("id", F.col("id").alias("community")).localCheckpoint(eager=True)
-    stalled = 0
+    if init_labels is not None:
+        labels = (
+            deg.select("id")
+            .join(init_labels.select("id", "community"), "id", "left")
+            .select("id", F.coalesce("community", "id").alias("community"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        labels = deg.select("id", F.col("id").alias("community")).localCheckpoint(eager=True)
     for t in range(max_rounds):
         lab = labels.select("id", "community")
         vol = (
@@ -94,18 +108,20 @@ def _local_move(
             .where(F.col("rn") == 1)
             .select("id", F.col("c").alias("target"), "community")
         )
-        # parity dampening: only half the vertices move per round
-        movers = best.where(
-            (F.col("target") != F.col("community"))
-            & (F.xxhash64("id", F.lit(t)) % 2 == 0)
-        )
-        n_moves = movers.count()
-        if n_moves == 0:
-            stalled += 1
-            if stalled >= 2:  # both parity classes had no move
+        # parity dampening: only a pseudo-random half of the vertices move
+        # per round (fresh hash per round — a FIXED alternating split can
+        # sustain A↔B oscillation on symmetric structures). Termination is
+        # made sound (ADVICE r1) by checking the COMPLEMENTARY half of the
+        # SAME round when the gated half has no move: the two halves of one
+        # round provably cover every vertex, so "both empty" ⇒ converged —
+        # no probabilistic stall window.
+        gate = F.pmod(F.xxhash64("id", F.lit(t)), F.lit(2))
+        pending = best.where(F.col("target") != F.col("community"))
+        movers = pending.where(gate == 0)
+        if movers.isEmpty():
+            movers = pending.where(gate == 1)
+            if movers.isEmpty():
                 break
-            continue
-        stalled = 0
         labels = (
             labels.join(movers.select("id", "target"), "id", "left")
             .select("id", F.coalesce("target", "community").alias("community"))

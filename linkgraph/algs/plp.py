@@ -41,12 +41,25 @@ def label_propagation(
     update_threshold: int = 0,
     work_dir: str | None = None,
     resume: bool = False,
+    tie_hash: str = "xxhash64",
 ) -> DataFrame:
     """Return ``(id, label)``; labels are canonicalized to the min member id
-    of each community so output is comparable across runs."""
+    of each community so output is comparable across runs.
+
+    ``tie_hash="portable"`` swaps the xxhash64 tie-break for the md5-based
+    portable hash (linkgraph.portable) so the run unrolls to an EXACT
+    DuckDB SQL oracle — identical labels, ~10× slower hash; the default
+    stays xxhash64 for production runs."""
+    from linkgraph.portable import phash
+
     spark = graph.edges.sparkSession
     work_dir = work_dir or tempfile.mkdtemp(prefix="lg_plp_")
     sym = graph.symmetric_edges().where(F.col("src") != F.col("dst")).persist()
+    tie = (
+        (lambda k: phash(F.col("label"), F.lit(k)))
+        if tie_hash == "portable"
+        else (lambda k: F.xxhash64(F.col("label"), F.lit(k)))
+    )
 
     def init() -> DataFrame:
         return graph.nodes().select(
@@ -67,7 +80,7 @@ def label_propagation(
         w = Window.partitionBy("id").orderBy(
             F.desc("w"),
             F.desc("is_cur"),
-            F.asc(F.xxhash64(F.col("label"), F.lit(k))),
+            F.asc(tie(k)),
             F.asc("label"),
         )
         best = (

@@ -44,8 +44,8 @@ def random_edge_score(graph: Graph, seed: int = 42) -> DataFrame:
         "src",
         "dst",
         (
-            (F.abs(F.xxhash64(F.least("src", "dst"), F.greatest("src", "dst"), F.lit(seed)))
-             % F.lit(1_000_000_007)) / 1_000_000_007.0
+            F.pmod(F.xxhash64(F.least("src", "dst"), F.greatest("src", "dst"), F.lit(seed)),
+                   F.lit(1_000_000_007)) / 1_000_000_007.0
         ).alias("score"),
     )
 

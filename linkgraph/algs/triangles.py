@@ -103,3 +103,60 @@ def global_clustering_coefficient(graph: Graph) -> float:
 def avg_local_clustering_coefficient(graph: Graph) -> float:
     row = local_clustering_coefficient(graph).agg(F.avg("lcc").alias("a")).collect()[0]
     return float(row["a"] or 0.0)
+
+
+def approx_global_clustering_coefficient(
+    graph: Graph, trials: int = 10_000, seed: int = 42
+) -> float:
+    """Wedge-sampling estimate of the global clustering coefficient
+    (ClusteringCoefficient::approxGlobal, Schank/Wagner): sample wedges
+    with probability ∝ deg·(deg−1)/2 per center, check closure, return the
+    closed fraction. Distributed: per-vertex trial counts are computed
+    from a deterministic multinomial-ish hash allocation, sampled wedge
+    endpoints picked by seeded hash ranks — no driver-side loop, no RNG
+    state; exact expectation, deterministic across partitioning."""
+    simple = graph.remove_self_loops()
+    nbr = (
+        simple.symmetric_edges()
+        .select(F.col("src").alias("id"), F.col("dst").alias("nbr"))
+        .distinct()
+    )
+    deg = nbr.groupBy("id").agg(F.count("*").alias("d")).where(F.col("d") >= 2)
+    tot = deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w")).collect()[0]["w"]
+    if not tot:
+        return 0.0
+    # trials per center ∝ its wedge count (deterministic rounding)
+    alloc = deg.select(
+        "id",
+        F.greatest(
+            F.round(F.lit(float(trials)) * (F.col("d") * (F.col("d") - 1) / 2.0) / F.lit(float(tot))),
+            F.lit(1.0),
+        ).cast("int").alias("t"),
+        "d",
+    )
+    trials_df = alloc.select("id", "d", F.explode(F.sequence(F.lit(1), F.col("t"))).alias("trial"))
+    # pick two distinct neighbor ranks per (id, trial) via seeded hashes
+    r1 = F.pmod(F.xxhash64("id", "trial", F.lit(seed)), F.col("d")) + 1
+    r2_raw = F.pmod(F.xxhash64("id", "trial", F.lit(seed + 1)), F.col("d") - 1) + 1
+    picks = trials_df.select(
+        "id", "trial", r1.alias("r1"),
+        F.when(r2_raw >= r1, r2_raw + 1).otherwise(r2_raw).alias("r2"),
+    )
+    from pyspark.sql import Window
+
+    ranked = nbr.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("id").orderBy("nbr"))
+    )
+    w1 = picks.join(
+        ranked.withColumnRenamed("rk", "r1").withColumnRenamed("nbr", "a"), ["id", "r1"]
+    )
+    w2 = w1.join(
+        ranked.withColumnRenamed("rk", "r2").withColumnRenamed("nbr", "b"), ["id", "r2"]
+    )
+    closed = w2.join(
+        nbr.withColumnRenamed("id", "a").withColumnRenamed("nbr", "b"),
+        ["a", "b"],
+        "left_semi",
+    )
+    n_w = w2.count()
+    return closed.count() / n_w if n_w else 0.0

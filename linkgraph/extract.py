@@ -42,13 +42,29 @@ _HREF_RE = re.compile(r'<a\s+href="([^"]*)"', re.IGNORECASE)
 _WS_RE = re.compile(r"\s+")
 
 
+def _decode_pd(html: pd.Series) -> pd.Series:
+    """bytes → str, vectorized (``Series.str.decode``); None → "".
+
+    Falls back to the per-element path only for mixed-type input (never
+    produced by Spark's BINARY column — the fallback exists for direct
+    test calls with unusual series)."""
+    try:
+        return html.str.decode("utf-8", errors="replace").fillna("")
+    except (TypeError, AttributeError):
+        return html.apply(
+            lambda b: b.decode("utf-8", errors="replace")
+            if isinstance(b, (bytes, bytearray))
+            else (b or "")
+        )
+
+
 def extract_text_pd(html: pd.Series) -> pd.Series:
     """Visible-text extraction from raw html bytes — THE pinned definition.
 
     Strip tags, collapse whitespace, trim. Deterministic, byte-identical
     across runs and parallelism levels (pure function of the input bytes).
     """
-    s = html.apply(lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else (b or ""))
+    s = _decode_pd(html)
     s = s.str.replace(_TAG_RE, " ", regex=True)
     s = s.str.replace(_WS_RE, " ", regex=True)
     return s.str.strip()
@@ -56,8 +72,10 @@ def extract_text_pd(html: pd.Series) -> pd.Series:
 
 def extract_hrefs_pd(html: pd.Series) -> pd.Series:
     """All ``<a href="...">`` targets per page, in document order."""
-    s = html.apply(lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else (b or ""))
-    return s.apply(_HREF_RE.findall)
+    return _decode_pd(html).str.findall(_HREF_RE)
+
+
+_BASE_RE = r"^(https?://[^/]+)(/.*)?$"
 
 
 def normalize_url_pd(url: pd.Series, base: pd.Series) -> pd.Series:
@@ -65,31 +83,24 @@ def normalize_url_pd(url: pd.Series, base: pd.Series) -> pd.Series:
 
     Rules (pinned): strip '#...' and '?...'; absolute http(s) urls pass
     through; '/path' joins scheme://host of base; other relative forms join
-    the base directory; trailing slash trimmed (except root).
+    the base directory; trailing slash trimmed (except root). Entirely
+    vectorized pandas str ops — no per-row Python (BASELINE.json:15); the
+    frozen goldens in tests/test_extract.py pin byte-identity with the
+    original row-at-a-time definition.
     """
-    def norm_one(u: str, b: str) -> str | None:
-        if not u:
-            return None
-        u = u.split("#", 1)[0].split("?", 1)[0]
-        if not u:
-            return None
-        if u.startswith("http://") or u.startswith("https://"):
-            out = u
-        else:
-            m = re.match(r"^(https?://[^/]+)(/.*)?$", b or "")
-            if not m:
-                return None
-            host = m.group(1)
-            if u.startswith("/"):
-                out = host + u
-            else:
-                path = (m.group(2) or "/")
-                out = host + path.rsplit("/", 1)[0] + "/" + u
-        if len(out) > len("https://") and out.endswith("/"):
-            out = out.rstrip("/")
-        return out
-
-    return pd.Series([norm_one(u, b) for u, b in zip(url, base)], index=url.index, dtype=object)
+    u = url.fillna("").str.split("#", n=1).str[0].str.split("?", n=1).str[0]
+    invalid = u == ""
+    is_abs = u.str.startswith("http://") | u.str.startswith("https://")
+    bb = base.fillna("").str.extract(_BASE_RE)
+    host = bb[0]  # NaN where base is not an absolute http(s) url
+    dirpath = bb[1].fillna("/").str.rsplit("/", n=1).str[0]
+    joined = np.where(
+        u.str.startswith("/"), host + u, host + dirpath + "/" + u
+    )  # NaN host propagates → unresolvable relative href → None
+    res = pd.Series(np.where(is_abs, u, joined), index=url.index, dtype=object)
+    trim = (res.str.len() > len("https://")) & res.str.endswith("/")
+    res = res.where(~trim.fillna(False).astype(bool), res.str.rstrip("/"))
+    return res.where(res.notna() & ~invalid, None)
 
 
 # ---------------------------------------------------------------------------

@@ -92,7 +92,7 @@ def erdos_renyi(
         F.col("src") < F.col("dst") if not directed else F.col("src") != F.col("dst")
     )
     # deterministic per-pair coin: xxhash64 → [0,1)
-    coin = (F.abs(F.xxhash64("src", "dst", F.lit(seed))) % F.lit(1_000_000_007)) / 1_000_000_007.0
+    coin = F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(1_000_000_007)) / 1_000_000_007.0
     return pairs.where(coin < p).withColumn("weight", F.lit(1.0))
 
 
@@ -114,7 +114,7 @@ def planted_sbm(
         .where(F.col("src") < F.col("dst"))
     )
     same = (F.col("src") / size).cast("int") == (F.col("dst") / size).cast("int")
-    coin = (F.abs(F.xxhash64("src", "dst", F.lit(seed))) % F.lit(1_000_000_007)) / 1_000_000_007.0
+    coin = F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(1_000_000_007)) / 1_000_000_007.0
     edges = pairs.where(
         (same & (coin < p_in)) | (~same & (coin < p_out))
     ).withColumn("weight", F.lit(1.0))

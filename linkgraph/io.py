@@ -62,11 +62,15 @@ def read_metis(spark: SparkSession, path: str) -> Graph:
     lines = [ln.strip() for ln in raw.splitlines()]
     lines = [ln for ln in lines if ln and not ln.startswith("%")]
     header = lines[0].split()
-    fmt = header[2] if len(header) > 2 else "0"
-    has_ew = fmt in ("1", "11")
+    # fmt is a 3-digit bitfield: [vertex sizes][vertex weights][edge weights]
+    fmt = (header[2] if len(header) > 2 else "0").zfill(3)
+    has_vs, has_vw, has_ew = fmt[0] == "1", fmt[1] == "1", fmt[2] == "1"
+    # optional 4th header token: weights per vertex (only when has_vw)
+    ncon = int(header[3]) if len(header) > 3 and has_vw else (1 if has_vw else 0)
+    skip = (1 if has_vs else 0) + ncon
     rows = []
     for i, ln in enumerate(lines[1:], start=0):
-        toks = ln.split()
+        toks = ln.split()[skip:]
         if has_ew:
             pairs = list(zip(toks[0::2], toks[1::2]))
             for v, w in pairs:
@@ -94,3 +98,82 @@ def write_partition(labels: DataFrame, path: str) -> None:
     """Parquet label table (engine-native; the line-file format does not
     survive distributed writes)."""
     labels.select("id", "label").write.mode("overwrite").parquet(path)
+
+
+def read_snap(spark: SparkSession, path: str, directed: bool = False) -> Graph:
+    """SNAP edge-list format (io/SNAPGraphReader.cpp): '#'-comment header
+    lines, whitespace-separated ``FromNodeId ToNodeId`` rows. Pure
+    declarative scan — identical plan shape to read_edge_list with SNAP's
+    conventions pinned (tab-or-space separators, no weights)."""
+    return read_edge_list(spark, path, sep=r"\s+", comment="#", directed=directed)
+
+
+def read_konect(spark: SparkSession, path: str) -> Graph:
+    """KONECT format (io/KONECTGraphReader.cpp): '%'-prefixed header lines
+    ('%% sym|asym ...'), rows ``u v [weight [ts]]``, 1-based ids. The
+    directedness flag is read from the first header line."""
+    first = spark.read.text(path).limit(1).collect()
+    directed = True
+    if first and first[0]["value"].startswith("%"):
+        directed = "asym" in first[0]["value"]
+    return read_edge_list(
+        spark, path, sep=r"\s+", comment="%", first_node=1, directed=directed
+    )
+
+
+def read_gml(spark: SparkSession, path: str) -> Graph:
+    """GML reader (io/GMLGraphReader.cpp) for the node/edge subset the
+    reference reads: ``node [ id N ]`` and ``edge [ source A target B
+    (value W)? ]`` blocks; ``directed 1`` honored. Declarative scan:
+    wholetext + regex extraction (fixture-scale format — big graphs ship
+    as edge lists/parquet)."""
+    import re as _re
+
+    raw = spark.read.text(path, wholetext=True).collect()[0]["value"]
+    directed = bool(_re.search(r"\bdirected\s+1\b", raw))
+    edges = []
+    for m in _re.finditer(
+        r"edge\s*\[\s*source\s+(\d+)\s+target\s+(\d+)(?:\s+value\s+([0-9.eE+-]+))?\s*\]",
+        raw,
+    ):
+        w = float(m.group(3)) if m.group(3) else 1.0
+        edges.append((int(m.group(1)), int(m.group(2)), w))
+    df = spark.createDataFrame(edges, "src bigint, dst bigint, weight double")
+    return Graph.from_edges(df, directed=directed)
+
+
+def write_gml(graph: Graph, path: str) -> None:
+    """GML writer (GMLGraphWriter.cpp) — fixture-scale (driver-side
+    stringify; the engine-native interchange format is parquet)."""
+    nodes = sorted(r["id"] for r in graph.nodes().collect())
+    edges = graph.edges.collect()
+    lines = ["graph", "["]
+    if graph.directed:
+        lines.append("  directed 1")
+    for n in nodes:
+        lines.append(f"  node [ id {n} ]")
+    for e in edges:
+        lines.append(
+            f"  edge [ source {e['src']} target {e['dst']} value {e['weight']} ]"
+        )
+    lines.append("]")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def read_cover(spark: SparkSession, path: str) -> DataFrame:
+    """Cover file (io/CoverReader.cpp): line i = whitespace-separated
+    subset ids of node i → exploded (id, label) rows (a node may carry
+    several labels — the overlapping-community structure)."""
+    raw = spark.read.text(path, wholetext=True).collect()[0]["value"]
+    rows = []
+    for i, line in enumerate(x for x in raw.splitlines() if x.strip() != ""):
+        for lab in line.split():
+            rows.append((i, int(lab)))
+    return spark.createDataFrame(rows, "id bigint, label bigint")
+
+
+def write_cover(cover: DataFrame, path: str) -> None:
+    """Cover as parquet (id, label) pairs — the distributed-safe form
+    (CoverWriter's line format does not survive distributed writes)."""
+    cover.select("id", "label").write.mode("overwrite").parquet(path)

@@ -159,3 +159,122 @@ def incremental_cc_additions(labels: DataFrame, added_edges: DataFrame) -> DataF
         lab.join(F.broadcast(remap), "label", "left")
         .select("id", F.coalesce("new_label", "label").alias("label"))
     )
+
+
+def incremental_cc_removals(
+    labels: DataFrame, graph, removed_edges: DataFrame
+) -> DataFrame:
+    """Incremental connected components under edge REMOVALS
+    (DynConnectedComponents.cpp's expensive path): a removal can SPLIT a
+    component, so affected components are recomputed — but ONLY those.
+
+    Plan: components touched by a removal → semi-join their vertices +
+    surviving intra-component edges → hash-to-min CC on that (usually
+    tiny) subgraph → splice new labels over the old table. Cost is
+    O(affected subgraph), not O(n); untouched components' labels are
+    byte-identical (ids canonical min-member on both paths).
+
+    ``graph`` is the post-removal Graph; ``labels`` the pre-removal
+    (id, label|component) table.
+    """
+    from linkgraph.algs.components import connected_components
+    from linkgraph.graph import Graph as _G
+
+    if "component" in labels.columns and "label" not in labels.columns:
+        labels = labels.withColumnRenamed("component", "label")
+    lab = labels.select("id", "label")
+    touched = (
+        removed_edges.select(F.col("src").alias("id"))
+        .unionByName(removed_edges.select(F.col("dst").alias("id")))
+        .join(lab, "id")
+        .select("label")
+        .distinct()
+    )
+    affected_nodes = lab.join(touched, "label", "left_semi").select("id")
+    sub_edges = (
+        graph.symmetric_edges()
+        .join(affected_nodes.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(affected_nodes.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", "weight")
+    )
+    sub_cc = connected_components(_G.from_edges(sub_edges, directed=False))
+    new_labels = (
+        affected_nodes.join(sub_cc, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("label"))
+    )
+    untouched = lab.join(touched, "label", "left_anti")
+    return untouched.unionByName(new_labels)
+
+
+def write_blocked_edges(edges: DataFrame, table_path: str, n_blocks: int = 16) -> None:
+    """Block-partitioned edge table for pruned streaming merges: block =
+    pmod(src, n_blocks) partition column (same discipline as
+    linkgraph.tables CSR blocks, coarse enough that a micro-batch touches
+    few partitions)."""
+    (
+        edges.withColumn("block", F.pmod(F.col("src"), F.lit(n_blocks)).cast("int"))
+        .repartition("block")
+        .write.mode("overwrite")
+        .partitionBy("block")
+        .parquet(table_path)
+    )
+
+
+def read_blocked_edges(spark: SparkSession, table_path: str) -> DataFrame:
+    return spark.read.parquet(table_path).select("src", "dst", "weight")
+
+
+def stream_apply_deltas_pruned(
+    spark: SparkSession,
+    delta_path: str,
+    table_path: str,
+    checkpoint_path: str,
+    n_blocks: int = 16,
+    watermark: str = "10 minutes",
+):
+    """Streaming merge that rewrites ONLY the block partitions a
+    micro-batch touches (the parquet analogue of Iceberg MERGE INTO's
+    pruned copy-on-write): dynamic partition overwrite + a block
+    predicate derived from the batch keys. Untouched block files are
+    byte-identical after the merge (asserted in tests). Per-batch cost is
+    O(touched blocks), not O(table)."""
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark_b = batch.sparkSession
+        if batch.isEmpty():
+            return
+        blocks = [
+            r["b"]
+            for r in batch.select(
+                F.pmod(F.col("src"), F.lit(n_blocks)).cast("int").alias("b")
+            ).distinct().collect()
+        ]
+        try:
+            current = spark_b.read.parquet(table_path).where(
+                F.col("block").isin(blocks)
+            ).select("src", "dst", "weight")
+        except Exception:
+            current = spark_b.createDataFrame([], "src bigint, dst bigint, weight double")
+        merged = apply_deltas(current, batch)
+        old_mode = spark_b.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark_b.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                merged.withColumn(
+                    "block", F.pmod(F.col("src"), F.lit(n_blocks)).cast("int")
+                )
+                .write.mode("overwrite")
+                .partitionBy("block")
+                .parquet(table_path)
+            )
+        finally:
+            spark_b.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+    stream = read_delta_stream(spark, delta_path, watermark)
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

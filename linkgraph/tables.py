@@ -22,7 +22,34 @@ min/max statistics prune block ranges for subgraph/ego queries.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+# id_bits is capped at 62: 2^63 does not fit in a Java long literal, and
+# pmod keeps every id (including negative xxhash64-encoded ones) in
+# [0, 2^id_bits) with semantics identical to Python's non-negative ``%`` —
+# the write-side Spark formula and the read-side Python formula below are
+# the SAME integer function, so block pruning is sign-safe.
+_MAX_ID_BITS = 62
+
+
+def _span(id_bits: int, n_blocks: int) -> int:
+    return ((1 << min(id_bits, _MAX_ID_BITS)) // n_blocks) or 1
+
+
+def _block_col(id_bits: int, n_blocks: int) -> Column:
+    """Spark block expression; integer arithmetic only (``div``, not ``/``:
+    float division loses precision above 2^53)."""
+    id_bits = min(id_bits, _MAX_ID_BITS)
+    return F.expr(
+        f"CAST(pmod(src, {1 << id_bits}) DIV {_span(id_bits, n_blocks)} AS INT)"
+    )
+
+
+def _block_of(x: int, id_bits: int, n_blocks: int) -> int:
+    """Python mirror of :func:`_block_col` (Python ``%`` is non-negative
+    for a positive modulus, matching pmod)."""
+    id_bits = min(id_bits, _MAX_ID_BITS)
+    return (x % (1 << id_bits)) // _span(id_bits, n_blocks)
 
 
 def write_csr_blocks(
@@ -30,18 +57,18 @@ def write_csr_blocks(
     path: str,
     n_blocks: int = 64,
     n_salts: int = 8,
-    id_bits: int = 63,
+    id_bits: int = 62,
 ) -> None:
     """Write (src, dst, weight) as a salted, range-partitioned CSR-block
     parquet table. Range width derives from the id domain (2^id_bits for
     xxhash-encoded ids; pass smaller for dense fixture ids)."""
-    span = (1 << id_bits) // n_blocks or 1
     df = edges.select(
         "src",
         "dst",
         "weight",
-        (F.col("src") % (1 << id_bits) / span).cast("int").alias("block"),
-        (F.abs(F.xxhash64("src", "dst")) % n_salts).cast("int").alias("salt"),
+        _block_col(id_bits, n_blocks).alias("block"),
+        # pmod, not abs: abs(xxhash64=Long.MIN_VALUE) overflows under ANSI
+        F.pmod(F.xxhash64("src", "dst"), F.lit(n_salts)).cast("int").alias("salt"),
     )
     (
         df.repartition("block", "salt")
@@ -61,16 +88,25 @@ def read_csr_blocks(spark: SparkSession, path: str) -> DataFrame:
 
 def read_block_range(
     spark: SparkSession, path: str, src_min: int, src_max: int,
-    n_blocks: int = 64, id_bits: int = 63,
+    n_blocks: int = 64, id_bits: int = 62,
 ) -> DataFrame:
     """Pruned scan: only blocks overlapping [src_min, src_max] are read
-    (partition pruning via the block predicate + pushed src filter)."""
-    span = (1 << id_bits) // n_blocks or 1
-    b_lo, b_hi = src_min // span, src_max // span
+    (partition pruning via the block predicate + pushed src filter).
+
+    Block pruning applies only when the whole range lands in one copy of
+    the 2^id_bits domain (no pmod wrap inside the range — e.g. a range
+    crossing 0 with id_bits=62 wraps); otherwise every block is scanned
+    and the pushed src filter alone prunes row groups. Correct for any
+    sign of src per the shared write/read block formula.
+    """
+    id_bits = min(id_bits, _MAX_ID_BITS)
+    df = spark.read.parquet(path)
+    if src_min // (1 << id_bits) == src_max // (1 << id_bits):
+        b_lo = _block_of(src_min, id_bits, n_blocks)
+        b_hi = _block_of(src_max, id_bits, n_blocks)
+        df = df.where((F.col("block") >= b_lo) & (F.col("block") <= b_hi))
     return (
-        spark.read.parquet(path)
-        .where((F.col("block") >= b_lo) & (F.col("block") <= b_hi))
-        .where((F.col("src") >= src_min) & (F.col("src") <= src_max))
+        df.where((F.col("src") >= src_min) & (F.col("src") <= src_max))
         .select("src", "dst", "weight")
     )
 
@@ -90,17 +126,16 @@ def write_edges_table(
     name_or_path: str,
     n_blocks: int = 64,
     n_salts: int = 8,
-    id_bits: int = 63,
+    id_bits: int = 62,
 ) -> str:
     """Format adapter: Iceberg table when the runtime is present, plain
     parquet CSR blocks otherwise. Returns the storage kind used."""
     if iceberg_available(spark):
         # identical logical layout via Iceberg's partition transforms
-        span = (1 << id_bits) // n_blocks or 1
         df = edges.select(
             "src", "dst", "weight",
-            (F.col("src") % (1 << id_bits) / span).cast("int").alias("block"),
-            (F.abs(F.xxhash64("src", "dst")) % n_salts).cast("int").alias("salt"),
+            _block_col(id_bits, n_blocks).alias("block"),
+            F.pmod(F.xxhash64("src", "dst"), F.lit(n_salts)).cast("int").alias("salt"),
         )
         df.sortWithinPartitions("src", "dst").writeTo(name_or_path).partitionedBy(
             "block"

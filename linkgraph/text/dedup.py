@@ -56,12 +56,19 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     text_col: str = "text",
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 10_000,
 ) -> DataFrame:
     """(a, b, jaccard) for doc pairs with Jaccard(shingle sets) ≥ threshold.
 
     EXACT similarity (not probabilistic): |A∩B| from the shingle join,
     |A∪B| = |A|+|B|−|A∩B| from per-doc distinct-shingle counts.
+
+    ``max_shingle_freq`` bounds the self-join fan-out: a shingle shared by
+    d docs emits d² pairs, so one boilerplate shingle ("all rights
+    reserved …") at corpus scale is a cartesian bomb. The default drops
+    shingles shared by >10k docs — any pair connected ONLY through such a
+    shingle is boilerplate-similar, not content-similar. Pass ``None``
+    for the exact unbounded semantics (safe at fixture scale only).
     """
     sh = (
         docs.select("doc_id", F.explode(shingles(F.col(text_col), k)).alias("sh"))
@@ -95,18 +102,29 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 64, k: int = 3, text_col: str = "text"
+    docs: DataFrame, num_hashes: int = 64, k: int = 3, text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>) — sig[h] = min over shingles of
-    xxhash64(shingle, seed=h). One explode + one hash-agg with H min
-    columns; entirely JVM-side."""
+    hash(shingle, seed=h). One explode + one hash-agg with H min
+    columns; entirely JVM-side. ``portable=True`` uses the md5-based hash
+    (linkgraph.portable) reproducible in DuckDB for the oracle gate;
+    xxhash64 is the production default."""
     sh = docs.select(
         "doc_id", F.explode(shingles(F.col(text_col), k)).alias("sh")
     )
-    mins = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(h))).alias(f"m{h}")
-        for h in range(num_hashes)
-    ]
+    if portable:
+        from linkgraph.portable import phash
+
+        mins = [
+            F.min(phash(F.col("sh"), F.lit(h))).alias(f"m{h}")
+            for h in range(num_hashes)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.col("sh"), F.lit(h))).alias(f"m{h}")
+            for h in range(num_hashes)
+        ]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select(
         "doc_id", F.array(*[F.col(f"m{h}") for h in range(num_hashes)]).alias("sig")
@@ -114,29 +132,43 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """(a, b) candidate near-dup pairs: docs agreeing exactly on at least
     one LSH band. bands*rows_per_band must equal the signature length."""
+    if portable:
+        from linkgraph.portable import phash
+
+        def band_hash(b):
+            return phash(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ),
+                F.lit(b),
+            )
+    else:
+        def band_hash(b):
+            return F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[b * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ],
+                ),
+                F.lit(b),
+            )
+
     banded = signatures.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ],
-                        ),
-                        F.lit(b),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bh"),
+        F.posexplode(F.array(*[band_hash(b) for b in range(bands)])).alias(
+            "band", "bh"
+        ),
     )
     return (
         banded.alias("x")
@@ -154,13 +186,20 @@ def minhash_dedup_pairs(
     k: int = 3,
     threshold: float = 0.7,
     text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """Full MinHash near-dup pipeline: signatures → LSH candidates →
     verify candidates by estimated Jaccard (fraction of agreeing hashes).
     Returns (a, b, est_jaccard ≥ threshold)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, k, text_col).persist()
-    cand = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    # localCheckpoint (not persist): materialized once for the three uses
+    # below, and the blocks are released by the ContextCleaner when the
+    # result is dropped — an explicit persist would leak cached blocks
+    # across calls in a long-lived session.
+    sigs = minhash_signatures(docs, num_hashes, k, text_col, portable).localCheckpoint(
+        eager=True
+    )
+    cand = minhash_lsh_candidates(sigs, bands, rows_per_band, portable)
     est = (
         cand.join(sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sa")), "a")
         .join(sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sb")), "b")
@@ -185,15 +224,25 @@ def minhash_dedup_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", portable: bool = False
+) -> DataFrame:
     """(doc_id, simhash BIGINT) — 64-bit SimHash over token frequencies:
     bit i of the signature is 1 iff Σ_tokens freq·(±1 per token-hash bit i)
-    is positive. One explode + token-count agg + 64 conditional sums."""
+    is positive. One explode + token-count agg + 64 conditional sums.
+    ``portable=True`` hashes tokens with the DuckDB-reproducible md5 hash
+    (60-bit → the top 4 signature bits are always 0 on both sides)."""
+    if portable:
+        from linkgraph.portable import phash
+
+        th = phash(F.col("t"))
+    else:
+        th = F.xxhash64("t")
     tok = (
         docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("t"))
         .groupBy("doc_id", "t")
         .agg(F.count("*").alias("f"))
-        .withColumn("h", F.xxhash64("t"))
+        .withColumn("h", th)
     )
     bit_sums = [
         F.sum(
@@ -214,12 +263,13 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_duplicates(
-    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """(a, b, hamming ≤ max_hamming) — candidates from 16-bit chunk
     buckets (pigeonhole: hamming ≤ 3 ⇒ one of the 4 chunks matches
     exactly), verified with bit_count of the XOR."""
-    sigs = simhash_signatures(docs, text_col).persist()
+    sigs = simhash_signatures(docs, text_col, portable).localCheckpoint(eager=True)
     chunks = sigs.select(
         "doc_id",
         F.posexplode(
@@ -243,4 +293,36 @@ def simhash_near_duplicates(
         .join(sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb")), "b")
         .select("a", "b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pair → group closure (what a training-data pipeline actually consumes)
+# ---------------------------------------------------------------------------
+
+def near_duplicate_groups(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_id, group_id, keep) — transitive closure of a near-dup pair
+    table into dedup groups: group_id = min doc_id reachable through pair
+    edges (distributed hash-to-min, the connected-components machinery);
+    docs in no pair form singleton groups. ``keep`` marks the canonical
+    representative (min doc_id) — ``filter(keep)`` IS the dedup decision a
+    pipeline applies.
+
+    ``pairs`` is any (a, b, …) near-dup table (minhash_dedup_pairs,
+    simhash_near_duplicates, ngram_jaccard_pairs output)."""
+    from linkgraph.algs.components import connected_components
+    from linkgraph.graph import Graph
+
+    edge_df = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("weight")
+    )
+    comp = connected_components(Graph.from_edges(edge_df, directed=False))
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("group_id"),
+        )
+        .withColumn("keep", (F.col("doc_id") == F.col("group_id")).cast("int"))
     )

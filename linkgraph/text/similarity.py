@@ -131,3 +131,82 @@ def lsh_cosine_topk(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def banded_hyperplane_signatures(
+    embeddings: DataFrame,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, bucket) — OR-banded hyperplane LSH (the MinHash-banding
+    trick applied to hyperplane bits): the n_planes sign bits split into
+    ``bands`` groups; a pair is a candidate if ANY band's bit-group matches
+    exactly. Single-bucket LSH's recall collapses as n_planes grows (P[all
+    n bits agree] = (1−θ/π)^n); banding holds recall at
+    1 − (1 − (1−θ/π)^{n/b})^b while keeping buckets selective."""
+    assert n_planes % bands == 0, "bands must divide n_planes"
+    rpb = n_planes // bands
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_buckets(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())
+        bits = (mat @ planes) > 0  # (batch, n_planes)
+        weights = (1 << np.arange(rpb)).astype(np.int64)
+        out = [
+            [int(row[b * rpb:(b + 1) * rpb] @ weights) for b in range(bands)]
+            for row in bits
+        ]
+        return pd.Series(out)
+
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(band_buckets(F.col(vec_col))).alias("band", "bucket"),
+    )
+
+
+def lsh_cosine_topk_banded(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with graceful recall: candidates from ANY matching
+    band (OR over bands), deduplicated, then exactly scored. The bucket
+    join shuffles on (band, bucket) — bands× the single-probe shuffle
+    volume for recall that no single-table probe reaches."""
+    sig = banded_hyperplane_signatures(embeddings, n_planes, bands, dim, seed, id_col, vec_col)
+    qsig = banded_hyperplane_signatures(queries, n_planes, bands, dim, seed, id_col, vec_col)
+    cand = (
+        sig.withColumnRenamed("id", "neighbor_id")
+        .join(qsig.withColumnRenamed("id", "query_id"), ["band", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (
+        cand.join(e, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity_col(F.col("qv"), F.col("nv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

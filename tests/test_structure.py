@@ -67,6 +67,50 @@ def test_csr_block_range_prunes(spark, karate, tmp_path):
     assert part.count() == karate.edges.where("src <= 7").count()
 
 
+def test_csr_blocks_negative_hash_ids_default_params(spark, tmp_path):
+    """Regression (ADVICE r1): xxhash64-encoded ids are negative about half
+    the time; the write-side block formula and the read-side range pruning
+    must agree for them, at the DEFAULT parameters (id_bits=62 — the old
+    default 63 crashed on a Java long literal overflow)."""
+    rows = [
+        (-100, 1, 1.0),
+        (-3_000_000_000_000_000_000, 2, 1.0),
+        (200, 3, 1.0),
+        (9_000_000_000_000_000_000, 4, 1.0),
+    ]
+    edges = spark.createDataFrame(rows, "src bigint, dst bigint, weight double")
+    p = str(tmp_path / "csr_neg")
+    write_csr_blocks(edges, p)  # default n_blocks/n_salts/id_bits
+    back = read_csr_blocks(spark, p)
+    assert {(r.src, r.dst) for r in back.collect()} == {
+        (r[0], r[1]) for r in rows
+    }
+    # the ADVICE repro: a pure-negative range must return BOTH matching rows
+    part = read_block_range(spark, p, -3_000_000_000_000_000_000, -100)
+    assert {r.src for r in part.collect()} == {-100, -3_000_000_000_000_000_000}
+    # a range crossing 0 wraps the pmod domain → pruning disabled, still correct
+    part2 = read_block_range(spark, p, -100, 200)
+    assert {r.src for r in part2.collect()} == {-100, 200}
+
+
+def test_metis_weighted_fmt_codes(spark, tmp_path):
+    """Regression (ADVICE r1): fmt=10 (vertex weights, skip) and fmt=11
+    (vertex + edge weights) must skip the leading vertex-weight token."""
+    # triangle, vertex weights 7/8/9, fmt 10 → edge weights default 1
+    f = tmp_path / "vw.graph"
+    f.write_text("3 3 10\n7 2 3\n8 1 3\n9 1 2\n")
+    g = read_metis(spark, str(f))
+    assert g.num_nodes() == 3 and g.num_edges() == 3
+    assert {r.weight for r in g.edges.collect()} == {1.0}
+    # fmt 11: vertex weight then (neighbor, edge-weight) pairs
+    f2 = tmp_path / "vwew.graph"
+    f2.write_text("3 3 11\n7 2 5 3 6\n8 1 5 3 4\n9 1 6 2 4\n")
+    g2 = read_metis(spark, str(f2))
+    assert g2.num_edges() == 3
+    w = {(r.src, r.dst): r.weight for r in g2.edges.collect()}
+    assert w[(0, 1)] == 5.0 and w[(0, 2)] == 6.0 and w[(1, 2)] == 4.0
+
+
 def test_rmat_deterministic_and_skewed(spark):
     a = rmat(spark, scale=10, edge_factor=8)
     b = rmat(spark, scale=10, edge_factor=8)
