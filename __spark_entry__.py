@@ -542,6 +542,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         return walks(g, walk_length=5, walks_per_node=1, p=1.0, q=1.0, seed=7)
 
+    def events_stream_replay(spark, sf):
+        """Deterministic graph-event replay THROUGH Structured Streaming:
+        events → typed edge deltas (op/src/dst/weight/ts, pure arithmetic)
+        → one availableNow micro-batch → partition-pruned merge into a
+        blocked parquet edge table → final table. The oracle replays the
+        same last-writer-wins merge in SQL, so the streaming surface is
+        hash-checked, not just smoke-tested."""
+        import tempfile
+
+        from linkgraph.streaming.deltas import (
+            read_blocked_edges,
+            stream_apply_deltas_pruned,
+        )
+
+        _register(spark, sf)
+        base = tempfile.mkdtemp(prefix="lg_gate_stream_")
+        ddir, table, ckpt = f"{base}/deltas", f"{base}/table", f"{base}/ckpt"
+        deltas = spark.table("events").select(
+            F.when(F.col("event_type") == "error", "remove_edge")
+            .when(F.col("event_type") == "purchase", "update_weight")
+            .otherwise("add_edge")
+            .alias("op"),
+            F.col("user_id").alias("src"),
+            F.pmod(F.col("event_id") * 7 + 3, F.lit(200)).alias("dst"),
+            F.col("value").alias("weight"),
+            F.col("ts"),
+        )
+        deltas.coalesce(1).write.mode("overwrite").json(ddir)
+        q = stream_apply_deltas_pruned(spark, ddir, table, ckpt, n_blocks=16)
+        q.awaitTermination(300)
+        return read_blocked_edges(spark, table).select(
+            "src", "dst", F.round("weight", 6).alias("weight")
+        )
+
     # --- embeddings: similarity search ------------------------------------
     def embed_cosine_top5(spark, sf):
         _register(spark, sf)
@@ -612,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": simhash_dups,
         "extraction_edges": extraction_edges,
         "events_rollup": events_rollup,
+        "events_stream_replay": events_stream_replay,
         "node2vec_walks": node2vec_walks,
         "events_top_value_per_user": events_top_value_per_user,
         "events_hourly": events_hourly,
@@ -943,6 +978,25 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
 SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
        count(*) AS n, ROUND(SUM(value), 3) AS sum_value
 FROM events GROUP BY ROLLUP(event_type, day)
+"""
+
+    sql["events_stream_replay"] = """
+WITH d AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'remove_edge'
+              WHEN event_type = 'purchase' THEN 'update_weight'
+              ELSE 'add_edge' END AS op,
+         user_id AS src,
+         (event_id * 7 + 3) % 200 AS dst,
+         value AS weight, ts
+  FROM events
+),
+last AS (
+  SELECT * FROM (
+    SELECT d.*, ROW_NUMBER() OVER (PARTITION BY src, dst ORDER BY ts DESC, op DESC) AS rn
+    FROM d
+  ) z WHERE rn = 1
+)
+SELECT src, dst, ROUND(weight, 6) AS weight FROM last WHERE op <> 'remove_edge'
 """
 
     sql["doc_hub_dominance"] = G.hub_dominance_sql(EDGES_CTE_MAT)

@@ -197,3 +197,55 @@ def assortativity(graph: Graph) -> float:
     if not row["c"] or not row["sa"] or not row["sb"]:
         return 0.0
     return float(row["c"] / (row["sa"] * row["sb"]))
+
+
+def sfigality(graph: Graph) -> DataFrame:
+    """(id, score) — fraction of a vertex's neighbors with STRICTLY higher
+    degree (centrality/Sfigality.cpp): 1.0 = every neighbor dominates
+    (the vertex is peripheral), 0.0 = a local hub."""
+    simple = graph.remove_self_loops()
+    nbr = (
+        simple.symmetric_edges()
+        .select(F.col("src").alias("id"), F.col("dst").alias("nbr"))
+        .distinct()
+    )
+    deg = simple.degrees().select("id", "degree")
+    joined = (
+        nbr.join(deg, "id")
+        .join(
+            deg.withColumnRenamed("id", "nbr").withColumnRenamed("degree", "ndeg"),
+            "nbr",
+        )
+    )
+    per = joined.groupBy("id").agg(
+        (
+            F.sum((F.col("ndeg") > F.col("degree")).cast("int"))
+            / F.count("*")
+        ).alias("score")
+    )
+    return (
+        simple.nodes()
+        .join(per, "id", "left")
+        .select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
+    )
+
+
+def attribute_assortativity(graph: Graph, attrs) -> float:
+    """Pearson correlation of a NUMERIC vertex attribute across edges
+    (correlation/Assortativity.cpp's attribute mode). ``attrs`` is an
+    (id, value) DataFrame; zero-variance guarded like degree
+    assortativity."""
+    a = attrs.select("id", F.col("value").cast("double").alias("value"))
+    e = (
+        graph.symmetric_edges()
+        .join(a.withColumnRenamed("id", "src").withColumnRenamed("value", "va"), "src")
+        .join(a.withColumnRenamed("id", "dst").withColumnRenamed("value", "vb"), "dst")
+    )
+    row = e.agg(
+        F.covar_samp("va", "vb").alias("c"),
+        F.stddev_samp("va").alias("sa"),
+        F.stddev_samp("vb").alias("sb"),
+    ).collect()[0]
+    if not row["c"] or not row["sa"] or not row["sb"]:
+        return 0.0
+    return float(row["c"] / (row["sa"] * row["sb"]))

@@ -69,3 +69,49 @@ def local_sparsifier(graph: Graph, alpha: float, score_fn=local_degree_score) ->
         canon, ["src", "dst"], "left_semi"
     )
     return Graph(e, directed=False, weighted=graph.weighted)
+
+
+def local_similarity_score(graph: Graph) -> DataFrame:
+    """(src, dst, score) — per-edge Jaccard of endpoint neighborhoods
+    EXCLUDING the endpoints themselves (sparsification/
+    LocalSimilarityScore.cpp's similarity kernel): with T = per-edge
+    triangle count, score = T / (deg(u) + deg(v) − T − 2); 0 when both
+    endpoints are degree-1 (empty union)."""
+    from linkgraph.algs.triangles import per_edge_triangles
+
+    tri = per_edge_triangles(graph)  # |Γ(u)∩Γ(v)| per canonical edge
+    deg = graph.remove_self_loops().degrees().select("id", "degree")
+    denom = F.col("du") + F.col("dv") - F.col("triangles") - 2
+    return (
+        tri.join(deg.withColumnRenamed("id", "src").withColumnRenamed("degree", "du"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("degree", "dv"), "dst")
+        .select(
+            "src",
+            "dst",
+            F.when(denom > 0, F.col("triangles") / denom).otherwise(0.0).alias("score"),
+        )
+    )
+
+
+def scan_structural_similarity(graph: Graph) -> DataFrame:
+    """(src, dst, score) — SCAN structural similarity
+    (sparsification/SCANStructuralSimilarityScore.cpp):
+    |Γ⁺(u)∩Γ⁺(v)| / sqrt(|Γ⁺(u)|·|Γ⁺(v)|) with closed neighborhoods
+    Γ⁺(x) = Γ(x) ∪ {x}; shared count = per-edge triangles + the two
+    endpoints themselves."""
+    from linkgraph.algs.triangles import per_edge_triangles
+
+    tri = per_edge_triangles(graph)
+    deg = graph.remove_self_loops().degrees().select("id", "degree")
+    return (
+        tri.join(deg.withColumnRenamed("id", "src").withColumnRenamed("degree", "du"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("degree", "dv"), "dst")
+        .select(
+            "src",
+            "dst",
+            (
+                (F.col("triangles") + 2)
+                / F.sqrt((F.col("du") + 1.0) * (F.col("dv") + 1.0))
+            ).alias("score"),
+        )
+    )

@@ -401,3 +401,58 @@ def test_approx_clustering_coefficient_band(spark, karate):
     exact = global_clustering_coefficient(karate)
     approx = approx_global_clustering_coefficient(karate, trials=4000)
     assert abs(approx - exact) < 0.08
+
+
+# --------------------------------------------------------------------------
+# Sfigality / similarity sparsification scores / TopCloseness / attr assort
+# --------------------------------------------------------------------------
+
+def test_sfigality_star(spark):
+    from linkgraph.algs.centrality import sfigality
+
+    g = make_graph(spark, [(0, 1), (0, 2), (0, 3)])
+    s = collect_map(sfigality(g), "id", "score")
+    assert s[0] == 0.0            # hub: no neighbor has higher degree
+    assert s[1] == s[2] == s[3] == 1.0  # leaves: all neighbors dominate
+
+
+def test_local_similarity_and_scan(spark):
+    from linkgraph.algs.sparsification import (
+        local_similarity_score,
+        scan_structural_similarity,
+    )
+
+    # triangle 0-1-2 plus pendant 2-3
+    g = make_graph(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    ls = {(r.src, r.dst): r.score for r in local_similarity_score(g).collect()}
+    # edge (0,1): T=1, deg 2+2 → 1/(2+2-1-2) = 1
+    assert ls[(0, 1)] == pytest.approx(1.0)
+    assert ls[(2, 3)] == pytest.approx(0.0)
+    sc = {(r.src, r.dst): r.score for r in scan_structural_similarity(g).collect()}
+    # edge (0,1): (1+2)/sqrt(3*3) = 1
+    assert sc[(0, 1)] == pytest.approx(1.0)
+    # edge (2,3): (0+2)/sqrt(4*2)
+    assert sc[(2, 3)] == pytest.approx(2 / np.sqrt(8))
+
+
+def test_top_closeness_path(spark, path_5):
+    from linkgraph.algs.bfs import top_closeness
+
+    top = top_closeness(path_5, k=1).collect()
+    assert top[0].id == 2  # path center is the most central
+
+
+def test_attribute_assortativity(spark):
+    from linkgraph.algs.centrality import attribute_assortativity
+
+    g = make_graph(spark, [(0, 1), (2, 3)])
+    # attribute perfectly aligned within edges → corr = 1
+    attrs = spark.createDataFrame(
+        [(0, 1.0), (1, 1.0), (2, 5.0), (3, 5.0)], "id bigint, value double"
+    )
+    assert attribute_assortativity(g, attrs) == pytest.approx(1.0)
+    # anti-aligned attribute
+    attrs2 = spark.createDataFrame(
+        [(0, 1.0), (1, 5.0), (2, 5.0), (3, 1.0)], "id bigint, value double"
+    )
+    assert attribute_assortativity(g, attrs2) == pytest.approx(-1.0)
