@@ -91,6 +91,18 @@ def neighborhood_function(
     return out
 
 
+def hop_plot(graph: Graph, max_h: int = 32, registers: int = 8) -> list:
+    """[(h, P(h))] — hop plot (distance/HopPlotApproximation.cpp): the
+    fraction of reachable pairs within distance ≤ h, normalized by the
+    saturated neighborhood function N(H_max). Same sketch supersteps as
+    ``neighborhood_function``; one extra pass of arithmetic."""
+    nf = neighborhood_function(graph, max_h=max_h, registers=registers)
+    total = nf[-1][1]
+    if total <= 0:
+        return [(h, 0.0) for h, _ in nf]
+    return [(h, v / total) for h, v in nf]
+
+
 def effective_diameter(
     graph: Graph, ratio: float = 0.9, max_h: int = 32, registers: int = 8
 ) -> float:

@@ -332,3 +332,180 @@ def partition_fragmentation(graph: Graph, labels: DataFrame) -> DataFrame:
     return sizes.join(largest, "label").select(
         "label", (1.0 - F.col("largest") / F.col("size")).alias("fragmentation")
     )
+
+
+def jaccard_measure(a: DataFrame, b: DataFrame) -> float:
+    """Node-pair Jaccard similarity between two partitions
+    (community/JaccardMeasure.cpp, which reports the DISTANCE 1−J; we
+    expose J): over all unordered node pairs, J = s11 / (s11 + s10 + s01)
+    with s11 = pairs together in both, s10/s01 = together in exactly one.
+    Computed from the contingency table — no pair enumeration."""
+    ct = _contingency(a, b).collect()
+    n = sum(r["n"] for r in ct)
+    if n < 2:
+        return 1.0
+
+    def c2(x: int) -> float:
+        return x * (x - 1) / 2.0
+
+    pa: dict = {}
+    pb: dict = {}
+    for r in ct:
+        pa[r["la"]] = pa.get(r["la"], 0) + r["n"]
+        pb[r["lb"]] = pb.get(r["lb"], 0) + r["n"]
+    s11 = sum(c2(r["n"]) for r in ct)
+    sa = sum(c2(x) for x in pa.values())
+    sb = sum(c2(x) for x in pb.values())
+    denom = sa + sb - s11  # s11 + s10 + s01
+    return s11 / denom if denom > 0 else 1.0
+
+
+def node_structural_rand(a: DataFrame, b: DataFrame) -> float:
+    """Rand DISTANCE over all node pairs
+    (community/NodeStructuralRandMeasure.cpp): fraction of unordered
+    pairs the two partitions classify differently, 1 − RandIndex.
+    Contingency-table arithmetic, no pair enumeration."""
+    ct = _contingency(a, b).collect()
+    n = sum(r["n"] for r in ct)
+    if n < 2:
+        return 0.0
+
+    def c2(x: int) -> float:
+        return x * (x - 1) / 2.0
+
+    pa: dict = {}
+    pb: dict = {}
+    for r in ct:
+        pa[r["la"]] = pa.get(r["la"], 0) + r["n"]
+        pb[r["lb"]] = pb.get(r["lb"], 0) + r["n"]
+    s11 = sum(c2(r["n"]) for r in ct)
+    sa = sum(c2(x) for x in pa.values())
+    sb = sum(c2(x) for x in pb.values())
+    total = c2(n)
+    agree = total - sa - sb + 2 * s11  # s11 + s00
+    return 1.0 - agree / total
+
+
+def graph_structural_rand(graph: Graph, a: DataFrame, b: DataFrame) -> float:
+    """Rand DISTANCE restricted to CONNECTED pairs
+    (community/GraphStructuralRandMeasure.cpp): the fraction of edges
+    whose endpoints one partition puts together and the other apart.
+    One labels⋈labels⋈edges join + a single agg — scales with |E|."""
+    ea = _labeled_sym_edges(graph, a)
+    lb = b.select("id", "label")
+    e = (
+        ea.join(
+            lb.withColumnRenamed("id", "src").withColumnRenamed("label", "src_lb"),
+            "src",
+        )
+        .join(
+            lb.withColumnRenamed("id", "dst").withColumnRenamed("label", "dst_lb"),
+            "dst",
+        )
+        .where(F.col("src") < F.col("dst"))
+    )
+    row = e.agg(
+        F.count("*").alias("m"),
+        F.sum(
+            (
+                (F.col("src_label") == F.col("dst_label"))
+                != (F.col("src_lb") == F.col("dst_lb"))
+            ).cast("int")
+        ).alias("diff"),
+    ).collect()[0]
+    if not row["m"]:
+        return 0.0
+    return float(row["diff"] / row["m"])
+
+
+def local_partition_coverage(graph: Graph, labels: DataFrame) -> DataFrame:
+    """(id, coverage) — per-vertex fraction of incident edge weight that
+    stays inside the vertex's own community
+    (centrality/LocalPartitionCoverage.cpp). Vertices with no neighbors
+    get 0."""
+    e = _labeled_sym_edges(graph, labels)
+    per = e.groupBy(F.col("src").alias("id")).agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("src_label") == F.col("dst_label"), F.col("weight")
+                ).otherwise(0.0)
+            )
+            / F.sum("weight")
+        ).alias("coverage")
+    )
+    return (
+        labels.select("id")
+        .join(per, "id", "left")
+        .select("id", F.coalesce("coverage", F.lit(0.0)).alias("coverage"))
+    )
+
+
+def permanence(graph: Graph, labels: DataFrame) -> DataFrame:
+    """(id, permanence) — per-vertex permanence (centrality/Permanence.cpp;
+    Chakraborty et al. KDD'14):
+
+        Perm(v) = I(v) / (E_max(v) · deg(v)) − (1 − c_in(v))
+
+    with I(v) = #neighbors in v's community, E_max(v) = max #connections
+    to any single OTHER community (1 when none, per the reference's
+    convention to avoid div-by-zero), c_in(v) = clustering coefficient
+    among v's internal neighbors. Plan: one labeled-edge scan for I/E_max
+    + one wedge-join pass (degree-oriented, same machinery as triangle
+    counting) restricted to same-community wedges for c_in."""
+    simple = graph.remove_self_loops()
+    lab = labels.select("id", "label")
+    e = _labeled_sym_edges(simple, lab)
+    per = e.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("deg"),
+        F.sum(
+            (F.col("src_label") == F.col("dst_label")).cast("int")
+        ).alias("internal"),
+    )
+    emax = (
+        e.where(F.col("src_label") != F.col("dst_label"))
+        .groupBy(F.col("src").alias("id"), F.col("dst_label"))
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("emax"))
+    )
+    # internal triangles per vertex: a triangle whose three edges are all
+    # intra-community lies wholly inside v's community, so c_in's numerator
+    # is per-vertex triangles on the intra-edge SUBGRAPH — reuse the
+    # degree-ORIENTED counter (hub-safe wedge fan-out), not a naive deg²
+    # neighbor self-join.
+    from linkgraph.algs.triangles import per_vertex_triangles
+
+    intra = (
+        e.where(
+            (F.col("src_label") == F.col("dst_label")) & (F.col("src") < F.col("dst"))
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    tri = per_vertex_triangles(Graph.from_edges(intra)).select(
+        "id", F.col("triangles").alias("tri")
+    )
+    out = (
+        per.join(emax, "id", "left")
+        .join(tri, "id", "left")
+        .select(
+            "id",
+            "deg",
+            "internal",
+            F.coalesce("emax", F.lit(1)).alias("emax"),
+            F.coalesce("tri", F.lit(0)).alias("tri"),
+        )
+    )
+    cin_pairs = (F.col("internal") * (F.col("internal") - 1) / 2.0)
+    cin = F.when(cin_pairs > 0, F.col("tri") / cin_pairs).otherwise(0.0)
+    score = F.when(
+        F.col("deg") > 0,
+        F.col("internal") / (F.greatest(F.col("emax"), F.lit(1)) * F.col("deg"))
+        - (F.lit(1.0) - cin),
+    ).otherwise(0.0)
+    return (
+        labels.select("id")
+        .join(out, "id", "left")
+        .select("id", F.coalesce(score, F.lit(0.0)).alias("permanence"))
+    )

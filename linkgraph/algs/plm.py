@@ -43,6 +43,9 @@ def _local_move(
     ``init_labels`` (id, community) seeds non-singleton starting labels —
     Leiden's aggregate levels start from the parent community assignment
     rather than singletons."""
+    from linkgraph.iterutil import Pin
+
+    pin = Pin(graph.edges.sparkSession, "plm_move")
     sym = graph.symmetric_edges().persist()
     # volume convention: a self-loop (coarse graphs: contracted intra-
     # community weight) contributes TWICE to its vertex's degree, keeping
@@ -116,19 +119,30 @@ def _local_move(
         # round provably cover every vertex, so "both empty" ⇒ converged —
         # no probabilistic stall window.
         gate = F.pmod(F.xxhash64("id", F.lit(t)), F.lit(2))
-        pending = best.where(F.col("target") != F.col("community"))
-        movers = pending.where(gate == 0)
+        # materialize the (small) pending-move set ONCE per round — Pin, not
+        # localCheckpoint: the window-bearing plan above regrows per round
+        # under localCheckpoint on Spark 4 (analysis-time blowup), and the
+        # two isEmpty probes + the label join would each recompute it.
+        pending = pin(
+            best.where(F.col("target") != F.col("community"))
+            .select("id", "target", gate.alias("g")),
+            "pending",
+        )
+        movers = pending.where(F.col("g") == 0)
         if movers.isEmpty():
-            movers = pending.where(gate == 1)
+            movers = pending.where(F.col("g") == 1)
             if movers.isEmpty():
                 break
-        labels = (
+        labels = pin(
             labels.join(movers.select("id", "target"), "id", "left")
             .select("id", F.coalesce("target", "community").alias("community"))
-            .localCheckpoint(eager=True)
         )
     sym.unpersist()
     deg.unpersist()
+    # one final durable copy: labels currently reads from the Pin dir,
+    # which rotates old generations away — localCheckpoint detaches it.
+    labels = labels.localCheckpoint(eager=True)
+    pin.close()
     return labels
 
 

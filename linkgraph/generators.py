@@ -123,3 +123,277 @@ def planted_sbm(
         ((F.col("id") / size).cast("int") * size).cast("bigint").alias("label"),
     )
     return edges, labels
+
+
+def watts_strogatz(
+    spark: SparkSession, n: int, k: int = 4, p: float = 0.1, seed: int = 42
+) -> DataFrame:
+    """Watts–Strogatz small world (generators/WattsStrogatzGenerator.cpp):
+    ring lattice of n vertices each wired to its k/2 clockwise neighbors,
+    then every lattice edge is independently rewired (new random dst) with
+    probability p. Fully parallel: one spark.range scan, counter-based
+    coins, no shuffle; deterministic under any partitioning."""
+    half = max(1, k // 2)
+    lattice = (
+        spark.range(n)
+        .crossJoin(spark.range(1, half + 1).withColumnRenamed("id", "j"))
+        .select(
+            F.col("id").alias("src"),
+            F.pmod(F.col("id") + F.col("j"), F.lit(n)).alias("ring_dst"),
+            "j",
+        )
+    )
+    coin = (
+        F.pmod(F.xxhash64("src", "j", F.lit(seed)), F.lit(1_000_000_007))
+        / 1_000_000_007.0
+    )
+    rand_dst = F.pmod(F.xxhash64("src", "j", F.lit(seed + 1)), F.lit(n))
+    rewired = lattice.select(
+        "src",
+        F.when(coin < p, rand_dst).otherwise(F.col("ring_dst")).alias("dst"),
+    )
+    # drop self-loops introduced by rewiring; collapse parallel edges
+    return (
+        rewired.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+
+
+def chung_lu(spark: SparkSession, degrees, seed: int = 42) -> DataFrame:
+    """Chung–Lu expected-degree model (generators/ChungLuGenerator.cpp):
+    P(i~j) = min(1, w_i·w_j / Σw). ``degrees`` is a python list or an
+    (id, w) DataFrame. Exact pairwise-Bernoulli form — candidate
+    enumeration is O(n²) rows through a filter (fixture scale, like
+    erdos_renyi); use chung_lu_fast for the sampled scale path."""
+    if not isinstance(degrees, DataFrame):
+        degrees = spark.createDataFrame(
+            list(enumerate(map(float, degrees))), "id bigint, w double"
+        )
+    s = degrees.agg(F.sum("w")).collect()[0][0] or 1.0
+    a = degrees.select(F.col("id").alias("src"), F.col("w").alias("wa"))
+    b = degrees.select(F.col("id").alias("dst"), F.col("w").alias("wb"))
+    pairs = a.crossJoin(b).where(F.col("src") < F.col("dst"))
+    coin = (
+        F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(1_000_000_007))
+        / 1_000_000_007.0
+    )
+    prob = F.least(F.lit(1.0), F.col("wa") * F.col("wb") / F.lit(float(s)))
+    return pairs.where(coin < prob).select(
+        "src", "dst", F.lit(1.0).alias("weight")
+    )
+
+
+def chung_lu_fast(
+    spark: SparkSession,
+    n: int,
+    gamma: float = 2.5,
+    avg_degree: float = 8.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Sampled Chung–Lu at scale: power-law weights w_i ∝ (i+1)^(-1/(γ-1)),
+    m = n·avg_degree/2 edges whose endpoints are drawn i.i.d. proportional
+    to w via the CLOSED-FORM inverse CDF of the weight distribution — the
+    classic 'fast Chung–Lu' approximation (endpoint sampling instead of
+    pair Bernoulli; degree expectations match as n grows). mapInPandas
+    over spark.range: embarrassingly parallel, counter-based, no shuffle."""
+    m = int(n * avg_degree / 2)
+    alpha = 1.0 / (gamma - 1.0)
+    # CDF of w_i ∝ i^-alpha over i∈[1,n]: F(x) ≈ x^(1-alpha)/n^(1-alpha)
+    # inverse: x = (u)^(1/(1-alpha)) · n   (0<alpha<1 for gamma>2)
+    inv_exp = 1.0 / (1.0 - alpha)
+    base = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy().astype(np.uint64)
+            u1 = _u01(base + ids * np.uint64(2))
+            u2 = _u01(base + ids * np.uint64(2) + np.uint64(1))
+            src = np.minimum(
+                (np.power(u1, inv_exp) * n).astype(np.int64), n - 1
+            )
+            dst = np.minimum(
+                (np.power(u2, inv_exp) * n).astype(np.int64), n - 1
+            )
+            keep = src != dst
+            yield pd.DataFrame(
+                {
+                    "src": src[keep],
+                    "dst": dst[keep],
+                    "weight": np.ones(int(keep.sum())),
+                }
+            )
+
+    return spark.range(m).mapInPandas(gen, "src bigint, dst bigint, weight double")
+
+
+def barabasi_albert(
+    spark: SparkSession, n: int, k: int = 4, seed: int = 42, max_rounds: int = 64
+) -> DataFrame:
+    """Barabási–Albert preferential attachment, DISTRIBUTED
+    (generators/BarabasiAlbertGenerator.cpp is sequential; this is the
+    parallel reformulation of Sanders & Schulz, "Scalable Generation of
+    Scale-Free Graphs" (IPL 2016), as used in KaGen): materialize the
+    virtual edge-slot array — edge e=(v, T(e)) occupies slots 2e (source,
+    known: v = k0 + e//k) and 2e+1 (target, random). T(e) is defined by
+    picking a uniform slot r(e) = hash(e) mod 2e·... among all PREVIOUS
+    slots: an even slot resolves immediately to its source vertex; an odd
+    slot aliases the target of an earlier edge → pointer chain. Chains
+    are resolved by iterative pointer-JUMPING joins (expected O(log)
+    rounds, geometric tail), so the whole graph derives from counter-based
+    hashes — deterministic under any partitioning, no sequential state.
+
+    Seed graph: a k-clique on vertices 0..k-1 (edges 0..C(k,2)-1 fixed),
+    then vertices k..n-1 attach k edges each."""
+    k0 = k
+    seed_edges = [(i, j) for i in range(k0) for j in range(i + 1, k0)]
+    n_seed = len(seed_edges)
+    base = np.uint64((seed * 0xD6E8FEB86659FD93) % (1 << 64))
+
+    # slot numbering: seed edges occupy slots [0, 2·n_seed); attachment
+    # edge e (0-based among attachments) occupies slots 2(n_seed+e),
+    # 2(n_seed+e)+1. Its random reference r(e) is uniform over all slots
+    # strictly below 2(n_seed+e).
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            e = pdf["id"].to_numpy().astype(np.int64)  # attachment index
+            src = k0 + e // k
+            lim = (2 * (n_seed + e)).astype(np.uint64)
+            r = (_splitmix64(base + e.astype(np.uint64)) % lim).astype(np.int64)
+            yield pd.DataFrame({"edge": n_seed + e, "src": src, "ref": r})
+
+    att = spark.range((n - k0) * k).mapInPandas(
+        gen, "edge bigint, src bigint, ref bigint"
+    )
+    # resolve even slots immediately: slot 2m → source of edge m
+    seed_df = spark.createDataFrame(
+        [(i, s, d) for i, (s, d) in enumerate(seed_edges)],
+        "edge bigint, src bigint, dst bigint",
+    )
+    pend = att.select(
+        "edge",
+        "src",
+        F.when(F.col("ref") % 2 == 0, (F.col("ref") / 2).cast("bigint"))
+        .otherwise(F.lit(None))
+        .alias("src_edge"),  # resolves to source vertex of this edge
+        F.when(F.col("ref") % 2 == 1, ((F.col("ref") - 1) / 2).cast("bigint"))
+        .otherwise(F.lit(None))
+        .alias("tgt_edge"),  # aliases target of this edge (chain)
+    )
+    # resolve src_edge references: seed edges via broadcast join, attachment
+    # edges via closed form.
+    seed_src = F.broadcast(seed_df.select(F.col("edge").alias("src_edge"),
+                                          F.col("src").alias("seed_src")))
+    seed_tgt = F.broadcast(seed_df.select(F.col("edge").alias("tgt_edge"),
+                                          F.col("dst").alias("seed_tgt")))
+    cur = (
+        pend.join(seed_src, "src_edge", "left")
+        .join(seed_tgt, "tgt_edge", "left")
+        .select(
+            "edge",
+            "src",
+            F.coalesce(
+                "seed_src",
+                F.when(
+                    F.col("src_edge").isNotNull(),
+                    F.lit(k0) + ((F.col("src_edge") - n_seed) / k).cast("bigint"),
+                ),
+                "seed_tgt",
+            ).alias("dst"),
+            F.when(
+                F.col("seed_tgt").isNull() & F.col("tgt_edge").isNotNull(),
+                F.col("tgt_edge"),
+            ).alias("chain"),
+        )
+    )
+    # pointer-jumping: unresolved rows need target of edge ``chain`` —
+    # which is exactly cur[edge=chain].dst once THAT row resolves. Iterate
+    # joins until no chains remain (depth is O(log m) whp: each hop halves
+    # the expected index).
+    from linkgraph.iterutil import Pin
+
+    pin = Pin(spark, "ba")
+    cur = pin(cur)
+    for _ in range(max_rounds):
+        if cur.where(F.col("chain").isNotNull()).isEmpty():
+            break
+        ref = cur.select(
+            F.col("edge").alias("chain"),
+            F.col("dst").alias("ref_dst"),
+            F.col("chain").alias("ref_chain"),
+        )
+        cur = pin(
+            cur.join(ref, "chain", "left").select(
+                "edge",
+                "src",
+                F.coalesce("dst", "ref_dst").alias("dst"),
+                F.when(F.col("dst").isNull(), F.col("ref_chain")).alias("chain"),
+            )
+        )
+    out = cur.select("src", "dst").unionByName(seed_df.select("src", "dst"))
+    return (
+        out.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+
+
+def dynamic_edge_stream(
+    spark: SparkSession,
+    n: int = 100,
+    steps: int = 200,
+    p_remove: float = 0.2,
+    seed: int = 42,
+) -> DataFrame:
+    """Timestamped graph-event table (generators/Dynamic*Generator family
+    → GraphEvent streams): step t emits either an edge ADDITION (uniform
+    random pair) or, with probability p_remove, a REMOVAL of an edge
+    added at an earlier step. Counter-based, deterministic; feed to
+    linkgraph.streaming.deltas as a replayable event source."""
+    ev = spark.range(steps).select(
+        F.col("id").alias("ts"),
+        (
+            F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(1_000_000_007))
+            / 1_000_000_007.0
+        ).alias("coin"),
+        F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(n)).alias("u"),
+        F.pmod(F.xxhash64("id", F.lit(seed + 2)), F.lit(n - 1)).alias("v0"),
+        F.pmod(F.xxhash64("id", F.lit(seed + 3)), F.greatest(F.col("id"), F.lit(1))).alias("back"),
+    )
+    adds = ev.select(
+        "ts",
+        F.lit("add_edge").alias("op"),
+        F.col("u").alias("src"),
+        # v0 ∈ [0, n-1); shift past u to avoid self-loops
+        F.when(F.col("v0") >= F.col("u"), F.col("v0") + 1).otherwise(F.col("v0")).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    removes = (
+        ev.where((F.col("coin") < p_remove) & (F.col("ts") > 0))
+        .select(F.col("ts"), F.col("back").alias("ref_ts"))
+        .join(
+            adds.select(F.col("ts").alias("ref_ts"), "src", "dst"),
+            "ref_ts",
+        )
+        .select(
+            (F.col("ts") + F.lit(0.5)).alias("tsf"),
+            F.lit("remove_edge").alias("op"),
+            "src",
+            "dst",
+            F.lit(0.0).alias("weight"),
+        )
+    )
+    return (
+        adds.select(F.col("ts").cast("double").alias("tsf"), "op", "src", "dst", "weight")
+        .unionByName(removes)
+        .orderBy("tsf")
+        .select(F.col("tsf").alias("ts"), "op", "src", "dst", "weight")
+    )

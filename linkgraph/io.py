@@ -177,3 +177,92 @@ def write_cover(cover: DataFrame, path: str) -> None:
     """Cover as parquet (id, label) pairs — the distributed-safe form
     (CoverWriter's line format does not survive distributed writes)."""
     cover.select("id", "label").write.mode("overwrite").parquet(path)
+
+
+def read_graphml(spark: SparkSession, path: str) -> Graph:
+    """GraphML reader (io/GraphMLReader.cpp scope): <node id>, <edge
+    source target> elements, edgedefault honored, optional numeric
+    <data key="weight"> child on edges. Fixture-scale (driver-side
+    ElementTree parse — GraphML is an interchange format; big graphs ship
+    as edge lists/parquet). Node ids: the reference maps arbitrary string
+    ids to dense ints in document order; same here."""
+    import xml.etree.ElementTree as ET
+
+    raw = spark.read.text(path, wholetext=True).collect()[0]["value"]
+    root = ET.fromstring(raw)
+    ns = ""
+    if root.tag.startswith("{"):
+        ns = root.tag[: root.tag.index("}") + 1]
+    g = root.find(f"{ns}graph")
+    directed = (g.get("edgedefault", "undirected") == "directed")
+    ids: dict[str, int] = {}
+    for node in g.findall(f"{ns}node"):
+        ids.setdefault(node.get("id"), len(ids))
+    edges, weighted = [], False
+    for e in g.findall(f"{ns}edge"):
+        u = ids.setdefault(e.get("source"), len(ids))
+        v = ids.setdefault(e.get("target"), len(ids))
+        w = 1.0
+        for d in e.findall(f"{ns}data"):
+            try:
+                w = float(d.text)
+                weighted = True
+            except (TypeError, ValueError):
+                pass
+        edges.append((u, v, w))
+    df = spark.createDataFrame(edges or [], "src bigint, dst bigint, weight double")
+    return Graph.from_edges(df, directed=directed, weighted=weighted)
+
+
+def write_graphml(graph: Graph, path: str) -> None:
+    """GraphML writer (io/GraphMLWriter.cpp) — fixture-scale driver-side
+    serialize, weight emitted as <data key="weight"> when the graph is
+    weighted."""
+    nodes = sorted(r["id"] for r in graph.nodes().collect())
+    edges = graph.edges.collect()
+    dflt = "directed" if graph.directed else "undirected"
+    out = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
+        '  <key id="weight" for="edge" attr.name="weight" attr.type="double"/>',
+        f'  <graph id="G" edgedefault="{dflt}">',
+    ]
+    for n in nodes:
+        out.append(f'    <node id="n{n}"/>')
+    for e in edges:
+        if graph.weighted:
+            out.append(
+                f'    <edge source="n{e["src"]}" target="n{e["dst"]}">'
+                f'<data key="weight">{e["weight"]}</data></edge>'
+            )
+        else:
+            out.append(f'    <edge source="n{e["src"]}" target="n{e["dst"]}"/>')
+    out += ["  </graph>", "</graphml>"]
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+
+
+def write_dot(graph: Graph, path: str) -> None:
+    """Graphviz DOT writer (io/DotGraphWriter.cpp) — fixture-scale
+    visualization hand-off."""
+    kind, arrow = ("digraph", "->") if graph.directed else ("graph", "--")
+    lines = [f"{kind} G {{"]
+    for e in graph.edges.collect():
+        if graph.weighted:
+            lines.append(f'  {e["src"]} {arrow} {e["dst"]} [weight={e["weight"]}];')
+        else:
+            lines.append(f'  {e["src"]} {arrow} {e["dst"]};')
+    lines.append("}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def read_thrill(spark: SparkSession, path: str) -> Graph:
+    """ThrillGraphBinaryReader scope (io/ThrillGraphBinaryReader.cpp):
+    varint-encoded adjacency lists. The distributed-native twin reads the
+    engine's own parquet/CSR-block tables instead; this reader exists for
+    fixture parity and parses driver-side."""
+    raise NotImplementedError(
+        "Thrill binary is a single-machine interchange format; use "
+        "read_edge_list/parquet CSR blocks (linkgraph.tables) instead"
+    )
