@@ -211,3 +211,81 @@ def top_closeness(graph: Graph, k: int = 10, harmonic: bool = False) -> DataFram
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(k)
     )
+
+
+def dyn_sssp_additions(
+    graph: Graph,
+    dist: DataFrame,
+    added_edges: DataFrame,
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """Incremental SSSP under edge ADDITIONS (distance/DynBFS.cpp,
+    DynDijkstra.cpp): additions only DECREASE distances, so relaxation
+    restarts from the endpoints of the new edges and propagates only the
+    improvement frontier — cost O(affected region · rounds), not a full
+    recompute. ``graph`` is the post-addition graph; ``dist`` the
+    pre-addition (id, dist) table (unreachable vertices absent).
+
+    Works for hop counts (unweighted) and non-negative weights alike —
+    same relaxation invariant as sssp(). Result is identical to
+    recomputing from scratch (pytest-pinned)."""
+    e = (graph.edges if graph.directed else graph.symmetric_edges()).select(
+        "src", "dst", "weight"
+    ).persist()
+    add = (
+        added_edges.select("src", "dst", "weight")
+        if "weight" in added_edges.columns
+        else added_edges.select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+    if not graph.directed:
+        add = add.unionByName(
+            add.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+        )
+    # seed frontier: new-edge heads whose distance improves through the
+    # added edge
+    seed = (
+        add.join(dist.withColumnRenamed("id", "src").withColumnRenamed("dist", "ds"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min(F.col("ds") + F.col("weight")).alias("nd"))
+        .join(dist.withColumnRenamed("dist", "old"), "id", "left")
+        .where(F.col("old").isNull() | (F.col("nd") < F.col("old")))
+        .select("id", F.col("nd").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = seed
+    cur = dist
+    for _ in range(max_iter):
+        if frontier.isEmpty():
+            break
+        cur = (
+            cur.join(frontier.select("id"), "id", "left_anti")
+            .unionByName(frontier)
+            .localCheckpoint(eager=True)
+        )
+        cand = (
+            frontier.join(e, frontier.id == e.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("nd"))
+        )
+        frontier = (
+            cand.join(cur.withColumnRenamed("dist", "old"), "id", "left")
+            .where(F.col("old").isNull() | (F.col("nd") < F.col("old")))
+            .select("id", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return cur
+
+
+def dyn_bfs_additions(
+    graph: Graph, dist: DataFrame, added_edges: DataFrame, max_iter: int = 10_000
+) -> DataFrame:
+    """DynBFS.cpp twin: hop-count variant of dyn_sssp_additions."""
+    return dyn_sssp_additions(
+        graph.to_unweighted(),
+        dist,
+        added_edges.select("src", "dst", F.lit(1.0).alias("weight")),
+        max_iter=max_iter,
+    )

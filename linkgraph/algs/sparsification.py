@@ -115,3 +115,123 @@ def scan_structural_similarity(graph: Graph) -> DataFrame:
             ).alias("score"),
         )
     )
+
+
+def multiscale_score(graph: Graph) -> DataFrame:
+    """(src, dst, score) — multiscale backbone significance
+    (sparsification/MultiscaleScore.cpp; Serrano et al. PNAS'09 disparity
+    filter): for edge e at endpoint x with strength s_x and degree k_x,
+    p = w_e/s_x and the edge's significance is 1 − (1−p)^(k_x−1); the
+    edge score is the MAX over both endpoints (an edge survives if it is
+    significant for either). Pure joins + codegen arithmetic — no window,
+    no UDF."""
+    sym = graph.symmetric_edges()
+    stats = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("k"), F.sum("weight").alias("s")
+    )
+    e = (
+        sym.where(F.col("src") < F.col("dst"))
+        .join(stats.withColumnRenamed("id", "src")
+              .withColumnRenamed("k", "ku").withColumnRenamed("s", "su"), "src")
+        .join(stats.withColumnRenamed("id", "dst")
+              .withColumnRenamed("k", "kv").withColumnRenamed("s", "sv"), "dst")
+    )
+
+    def sig(w, s, k):
+        p = F.least(w / s, F.lit(1.0))
+        # k=1: single edge carries all strength — fully significant
+        return F.when(k <= 1, F.lit(1.0)).otherwise(
+            F.lit(1.0) - F.pow(F.lit(1.0) - p, k - F.lit(1.0))
+        )
+
+    return e.select(
+        "src",
+        "dst",
+        F.greatest(
+            sig(F.col("weight"), F.col("su"), F.col("ku")),
+            sig(F.col("weight"), F.col("sv"), F.col("kv")),
+        ).alias("score"),
+    )
+
+
+def forest_fire_score(
+    graph: Graph,
+    n_fires: int = 64,
+    p_burn: float = 0.7,
+    max_rounds: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(src, dst, score) — ForestFireScore.cpp: repeatedly ignite a random
+    vertex and let the fire spread along edges, each neighbor catching
+    with probability p_burn; an edge's score is the fraction of fires
+    that traversed it. Distributed shape: ALL fires burn simultaneously —
+    the frontier table carries a fire column (multi-source-BFS pattern),
+    per-(fire, edge, round) coins are counter-based xxhash64, visited
+    state is a (fire, id) table. O(max_rounds) supersteps total,
+    independent of n_fires."""
+    spark = graph.edges.sparkSession
+    sym = graph.symmetric_edges().select("src", "dst").persist()
+    # start vertex of fire f: deterministic pseudo-random pick — order
+    # nodes by hash (global window over the node table happens ONCE; at
+    # true scale use a sampled start list instead), fire f starts at rank
+    # f mod n.
+    nodes = graph.nodes().select(
+        "id",
+        (F.row_number().over(Window.orderBy(F.xxhash64("id", F.lit(seed)))) - 1).alias("r"),
+    )
+    n = nodes.count()
+    starts = (
+        spark.range(n_fires)
+        .select(F.col("id").alias("fire"), F.pmod(F.col("id"), F.lit(n)).alias("r"))
+        .join(nodes, "r")
+        .select("fire", "id")
+    )
+    visited = starts.localCheckpoint(eager=True)
+    frontier = visited
+    burns = None
+    for t in range(max_rounds):
+        cand = (
+            frontier.join(sym, frontier.id == sym.src)
+            .select("fire", "src", "dst")
+            .withColumn(
+                "coin",
+                F.pmod(
+                    F.xxhash64("fire", "src", "dst", F.lit(seed + t)),
+                    F.lit(1_000_000_007),
+                )
+                / 1_000_000_007.0,
+            )
+            .where(F.col("coin") < p_burn)
+            .select("fire", "src", "dst")
+        )
+        new_burn_edges = cand.join(
+            visited.select("fire", F.col("id").alias("dst")), ["fire", "dst"], "left_anti"
+        ).localCheckpoint(eager=True)
+        burns = (
+            new_burn_edges
+            if burns is None
+            else burns.unionByName(new_burn_edges).localCheckpoint(eager=True)
+        )
+        frontier = (
+            new_burn_edges.select("fire", F.col("dst").alias("id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    sym.unpersist()
+    if burns is None:
+        return graph.edges.select("src", "dst", F.lit(0.0).alias("score"))
+    canon = burns.select(
+        "fire", F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
+    counts = canon.groupBy("src", "dst").agg(
+        (F.count("*") / F.lit(float(n_fires))).alias("score")
+    )
+    base = graph.edges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
+    return base.join(counts, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("score", F.lit(0.0)).alias("score")
+    )

@@ -1,0 +1,176 @@
+"""Round-2c: DynBFS/DynDijkstra, ForestFire + Multiscale scores,
+PageRankNibble, SEIR simulation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph
+from tests.conftest import collect_map, make_graph
+
+
+# --------------------------------------------------------------------------
+# DynBFS / DynDijkstra
+# --------------------------------------------------------------------------
+
+def test_dyn_bfs_matches_recompute(spark):
+    from linkgraph.algs.bfs import bfs, dyn_bfs_additions
+
+    base = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    g0 = make_graph(spark, base)
+    d0 = bfs(g0, 0)
+    # add a shortcut 0-4 and an off-path edge 1-3
+    add = spark.createDataFrame([(0, 4), (1, 3)], "src bigint, dst bigint")
+    g1 = make_graph(spark, base + [(0, 4), (1, 3)])
+    got = collect_map(dyn_bfs_additions(g1, d0, add), "id", "dist")
+    want = collect_map(bfs(g1, 0), "id", "dist")
+    assert got == want
+    assert got[4] == 1.0 and got[3] == 2.0
+
+
+def test_dyn_bfs_reaches_new_vertices(spark):
+    from linkgraph.algs.bfs import bfs, dyn_bfs_additions
+
+    g0 = make_graph(spark, [(0, 1)])
+    d0 = bfs(g0, 0)
+    add = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    g1 = make_graph(spark, [(0, 1), (1, 2), (2, 3)])
+    got = collect_map(dyn_bfs_additions(g1, d0, add), "id", "dist")
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0}
+
+
+def test_dyn_sssp_weighted(spark):
+    from linkgraph.algs.bfs import dyn_sssp_additions, sssp
+
+    base = [(0, 1, 10.0), (1, 2, 10.0)]
+    df0 = spark.createDataFrame(base, "src bigint, dst bigint, weight double")
+    g0 = Graph.from_edges(df0, weighted=True)
+    d0 = sssp(g0, 0)
+    add = spark.createDataFrame([(0, 2, 3.0)], "src bigint, dst bigint, weight double")
+    g1 = Graph.from_edges(df0.unionByName(add), weighted=True)
+    got = collect_map(dyn_sssp_additions(g1, d0, add), "id", "dist")
+    want = collect_map(sssp(g1, 0), "id", "dist")
+    assert got == want
+    assert got[2] == 3.0
+    # improvement propagates THROUGH old edges: dist(1) via 2 would be 13 —
+    # original 10 stands; but dist via new edge where shorter must win
+    assert got[1] == 10.0
+
+
+# --------------------------------------------------------------------------
+# sparsification scores
+# --------------------------------------------------------------------------
+
+def test_multiscale_score_values(spark):
+    from linkgraph.algs.sparsification import multiscale_score
+
+    df = spark.createDataFrame(
+        [(0, 1, 8.0), (0, 2, 1.0), (0, 3, 1.0)],
+        "src bigint, dst bigint, weight double",
+    )
+    g = Graph.from_edges(df, weighted=True)
+    sc = {(r.src, r.dst): r.score for r in multiscale_score(g).collect()}
+    # endpoint 1 has k=1 → significance 1.0 → max = 1.0
+    assert sc[(0, 1)] == pytest.approx(1.0)
+    # edge (0,2): at 0: p=1/10,k=3 → 1-(0.9)^2=0.19; at 2: k=1 → 1.0
+    assert sc[(0, 2)] == pytest.approx(1.0)
+
+
+def test_multiscale_hub_side(spark):
+    from linkgraph.algs.sparsification import multiscale_score
+
+    # star where leaves have degree 2 (ring among leaves) so no k=1 shortcut
+    df = spark.createDataFrame(
+        [(0, 1, 9.0), (0, 2, 1.0), (1, 2, 1.0)],
+        "src bigint, dst bigint, weight double",
+    )
+    g = Graph.from_edges(df, weighted=True)
+    sc = {(r.src, r.dst): r.score for r in multiscale_score(g).collect()}
+    # heavy edge (0,1) should be more significant than light (0,2)
+    assert sc[(0, 1)] > sc[(0, 2)]
+
+
+def test_forest_fire_score(spark, two_triangles_bridge):
+    from linkgraph.algs.sparsification import forest_fire_score
+
+    sc = forest_fire_score(two_triangles_bridge, n_fires=32, p_burn=0.8, seed=3)
+    rows = {(r.src, r.dst): r.score for r in sc.collect()}
+    assert len(rows) == 7  # all edges present
+    assert all(0.0 <= v <= 1.0 for v in rows.values())
+    assert sum(rows.values()) > 0  # something burned
+    # deterministic
+    sc2 = forest_fire_score(two_triangles_bridge, n_fires=32, p_burn=0.8, seed=3)
+    rows2 = {(r.src, r.dst): r.score for r in sc2.collect()}
+    assert rows == rows2
+
+
+# --------------------------------------------------------------------------
+# PageRankNibble
+# --------------------------------------------------------------------------
+
+def test_ppr_localizes(spark, two_triangles_bridge):
+    from linkgraph.algs.scd import personalized_pagerank
+
+    ppr = collect_map(
+        personalized_pagerank(two_triangles_bridge, [0]), "id", "rank"
+    )
+    # mass concentrates on the seed triangle {0,1,2}
+    assert ppr[0] > ppr[3] and ppr[1] > ppr[4]
+    assert sum(ppr.values()) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_pagerank_nibble_finds_seed_triangle(spark, two_triangles_bridge):
+    from linkgraph.algs.scd import conductance_of, pagerank_nibble
+
+    comm = pagerank_nibble(two_triangles_bridge, [0])
+    members = sorted(r["id"] for r in comm.collect())
+    assert members == [0, 1, 2]
+    assert conductance_of(two_triangles_bridge, comm) == pytest.approx(1 / 7)
+
+
+def test_conductance_of_whole_graph(spark, two_triangles_bridge):
+    from linkgraph.algs.scd import conductance_of
+
+    all_nodes = two_triangles_bridge.nodes()
+    # S = V → denominator 0 → conductance 1.0 by convention
+    assert conductance_of(two_triangles_bridge, all_nodes) == 1.0
+
+
+# --------------------------------------------------------------------------
+# SEIR
+# --------------------------------------------------------------------------
+
+def test_seir_full_spread(spark, path_5):
+    from linkgraph.algs.simulation import seir
+
+    final, census = seir(
+        path_5, zero=[0], p_transmit=1.0, t_latent=1, t_infectious=3, ticks=40,
+        seed=1,
+    )
+    states = collect_map(final, "id", "state")
+    # p=1 on a connected path: everyone eventually recovers
+    assert all(s == 3 for s in states.values())
+    # census conserves population
+    assert all(s + e + i + r == 5 for _, s, e, i, r in census)
+    # epidemic is over at the end
+    assert census[-1][2] == 0 and census[-1][3] == 0
+
+
+def test_seir_no_transmission(spark, path_5):
+    from linkgraph.algs.simulation import seir
+
+    final, census = seir(
+        path_5, zero=[2], p_transmit=0.0, t_infectious=2, ticks=10, seed=1
+    )
+    states = collect_map(final, "id", "state")
+    assert states[2] == 3  # patient zero recovered
+    assert sum(1 for s in states.values() if s == 0) == 4  # rest untouched
+
+
+def test_seir_deterministic(spark, karate):
+    from linkgraph.algs.simulation import seir
+
+    _, c1 = seir(karate, zero=[0], p_transmit=0.3, ticks=12, seed=7)
+    _, c2 = seir(karate, zero=[0], p_transmit=0.3, ticks=12, seed=7)
+    assert c1 == c2
