@@ -593,6 +593,130 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "neighbor_id", F.round("cos", 4).alias("cos")
         )
 
+    # --- round-2b/2c operators ------------------------------------------
+    def doc_sfigality(spark, sf):
+        from linkgraph.algs.centrality import sfigality
+
+        g = _doc_graph(spark, sf)
+        return sfigality(g).select("id", F.round("score", 6).alias("score"))
+
+    def doc_local_similarity(spark, sf):
+        from linkgraph.algs.sparsification import local_similarity_score
+
+        g = _doc_graph(spark, sf)
+        return local_similarity_score(g).select(
+            "src", "dst", F.round("score", 6).alias("score")
+        )
+
+    def doc_scan_similarity(spark, sf):
+        from linkgraph.algs.sparsification import scan_structural_similarity
+
+        g = _doc_graph(spark, sf)
+        return scan_structural_similarity(g).select(
+            "src", "dst", F.round("score", 6).alias("score")
+        )
+
+    def doc_multiscale(spark, sf):
+        from linkgraph.algs.sparsification import multiscale_score
+
+        g = _doc_graph(spark, sf)
+        return multiscale_score(g).select(
+            "src", "dst", F.round("score", 6).alias("score")
+        )
+
+    def doc_local_coverage(spark, sf):
+        from linkgraph.algs.community import local_partition_coverage
+
+        g = _doc_graph(spark, sf)
+        labels = g.nodes().select("id", (F.col("id") % 7).alias("label"))
+        return local_partition_coverage(g, labels).select(
+            "id", F.round("coverage", 6).alias("coverage")
+        )
+
+    def doc_permanence(spark, sf):
+        from linkgraph.algs.community import permanence
+
+        g = _doc_graph(spark, sf)
+        labels = g.nodes().select("id", (F.col("id") % 7).alias("label"))
+        return permanence(g, labels).select(
+            "id", F.round("permanence", 6).alias("permanence")
+        )
+
+    def doc_attr_assort(spark, sf):
+        from linkgraph.algs.centrality import attribute_assortativity
+
+        g = _doc_graph(spark, sf)
+        attrs = spark.table("documents").select(
+            F.col("doc_id").alias("id"), F.col("n_chars").alias("value")
+        )
+        r = attribute_assortativity(g, attrs)
+        return spark.createDataFrame([(round(r, 6),)], "assortativity double")
+
+    def partition_measures(spark, sf):
+        from linkgraph.algs.community import (
+            graph_structural_rand,
+            jaccard_measure,
+            node_structural_rand,
+        )
+
+        g = _doc_graph(spark, sf)
+        a = g.nodes().select("id", (F.col("id") % 3).alias("label"))
+        b = g.nodes().select("id", (F.col("id") % 5).alias("label"))
+        return spark.createDataFrame(
+            [(
+                round(jaccard_measure(a, b), 6),
+                round(node_structural_rand(a, b), 6),
+                round(graph_structural_rand(g, a, b), 6),
+            )],
+            "jaccard double, node_rand double, graph_rand double",
+        )
+
+    def doc_top_closeness(spark, sf):
+        from linkgraph.algs.bfs import closeness
+
+        g = _doc_graph(spark, sf, directed=False)
+        return (
+            closeness(g)
+            .select("id", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(10)
+        )
+
+    def doc_nibble(spark, sf):
+        """PageRankNibble community around seed 0 — PPR is tol-converged
+        (not fixed-iteration), so rows-only; membership set is pinned by
+        the pytest conductance oracle on fixtures."""
+        from linkgraph.algs.scd import pagerank_nibble
+
+        g = _doc_graph(spark, sf, directed=False)
+        return pagerank_nibble(g, [0]).orderBy("id")
+
+    def doc_seir_census(spark, sf):
+        """SEIR per-tick compartment census (xxhash64 coins → rows-only;
+        determinism + conservation pinned in pytest)."""
+        from linkgraph.algs.simulation import seir
+
+        g = _doc_graph(spark, sf, directed=False)
+        _, census = seir(g, zero=[0], p_transmit=0.05, ticks=8, seed=42)
+        return spark.createDataFrame(
+            census, "tick int, s bigint, e bigint, i bigint, r bigint"
+        )
+
+    def gen_ba_structure(spark, sf):
+        """Distributed Barabási–Albert structural fingerprint (xxhash64
+        slot references → rows-only; structure pinned in pytest): degree
+        histogram of the n=500,k=3 graph."""
+        from linkgraph.generators import barabasi_albert
+        from linkgraph.graph import Graph as _G
+
+        g = _G.from_edges(barabasi_albert(spark, 500, k=3, seed=42))
+        return (
+            g.degrees()
+            .groupBy("degree")
+            .agg(F.count("*").alias("n"))
+            .orderBy("degree")
+        )
+
     return {
         "doc_degrees": doc_degrees,
         "doc_out_degrees": doc_out_degrees,
@@ -653,6 +777,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_stats": events_type_stats,
         "embed_cosine_top5": embed_cosine_top5,
         "embed_lsh_top5": embed_lsh_top5,
+        "doc_sfigality": doc_sfigality,
+        "doc_local_similarity": doc_local_similarity,
+        "doc_scan_similarity": doc_scan_similarity,
+        "doc_multiscale": doc_multiscale,
+        "doc_local_coverage": doc_local_coverage,
+        "doc_permanence": doc_permanence,
+        "doc_attr_assort": doc_attr_assort,
+        "partition_measures": partition_measures,
+        "doc_top_closeness": doc_top_closeness,
+        "doc_nibble": doc_nibble,
+        "doc_seir_census": doc_seir_census,
+        "gen_ba_structure": gen_ba_structure,
     }
 
 
@@ -962,6 +1098,19 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["doc_katz"] = G.katz_sql(EDGES_CTE_MAT, alpha=0.01, beta=1.0, iters=12)
     sql["doc_bfs"] = G.bfs_sql(EDGES_CTE_MAT, source=0, hops=12)
     sql["doc_sssp"] = G.sssp_sql(EDGES_CTE_MAT, source=0, rounds=16)
+    sql["doc_sfigality"] = G.sfigality_sql(EDGES_CTE_MAT)
+    sql["doc_local_similarity"] = G.local_similarity_sql(EDGES_CTE_MAT)
+    sql["doc_scan_similarity"] = G.scan_similarity_sql(EDGES_CTE_MAT)
+    sql["doc_multiscale"] = G.multiscale_sql(EDGES_CTE_MAT)
+    sql["doc_local_coverage"] = G.local_coverage_sql(EDGES_CTE_MAT)
+    sql["doc_permanence"] = G.permanence_sql(EDGES_CTE_MAT)
+    sql["doc_attr_assort"] = G.attr_assort_sql(EDGES_CTE_MAT)
+    sql["partition_measures"] = G.partition_measures_sql(EDGES_CTE_MAT)
+    sql["doc_top_closeness"] = (
+        "SELECT * FROM ("
+        + G.closeness_sql(EDGES_CTE_MAT, harmonic=False, hops=12)
+        + ") z ORDER BY score DESC, id ASC LIMIT 10"
+    )
     sql["doc_closeness"] = G.closeness_sql(EDGES_CTE_MAT, harmonic=False, hops=12)
     sql["doc_harmonic"] = G.closeness_sql(EDGES_CTE_MAT, harmonic=True, hops=12)
     sql["doc_eccentricity"] = G.eccentricity_sql(EDGES_CTE_MAT, hops=12)

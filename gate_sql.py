@@ -652,3 +652,159 @@ inter AS (
 SELECT c.src, c.dst, CAST(COALESCE(i.i, 0) AS DOUBLE) AS score
 FROM canon c LEFT JOIN inter i ON i.src = c.src AND i.dst = c.dst
 """
+
+
+_CANON_TRI = """
+ce AS MATERIALIZED (SELECT src, dst, weight FROM sym WHERE src < dst),
+cn AS MATERIALIZED (
+  SELECT a.src AS u, b.src AS v, count(*) AS t
+  FROM sym a JOIN sym b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY a.src, b.src
+),
+deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)"""
+
+
+def sfigality_sql(cte: str) -> str:
+    """Per-vertex fraction of neighbors with strictly higher degree."""
+    return f"""
+WITH {cte},
+deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
+per AS (
+  SELECT s.src AS id,
+         CAST(SUM(CASE WHEN dd.d > ds.d THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS score
+  FROM sym s JOIN deg ds ON ds.id = s.src JOIN deg dd ON dd.id = s.dst
+  GROUP BY s.src
+)
+SELECT n.id, ROUND(COALESCE(per.score, 0.0), 6) AS score
+FROM nodes n LEFT JOIN per ON per.id = n.id
+"""
+
+
+def local_similarity_sql(cte: str) -> str:
+    """Per-edge Jaccard of open neighborhoods: T/(du+dv-T-2)."""
+    return f"""
+WITH {cte},
+{_CANON_TRI}
+SELECT ce.src, ce.dst,
+  ROUND(CASE WHEN du.d + dv.d - COALESCE(cn.t, 0) - 2 > 0
+        THEN CAST(COALESCE(cn.t, 0) AS DOUBLE) / (du.d + dv.d - COALESCE(cn.t, 0) - 2)
+        ELSE 0.0 END, 6) AS score
+FROM ce JOIN deg du ON du.id = ce.src JOIN deg dv ON dv.id = ce.dst
+LEFT JOIN cn ON cn.u = ce.src AND cn.v = ce.dst
+"""
+
+
+def scan_similarity_sql(cte: str) -> str:
+    """SCAN structural similarity with closed neighborhoods."""
+    return f"""
+WITH {cte},
+{_CANON_TRI}
+SELECT ce.src, ce.dst,
+  ROUND((COALESCE(cn.t, 0) + 2) / SQRT((du.d + 1.0) * (dv.d + 1.0)), 6) AS score
+FROM ce JOIN deg du ON du.id = ce.src JOIN deg dv ON dv.id = ce.dst
+LEFT JOIN cn ON cn.u = ce.src AND cn.v = ce.dst
+"""
+
+
+def multiscale_sql(cte: str) -> str:
+    """Disparity-filter significance, max over endpoints."""
+    return f"""
+WITH {cte},
+st AS (SELECT src AS id, count(*) AS k, SUM(weight) AS s FROM sym GROUP BY src),
+ce AS (SELECT src, dst, weight FROM sym WHERE src < dst)
+SELECT ce.src, ce.dst, ROUND(GREATEST(
+  CASE WHEN su.k <= 1 THEN 1.0
+       ELSE 1.0 - POWER(1.0 - LEAST(ce.weight / su.s, 1.0), su.k - 1) END,
+  CASE WHEN sv.k <= 1 THEN 1.0
+       ELSE 1.0 - POWER(1.0 - LEAST(ce.weight / sv.s, 1.0), sv.k - 1) END
+), 6) AS score
+FROM ce JOIN st su ON su.id = ce.src JOIN st sv ON sv.id = ce.dst
+"""
+
+
+def local_coverage_sql(cte: str) -> str:
+    """Per-vertex fraction of incident weight staying in its id%7 part."""
+    return f"""
+WITH {cte},
+{_LABELED},
+per AS (
+  SELECT src AS id,
+         SUM(CASE WHEN sl = dl THEN weight ELSE 0.0 END) / SUM(weight) AS cov
+  FROM le GROUP BY src
+)
+SELECT n.id, ROUND(COALESCE(per.cov, 0.0), 6) AS coverage
+FROM nodes n LEFT JOIN per ON per.id = n.id
+"""
+
+
+def permanence_sql(cte: str) -> str:
+    """Per-vertex permanence vs the fixed id%7 labeling."""
+    return f"""
+WITH {cte},
+{_LABELED},
+per AS (
+  SELECT src AS id, count(*) AS deg,
+         SUM(CASE WHEN sl = dl THEN 1 ELSE 0 END) AS internal
+  FROM le GROUP BY src
+),
+emax AS (
+  SELECT src AS id, MAX(c) AS emax FROM (
+    SELECT src, dl, count(*) AS c FROM le WHERE sl <> dl GROUP BY src, dl
+  ) z GROUP BY src
+),
+iund AS MATERIALIZED (SELECT src AS a, dst AS b FROM le WHERE sl = dl AND src < dst),
+itri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM iund e1 JOIN iund e2 ON e2.a = e1.b
+         JOIN iund e3 ON e3.a = e1.a AND e3.b = e2.b),
+icorn AS (
+  SELECT x AS id FROM itri UNION ALL SELECT y FROM itri UNION ALL SELECT z FROM itri
+),
+itc AS (SELECT id, count(*) AS tri FROM icorn GROUP BY id),
+sc AS (
+  SELECT p.id,
+    CASE WHEN p.deg > 0 THEN
+      CAST(p.internal AS DOUBLE) / (GREATEST(COALESCE(e.emax, 1), 1) * p.deg)
+      - (1.0 - CASE WHEN p.internal >= 2
+               THEN COALESCE(t.tri, 0) / (p.internal * (p.internal - 1) / 2.0)
+               ELSE 0.0 END)
+    ELSE 0.0 END AS perm
+  FROM per p LEFT JOIN emax e ON e.id = p.id LEFT JOIN itc t ON t.id = p.id
+)
+SELECT n.id, ROUND(COALESCE(sc.perm, 0.0), 6) AS permanence
+FROM nodes n LEFT JOIN sc ON sc.id = n.id
+"""
+
+
+def attr_assort_sql(cte: str) -> str:
+    """Pearson correlation of documents.n_chars across edges."""
+    return f"""
+WITH {cte},
+val AS (SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS v FROM documents)
+SELECT ROUND(CORR(va.v, vb.v), 6) AS assortativity
+FROM sym s JOIN val va ON va.id = s.src JOIN val vb ON vb.id = s.dst
+"""
+
+
+def partition_measures_sql(cte: str) -> str:
+    """Jaccard / node-structural-Rand / graph-structural-Rand between the
+    fixed partitions id%3 and id%5, as one scalar row."""
+    return f"""
+WITH {cte},
+ct AS (SELECT id % 3 AS la, id % 5 AS lb, count(*) AS n FROM nodes GROUP BY 1, 2),
+tot AS (SELECT SUM(n) AS n FROM ct),
+s11 AS (SELECT SUM(n * (n - 1) / 2.0) AS v FROM ct),
+sa AS (SELECT SUM(m * (m - 1) / 2.0) AS v FROM (SELECT SUM(n) AS m FROM ct GROUP BY la) z),
+sb AS (SELECT SUM(m * (m - 1) / 2.0) AS v FROM (SELECT SUM(n) AS m FROM ct GROUP BY lb) z),
+gr AS (
+  SELECT CAST(SUM(CASE WHEN (src % 3 = dst % 3) <> (src % 5 = dst % 5)
+                  THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS v
+  FROM sym WHERE src < dst
+)
+SELECT
+  ROUND((SELECT v FROM s11) /
+        ((SELECT v FROM sa) + (SELECT v FROM sb) - (SELECT v FROM s11)), 6) AS jaccard,
+  ROUND(1.0 - ((SELECT n FROM tot) * ((SELECT n FROM tot) - 1) / 2.0
+               - (SELECT v FROM sa) - (SELECT v FROM sb) + 2 * (SELECT v FROM s11))
+            / ((SELECT n FROM tot) * ((SELECT n FROM tot) - 1) / 2.0), 6) AS node_rand,
+  ROUND((SELECT v FROM gr), 6) AS graph_rand
+"""

@@ -93,24 +93,28 @@ def pagerank_nibble(
     at most ``max_support`` rows (top support by rank), explicitly
     bounded — never a full-table sort."""
     ppr = personalized_pagerank(graph, seeds, alpha=alpha, tol=tol)
-    deg = graph.remove_self_loops().degrees().select("id", "degree")
+    # WEIGHTED degree throughout: vol, cut and 2m must share one unit or
+    # the sweep denominators disagree on weighted graphs
+    deg = graph.remove_self_loops().degrees().select(
+        "id", F.col("weighted_degree").alias("wdeg")
+    )
     two_m = float(
         graph.symmetric_edges().agg(F.sum("weight")).collect()[0][0] or 0.0
     )
     support = (
         ppr.join(deg, "id")
-        .where(F.col("degree") > 0)
-        .select("id", (F.col("rank") / F.col("degree")).alias("key"), "degree")
+        .where(F.col("wdeg") > 0)
+        .select("id", (F.col("rank") / F.col("wdeg")).alias("key"), "wdeg")
         .orderBy(F.desc("key"), F.asc("id"))
         .limit(max_support)
         .localCheckpoint(eager=True)
     )
-    # prefix volume: running sum of degree in sweep order
+    # prefix volume: running sum of weighted degree in sweep order
     w = Window.orderBy(F.desc("key"), F.asc("id"))
     pref = support.select(
         "id",
         F.row_number().over(w).alias("pos"),
-        F.sum("degree").over(w).alias("vol"),
+        F.sum("wdeg").over(w).alias("vol"),
     ).persist()
     # cut(prefix) = vol(prefix) − 2·internal_edges(prefix): count internal
     # edges per prefix via the LATER endpoint's position.
