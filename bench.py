@@ -97,15 +97,21 @@ def main() -> None:
     timed("doc_plp", lambda: label_propagation(g, max_iter=20).count())
 
     # --- extraction throughput --------------------------------------------
-    pages = synth_pages(spark, n_pages=2000, seed=42).persist()
+    # 10k pages + a warmup pass: at 2k pages the ~2-3 s fixed job overhead
+    # swamps the (vectorized) per-page work and the metric measures Spark
+    # scheduling, not the operator (r01 reported 797 p/s where the warm
+    # operator does 4-5k p/s).
+    n_pages = 10_000
+    pages = synth_pages(spark, n_pages=n_pages, seed=42).persist()
     pages.count()
 
     def run_extract():
         edges, _ = pages_to_edges(pages)
         return edges.count()
 
+    run_extract()  # warmup (code paths + Arrow init)
     n_ext = timed("extraction", run_extract)
-    extras["extraction_pages_per_sec"] = round(2000 / timings["extraction"], 1)
+    extras["extraction_pages_per_sec"] = round(n_pages / timings["extraction"], 1)
     extras["extracted_edges"] = n_ext
 
     # --- text/dedup + similarity ------------------------------------------
