@@ -509,3 +509,77 @@ def permanence(graph: Graph, labels: DataFrame) -> DataFrame:
         .join(out, "id", "left")
         .select("id", F.coalesce(score, F.lit(0.0)).alias("permanence"))
     )
+
+
+def overlapping_nmi(a: DataFrame, b: DataFrame) -> float:
+    """NMI between two COVERS (overlapping communities) — the LFK measure
+    (community/OverlappingNMIDistance.cpp; Lancichinetti/Fortunato/Kertész
+    NJP'09). Inputs are (id, label) tables where a vertex may carry
+    several labels. Returns similarity in [0,1] (1 = identical covers).
+
+    Shape: one distributed pass builds the per-cluster-pair overlap
+    contingency + per-cluster sizes (hash aggs); the per-cluster
+    best-match entropy minimization then runs driver-side over the
+    (clusters_a × overlapping clusters_b) table — community COUNTS, not
+    vertex counts, and only overlapping pairs materialize."""
+    import math as _m
+
+    n = (
+        a.select("id").unionByName(b.select("id")).distinct().count()
+    )
+    if n == 0:
+        return 1.0
+    sa = {r["label"]: r["n"] for r in
+          a.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    sb = {r["label"]: r["n"] for r in
+          b.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    ov: dict = {}
+    rows = (
+        a.select("id", F.col("label").alias("la"))
+        .join(b.select("id", F.col("label").alias("lb")), "id")
+        .groupBy("la", "lb")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    for r in rows:
+        ov[(r["la"], r["lb"])] = r["n"]
+
+    def h(p: float) -> float:
+        return -p * _m.log(p) if p > 0 else 0.0
+
+    def h_pair(w: int, x: int, y: int) -> float | None:
+        """H(X_i|Y_j) for clusters of sizes x, y overlapping in w
+        vertices; None when the LFK validity constraint rejects the
+        pair (avoids rewarding complementary clusters)."""
+        p11 = w / n
+        p10 = (x - w) / n
+        p01 = (y - w) / n
+        p00 = 1.0 - p11 - p10 - p01
+        if h(p11) + h(p00) < h(p10) + h(p01):
+            return None
+        hy = h(y / n) + h(1.0 - y / n)
+        return h(p11) + h(p10) + h(p01) + h(p00) - hy
+
+    def cond_entropy(sx: dict, sy: dict, pairs: dict) -> float:
+        """Normalized H(X|Y) averaged over X's clusters."""
+        total = 0.0
+        for lx, x in sx.items():
+            hx = h(x / n) + h(1.0 - x / n)
+            best = None
+            for (la, lb), w in pairs.items():
+                if la != lx:
+                    continue
+                v = h_pair(w, x, sy[lb])
+                if v is not None and (best is None or v < best):
+                    best = v
+            if best is None:
+                norm = 1.0  # no admissible match → maximal conditional entropy
+            else:
+                norm = best / hx if hx > 0 else 0.0
+            total += norm
+        return total / len(sx) if sx else 0.0
+
+    ov_t = {(lb, la): w for (la, lb), w in ov.items()}
+    hxy = cond_entropy(sa, sb, ov)
+    hyx = cond_entropy(sb, sa, ov_t)
+    return 1.0 - 0.5 * (hxy + hyx)

@@ -266,3 +266,71 @@ def read_thrill(spark: SparkSession, path: str) -> Graph:
         "Thrill binary is a single-machine interchange format; use "
         "read_edge_list/parquet CSR blocks (linkgraph.tables) instead"
     )
+
+
+def read_dgs(spark: SparkSession, path: str) -> DataFrame:
+    """DGS dynamic-graph-stream parser (io/DGSStreamParser.cpp scope):
+    produces the engine's canonical event table (ts, op, src, dst,
+    weight) consumable by linkgraph.streaming.deltas / apply_deltas.
+
+    Supported DGS events (the subset the reference's GraphUpdater
+    consumes): ``st <t>`` time step, ``an <v>`` node add (recorded as a
+    self-weight-0 marker row is NOT emitted — the engine's node set is
+    edge-derived), ``ae <name> <u> <v> [w]`` edge add, ``ce <name> <w>``
+    edge weight change, ``de <name>`` edge removal. Edge names map to
+    their (u, v) pair from the ``ae`` that introduced them.
+
+    Declarative scan for the row bulk is impossible here because ``de``/
+    ``ce`` reference edge NAMES — resolving needs the ae-table; parsing
+    is a driver-side pass (DGS is a fixture/interchange format; scale
+    streams use the parquet delta source)."""
+    raw = spark.read.text(path).collect()
+    events = []
+    t = 0
+    names: dict[str, tuple] = {}
+    for row in raw:
+        line = row["value"].strip()
+        if not line or line.startswith("#") or line.startswith("DGS"):
+            continue
+        parts = line.split()
+        kind = parts[0].lower()
+        if kind == "st":
+            t = int(float(parts[1]))
+        elif kind == "ae":
+            u, v = int(parts[2]), int(parts[3])
+            w = float(parts[4]) if len(parts) > 4 else 1.0
+            names[parts[1]] = (u, v)
+            events.append((float(t), "add_edge", u, v, w))
+        elif kind == "ce" and parts[1] in names:
+            u, v = names[parts[1]]
+            events.append((float(t), "update_weight", u, v, float(parts[2])))
+        elif kind == "de" and parts[1] in names:
+            u, v = names[parts[1]]
+            events.append((float(t), "remove_edge", u, v, 0.0))
+        # an/dn/cn: node-level events — node set is edge-derived, ignored
+    return spark.createDataFrame(
+        events, "ts double, op string, src bigint, dst bigint, weight double"
+    )
+
+
+def write_dgs(events: DataFrame, path: str) -> None:
+    """Serialize an engine event table back to DGS (fixture-scale)."""
+    rows = events.select("ts", "op", "src", "dst", "weight").orderBy(
+        "ts", "src", "dst"
+    ).collect()
+    out = ["DGS004", "dgs 0 0"]
+    last_t = None
+    for r in rows:
+        t = int(r["ts"])
+        if t != last_t:
+            out.append(f"st {t}")
+            last_t = t
+        name = f"e{r['src']}_{r['dst']}"
+        if r["op"] == "add_edge":
+            out.append(f"ae {name} {r['src']} {r['dst']} {r['weight']}")
+        elif r["op"] == "update_weight":
+            out.append(f"ce {name} {r['weight']}")
+        elif r["op"] == "remove_edge":
+            out.append(f"de {name}")
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")

@@ -291,3 +291,79 @@ def test_permanence_matches_reference_formula_on_karate(spark, karate):
         cin = tri / pairs if pairs > 0 else 0.0
         want = len(internal) / (emax * deg) - (1 - cin) if deg else 0.0
         assert got[v] == pytest.approx(want, abs=1e-9), f"vertex {v}"
+
+
+# --------------------------------------------------------------------------
+# overlapping NMI
+# --------------------------------------------------------------------------
+
+def test_overlapping_nmi_identity(spark):
+    from linkgraph.algs.community import overlapping_nmi
+
+    a = _labels(spark, [(0, 0), (1, 0), (2, 1), (3, 1)])
+    b = _labels(spark, [(0, 7), (1, 7), (2, 9), (3, 9)])
+    assert overlapping_nmi(a, b) == pytest.approx(1.0)
+
+
+def test_overlapping_nmi_with_overlap(spark):
+    from linkgraph.algs.community import overlapping_nmi
+
+    # identical covers where vertex 2 belongs to BOTH clusters
+    a = _labels(spark, [(0, 0), (1, 0), (2, 0), (2, 1), (3, 1), (4, 1)])
+    b = _labels(spark, [(0, 5), (1, 5), (2, 5), (2, 6), (3, 6), (4, 6)])
+    assert overlapping_nmi(a, b) == pytest.approx(1.0)
+    # vs a genuinely different cover: similarity strictly below 1
+    c = _labels(spark, [(0, 0), (1, 1), (2, 0), (3, 1), (4, 0)])
+    assert overlapping_nmi(a, c) < 0.7
+
+
+def test_overlapping_nmi_symmetry(spark):
+    from linkgraph.algs.community import overlapping_nmi
+
+    a = _labels(spark, [(0, 0), (1, 0), (2, 1), (3, 1), (4, 2)])
+    b = _labels(spark, [(0, 0), (1, 1), (2, 1), (3, 2), (4, 2)])
+    assert overlapping_nmi(a, b) == pytest.approx(overlapping_nmi(b, a))
+
+
+# --------------------------------------------------------------------------
+# DGS stream format
+# --------------------------------------------------------------------------
+
+def test_dgs_roundtrip(spark, tmp_path):
+    from linkgraph.io import read_dgs, write_dgs
+
+    p = str(tmp_path / "g.dgs")
+    with open(p, "w") as f:
+        f.write(
+            "DGS004\ndgs 0 0\n"
+            "st 0\nae e1 0 1 2.5\nae e2 1 2\n"
+            "st 1\nce e1 9.0\n"
+            "st 2\nde e2\n"
+        )
+    ev = read_dgs(spark, p)
+    rows = [(r["ts"], r["op"], r["src"], r["dst"], r["weight"]) for r in
+            ev.orderBy("ts", "src").collect()]
+    assert rows == [
+        (0.0, "add_edge", 0, 1, 2.5),
+        (0.0, "add_edge", 1, 2, 1.0),
+        (1.0, "update_weight", 0, 1, 9.0),
+        (2.0, "remove_edge", 1, 2, 0.0),
+    ]
+    # round-trip through the writer
+    p2 = str(tmp_path / "g2.dgs")
+    write_dgs(ev, p2)
+    ev2 = read_dgs(spark, p2)
+    assert sorted(map(tuple, ev2.collect())) == sorted(map(tuple, ev.collect()))
+
+
+def test_dgs_feeds_apply_deltas(spark, tmp_path):
+    from linkgraph.io import read_dgs
+    from linkgraph.streaming.deltas import apply_deltas
+
+    p = str(tmp_path / "g.dgs")
+    with open(p, "w") as f:
+        f.write("st 0\nae a 0 1\nae b 1 2\nst 1\nde b\n")
+    ev = read_dgs(spark, p)
+    empty = spark.createDataFrame([], "src bigint, dst bigint, weight double")
+    final = apply_deltas(empty, ev)
+    assert sorted(map(tuple, final.select("src", "dst").collect())) == [(0, 1)]
