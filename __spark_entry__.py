@@ -717,6 +717,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("degree")
         )
 
+    def doc_betweenness_exact(spark, sf):
+        """EXACT Brandes (all sources) — oracle-checked against the
+        independent pair-sum-identity SQL (no Brandes back-prop in the
+        oracle)."""
+        from linkgraph.algs.betweenness import betweenness
+
+        g = _doc_graph(spark, sf, directed=False)
+        return betweenness(g).select(
+            "id", F.round("score", 4).alias("score")
+        )
+
     return {
         "doc_degrees": doc_degrees,
         "doc_out_degrees": doc_out_degrees,
@@ -789,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_nibble": doc_nibble,
         "doc_seir_census": doc_seir_census,
         "gen_ba_structure": gen_ba_structure,
+        "doc_betweenness_exact": doc_betweenness_exact,
     }
 
 
@@ -1099,6 +1111,7 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["doc_bfs"] = G.bfs_sql(EDGES_CTE_MAT, source=0, hops=12)
     sql["doc_sssp"] = G.sssp_sql(EDGES_CTE_MAT, source=0, rounds=16)
     sql["doc_sfigality"] = G.sfigality_sql(EDGES_CTE_MAT)
+    sql["doc_betweenness_exact"] = G.betweenness_sql(EDGES_CTE_MAT, hops=12)
     sql["doc_local_similarity"] = G.local_similarity_sql(EDGES_CTE_MAT)
     sql["doc_scan_similarity"] = G.scan_similarity_sql(EDGES_CTE_MAT)
     sql["doc_multiscale"] = G.multiscale_sql(EDGES_CTE_MAT)

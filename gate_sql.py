@@ -808,3 +808,44 @@ SELECT
             / ((SELECT n FROM tot) * ((SELECT n FROM tot) - 1) / 2.0), 6) AS node_rand,
   ROUND((SELECT v FROM gr), 6) AS graph_rand
 """
+
+
+def betweenness_sql(cte: str, hops: int = 12) -> str:
+    """EXACT betweenness via the pair-sum identity — independent of the
+    engine's Brandes back-propagation: with all-pairs (dist, #shortest
+    paths σ) from a level-synchronous unrolled DP,
+
+        bc(v) = ½ Σ_{s≠v≠t} σ_sv·σ_vt/σ_st · [d_sv + d_vt = d_st]
+
+    (½ = undirected ordered-pair double count, matching networkx/engine
+    convention, normalized=False)."""
+    parts = [
+        "b0 AS MATERIALIZED (SELECT id AS s, id AS v, 0 AS dist, CAST(1 AS DOUBLE) AS sigma FROM nodes)",
+        "c0 AS MATERIALIZED (SELECT * FROM b0)",
+    ]
+    for h in range(1, hops + 1):
+        p = h - 1
+        parts.append(
+            f"b{h} AS MATERIALIZED (SELECT b.s, e.dst AS v, {h} AS dist, SUM(b.sigma) AS sigma "
+            f"FROM b{p} b JOIN sym e ON e.src = b.v "
+            f"LEFT JOIN c{p} c ON c.s = b.s AND c.v = e.dst "
+            f"WHERE c.v IS NULL GROUP BY b.s, e.dst)"
+        )
+        parts.append(
+            f"c{h} AS MATERIALIZED (SELECT * FROM c{p} UNION ALL SELECT * FROM b{h})"
+        )
+    chain = ",\n".join(parts)
+    return f"""
+WITH {cte},
+{chain},
+bc AS (
+  SELECT sv.v AS id, SUM(sv.sigma * vt.sigma / st.sigma) AS raw
+  FROM c{hops} sv
+  JOIN c{hops} vt ON vt.s = sv.v AND vt.dist > 0
+  JOIN c{hops} st ON st.s = sv.s AND st.v = vt.v AND st.dist = sv.dist + vt.dist
+  WHERE sv.dist > 0 AND sv.s <> vt.v
+  GROUP BY sv.v
+)
+SELECT n.id, ROUND(COALESCE(bc.raw, 0.0) / 2.0, 4) AS score
+FROM nodes n LEFT JOIN bc ON bc.id = n.id
+"""
