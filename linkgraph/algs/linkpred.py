@@ -108,19 +108,10 @@ def preferential_attachment(graph: Graph) -> DataFrame:
     )
 
 
-def roc_auc(scores: DataFrame, positives: DataFrame) -> float:
-    """AUC of a (u, v, score) prediction table against a (u, v) positive
-    set (ROCMetric.cpp's summary statistic), Mann-Whitney form:
-
-        AUC = [ Σ_s p_s · N_{<s}  +  ½ Σ_s p_s · n_s ] / (P · N)
-
-    over the per-score histogram (p_s positives, n_s negatives at score
-    s; N_{<s} = negatives strictly below s). Scale shape: the billions of
-    scored pairs reduce to ONE hash aggregation on score; the prefix sum
-    N_{<s} runs on the (distinct-score-sized) histogram via range
-    repartitioning + per-partition running sums + a driver-side offset
-    table of one row per partition — no single-partition global window
-    anywhere in the plan."""
+def _auc_ranked(scores: DataFrame, positives: DataFrame) -> DataFrame:
+    """(p, neg, neg_below) per distinct score — the distributed Mann-
+    Whitney histogram. Exposed separately so tests can assert the plan
+    shape (no single-partition Exchange feeding the window)."""
     from pyspark.sql import Window
 
     labeled = scores.join(
@@ -161,6 +152,23 @@ def roc_auc(scores: DataFrame, positives: DataFrame) -> float:
             (F.col("off") + F.col("neg_before_local")).alias("neg_below"),
         )
     )
+    return ranked
+
+
+def roc_auc(scores: DataFrame, positives: DataFrame) -> float:
+    """AUC of a (u, v, score) prediction table against a (u, v) positive
+    set (ROCMetric.cpp's summary statistic), Mann-Whitney form:
+
+        AUC = [ Σ_s p_s · N_{<s}  +  ½ Σ_s p_s · n_s ] / (P · N)
+
+    over the per-score histogram (p_s positives, n_s negatives at score
+    s; N_{<s} = negatives strictly below s). Scale shape: the billions of
+    scored pairs reduce to ONE hash aggregation on score; the prefix sum
+    N_{<s} runs on the (distinct-score-sized) histogram via range
+    repartitioning + per-partition running sums + a driver-side offset
+    table of one row per partition — no single-partition global window
+    anywhere in the plan (plan-asserted in tests)."""
+    ranked = _auc_ranked(scores, positives)
     row = ranked.agg(
         F.sum(F.col("p") * F.col("neg_below")).alias("wins"),
         F.sum(F.col("p") * F.col("neg")).alias("ties"),

@@ -1,0 +1,65 @@
+"""Physical-plan shape assertions (VERDICT r1 follow-ups): the scale-killer
+rewrites must stay scale-safe — asserted on the executed plan, not just on
+numeric results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_auc_plan_no_single_partition_window(spark):
+    """The AUC histogram window runs partitioned by pid; no single-
+    partition Exchange may feed a Window/Sort (r1's global-orderBy AUC
+    collapsed every scored pair into one task)."""
+    from linkgraph.algs.linkpred import _auc_ranked
+
+    scores = spark.range(5000).select(
+        (F.col("id") % 100).alias("u"),
+        (F.col("id") % 97).alias("v"),
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 1000.0).alias("score"),
+    )
+    pos = spark.range(500).select(
+        (F.col("id") % 100).alias("u"), (F.col("id") % 97).alias("v")
+    )
+    ranked = _auc_ranked(scores, pos)
+    plan = _plan(ranked)
+    assert "Window" in plan  # the per-partition prefix sum is a window...
+    assert "SinglePartition" not in plan  # ...but never a global one
+
+
+def test_auc_value_unchanged_by_refactor(spark):
+    from linkgraph.algs.linkpred import roc_auc
+
+    # perfect separation → AUC 1.0 (regression guard on the refactor)
+    scores = spark.createDataFrame(
+        [(0, 1, 0.9), (0, 2, 0.8), (1, 2, 0.1), (1, 3, 0.2)],
+        "u bigint, v bigint, score double",
+    )
+    pos = spark.createDataFrame([(0, 1), (0, 2)], "u bigint, v bigint")
+    assert roc_auc(scores, pos) == 1.0
+
+
+def test_pagerank_csr_plan_partitions_static_edges(spark):
+    """edges_frac is hash-partitioned once; the per-superstep join must
+    not re-shuffle the edge table (only the O(n) rank state moves)."""
+    from linkgraph.generators import rmat
+    from linkgraph.graph import Graph
+
+    e = rmat(spark, scale=10, edge_factor=4, seed=3)
+    g = Graph.from_edges(e, directed=True)
+    sym = g.edges.repartition(8, "src").persist()
+    sym.count()
+    ranks = sym.groupBy("src").count().select(
+        F.col("src").alias("id"), F.lit(1.0).alias("rank")
+    )
+    joined = ranks.join(sym, ranks.id == sym.src)
+    plan = _plan(joined)
+    # the persisted, pre-partitioned edge side enters via InMemoryTableScan
+    # (reused partitioning), not a fresh Exchange of the edge table
+    assert "InMemoryTableScan" in plan
+    sym.unpersist()
