@@ -171,19 +171,19 @@ def forest_fire_score(
     independent of n_fires."""
     spark = graph.edges.sparkSession
     sym = graph.symmetric_edges().select("src", "dst").persist()
-    # start vertex of fire f: deterministic pseudo-random pick — order
-    # nodes by hash (global window over the node table happens ONCE; at
-    # true scale use a sampled start list instead), fire f starts at rank
-    # f mod n.
-    nodes = graph.nodes().select(
+    # start vertex of fire f: bucket nodes by hash into n_fires buckets
+    # and take each bucket's min-hash node — ONE partial+final hash-agg,
+    # no global sort/window, deterministic under any partitioning. Empty
+    # buckets (n < n_fires) simply light fewer fires.
+    n = graph.nodes().count()
+    hashed = graph.nodes().select(
         "id",
-        (F.row_number().over(Window.orderBy(F.xxhash64("id", F.lit(seed)))) - 1).alias("r"),
+        F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n_fires)).alias("fire"),
+        F.xxhash64("id", F.lit(seed + 1)).alias("h"),
     )
-    n = nodes.count()
     starts = (
-        spark.range(n_fires)
-        .select(F.col("id").alias("fire"), F.pmod(F.col("id"), F.lit(n)).alias("r"))
-        .join(nodes, "r")
+        hashed.groupBy("fire")
+        .agg(F.min_by("id", "h").alias("id"))
         .select("fire", "id")
     )
     visited = starts.localCheckpoint(eager=True)
