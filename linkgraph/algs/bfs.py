@@ -289,3 +289,62 @@ def dyn_bfs_additions(
         added_edges.select("src", "dst", F.lit(1.0).alias("weight")),
         max_iter=max_iter,
     )
+
+
+def dyn_multi_source_additions(
+    graph: Graph,
+    dist: DataFrame,
+    added_edges: DataFrame,
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """Incremental MULTI-source hop distances under edge additions
+    (distance/DynAPSP.cpp's addition path, restricted to the tracked
+    source set): ``dist`` is a (source, id, dist) table as produced by
+    multi_source_bfs; the improvement frontier carries the source column,
+    so ALL sources repair in one superstep loop. Result equals a fresh
+    multi_source_bfs on the post-addition graph (pytest-pinned)."""
+    e = (
+        (graph.edges if graph.directed else graph.symmetric_edges())
+        .select("src", "dst")
+        .persist()
+    )
+    add = added_edges.select("src", "dst")
+    if not graph.directed:
+        add = add.unionByName(
+            add.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    seed = (
+        add.join(
+            dist.select("source", F.col("id").alias("src"), F.col("dist").alias("ds")),
+            "src",
+        )
+        .groupBy("source", F.col("dst").alias("id"))
+        .agg(F.min(F.col("ds") + 1.0).alias("nd"))
+        .join(dist.withColumnRenamed("dist", "old"), ["source", "id"], "left")
+        .where(F.col("old").isNull() | (F.col("nd") < F.col("old")))
+        .select("source", "id", F.col("nd").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = seed
+    cur = dist
+    for _ in range(max_iter):
+        if frontier.isEmpty():
+            break
+        cur = (
+            cur.join(frontier.select("source", "id"), ["source", "id"], "left_anti")
+            .unionByName(frontier)
+            .localCheckpoint(eager=True)
+        )
+        cand = (
+            frontier.join(e, frontier.id == e.src)
+            .groupBy("source", F.col("dst").alias("id"))
+            .agg(F.min(F.col("dist") + 1.0).alias("nd"))
+        )
+        frontier = (
+            cand.join(cur.withColumnRenamed("dist", "old"), ["source", "id"], "left")
+            .where(F.col("old").isNull() | (F.col("nd") < F.col("old")))
+            .select("source", "id", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return cur

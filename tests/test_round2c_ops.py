@@ -174,3 +174,19 @@ def test_seir_deterministic(spark, karate):
     _, c1 = seir(karate, zero=[0], p_transmit=0.3, ticks=12, seed=7)
     _, c2 = seir(karate, zero=[0], p_transmit=0.3, ticks=12, seed=7)
     assert c1 == c2
+
+
+def test_dyn_multi_source_matches_recompute(spark):
+    from linkgraph.algs.bfs import dyn_multi_source_additions, multi_source_bfs
+
+    base = [(0, 1), (1, 2), (2, 3), (4, 5)]
+    g0 = make_graph(spark, base)
+    d0 = multi_source_bfs(g0, [0, 4])
+    add = spark.createDataFrame([(3, 4)], "src bigint, dst bigint")
+    g1 = make_graph(spark, base + [(3, 4)])
+    got = sorted(map(tuple, dyn_multi_source_additions(g1, d0, add).collect()))
+    want = sorted(map(tuple, multi_source_bfs(g1, [0, 4]).collect()))
+    assert got == want
+    # the new edge connected the two components for BOTH sources
+    gd = {(s, i): d for s, i, d in got}
+    assert gd[(0, 5)] == 5.0 and gd[(4, 0)] == 4.0
