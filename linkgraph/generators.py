@@ -14,6 +14,7 @@ per Arrow batch; no shuffle at all).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -397,3 +398,131 @@ def dynamic_edge_stream(
         .orderBy("tsf")
         .select(F.col("tsf").alias("ts"), "op", "src", "dst", "weight")
     )
+
+
+def lfr(
+    spark: SparkSession,
+    n: int = 1000,
+    mu: float = 0.1,
+    tau_degree: float = 2.5,
+    tau_community: float = 1.5,
+    avg_degree: float = 10.0,
+    max_degree: int | None = None,
+    min_community: int = 20,
+    max_community: int | None = None,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """LFR-style community benchmark (generators/LFRGenerator.cpp scope):
+    power-law degrees (exponent ``tau_degree``), power-law community
+    sizes (``tau_community``), mixing parameter ``mu`` = expected
+    fraction of inter-community incident edges. Returns (edges,
+    planted_labels(id, label)) with labels canonical (min member id).
+
+    Distributed formulation (NOT the reference's sequential stub-rewiring
+    — documented deviation): community sizes are drawn driver-side (the
+    community LIST is #communities ≈ n/min_community rows, small; at true
+    web scale the same cumsum runs as a distributed prefix sum), nodes are
+    EXPLODED from community rows (linear, no range join), each node draws
+    its degree from the closed-form power-law inverse CDF on a
+    hash-permuted rank (decorrelates degree from community), and emits
+    ceil((1−mu)·d) intra-stubs (uniform peer within community) +
+    round(mu·d) inter-stubs (peer via the global power-law CDF on the
+    permuted rank — inter links stay degree-proportional). Stub sampling
+    approximates LFR's configuration-model rewiring; community structure,
+    size/degree power laws and the mu dial — the properties detectors are
+    benchmarked against — are preserved. Counter-based, deterministic."""
+    rng = np.random.default_rng(seed)
+    max_community = max_community or max(min_community * 5, n // 10)
+    max_degree = max_degree or max(int(avg_degree * 5), 32)
+    # community sizes: truncated power law, driver-side (small list)
+    sizes = []
+    total = 0
+    while total < n:
+        u = rng.random()
+        lo, hi, a = min_community, max_community, 1.0 - tau_community
+        s = int(((lo ** a) + u * ((hi ** a) - (lo ** a))) ** (1.0 / a))
+        s = min(s, n - total)
+        sizes.append(s)
+        total += s
+    # merge a too-small trailing community into the previous one
+    if len(sizes) > 1 and sizes[-1] < min_community:
+        sizes[-2] += sizes[-1]
+        sizes.pop()
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(int)
+    comm_df = spark.createDataFrame(
+        [(int(c), int(st), int(sz)) for c, (st, sz) in enumerate(zip(starts, sizes))],
+        "comm bigint, start bigint, size bigint",
+    )
+    nodes = comm_df.select(
+        "comm",
+        "start",
+        "size",
+        F.explode(F.sequence(F.col("start"), F.col("start") + F.col("size") - 1)).alias("id"),
+    )
+    # hash-permuted rank → power-law degree (closed-form inverse CDF,
+    # exponent tau_degree over [dmin, dmax]); dmin solved so the mean hits
+    # avg_degree approximately (dmin ≈ avg·(tau-2)/(tau-1) for tau>2)
+    dmin = max(2.0, avg_degree * (tau_degree - 2.0) / (tau_degree - 1.0))
+    a = 1.0 - tau_degree
+    u = (
+        F.pmod(F.xxhash64("id", F.lit(seed + 17)), F.lit(1_000_000_007))
+        / 1_000_000_007.0
+    )
+    deg = F.least(
+        F.lit(float(max_degree)),
+        F.pow(
+            F.lit(dmin ** a) + u * (F.lit(float(max_degree) ** a) - F.lit(dmin ** a)),
+            F.lit(1.0 / a),
+        ),
+    )
+    nd = nodes.withColumn("deg", deg)
+    intra_k = F.greatest(F.ceil(F.col("deg") * (1.0 - mu)).cast("int"), F.lit(1))
+    inter_k = F.round(F.col("deg") * mu).cast("int")
+    # intra stubs: peer uniform within the community, self-loops dropped
+    intra = (
+        nd.select(
+            "id", "start", "size",
+            F.explode(F.sequence(F.lit(1), intra_k)).alias("s"),
+        )
+        .select(
+            F.col("id").alias("src"),
+            (F.col("start") + F.pmod(F.xxhash64("id", "s", F.lit(seed + 31)), F.col("size"))).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    # inter stubs: global degree-proportional peer via the same power-law
+    # CDF inverted on a uniform draw → rank → id through the bijection
+    # rank→(rank*stride+shift) mod n (stride coprime to n ⇒ a permutation)
+    stride = 0x9E3779B1 | 1
+    while math.gcd(stride, n) != 1:
+        stride += 2
+    u2 = (
+        F.pmod(F.xxhash64("id", "s", F.lit(seed + 47)), F.lit(1_000_000_007))
+        / 1_000_000_007.0
+    )
+    # inverse of the rank-CDF for weights ∝ (rank+1)^(-1/(tau-1))
+    alpha = 1.0 / (tau_degree - 1.0)
+    inv_exp = 1.0 / (1.0 - alpha)
+    peer_rank = F.least(
+        F.lit(n - 1), (F.pow(u2, F.lit(inv_exp)) * n).cast("bigint")
+    )
+    inter = (
+        nd.where(inter_k > 0)
+        .select("id", F.explode(F.sequence(F.lit(1), inter_k)).alias("s"))
+        .select(
+            F.col("id").alias("src"),
+            F.pmod(peer_rank * F.lit(stride) + F.lit(7), F.lit(n)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    edges = (
+        intra.unionByName(inter)
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    labels = nodes.select("id", F.col("start").alias("label"))
+    return edges, labels

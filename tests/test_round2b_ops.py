@@ -367,3 +367,56 @@ def test_dgs_feeds_apply_deltas(spark, tmp_path):
     empty = spark.createDataFrame([], "src bigint, dst bigint, weight double")
     final = apply_deltas(empty, ev)
     assert sorted(map(tuple, final.select("src", "dst").collect())) == [(0, 1)]
+
+
+# --------------------------------------------------------------------------
+# LFR-style benchmark generator
+# --------------------------------------------------------------------------
+
+def test_lfr_structure(spark):
+    from linkgraph.generators import lfr
+
+    edges, labels = lfr(spark, n=400, mu=0.1, avg_degree=8, min_community=40,
+                        seed=3)
+    g = Graph.from_edges(edges)
+    assert g.num_nodes() == 400
+    lab = collect_map(labels, "id", "label")
+    assert len(lab) == 400
+    sizes = {}
+    for v in lab.values():
+        sizes[v] = sizes.get(v, 0) + 1
+    assert all(s >= 40 for s in sizes.values())
+    assert len(sizes) >= 2
+    # mixing: most edges intra at mu=0.1
+    e = [(r["src"], r["dst"]) for r in edges.collect()]
+    intra = sum(1 for u, v in e if lab[u] == lab[v])
+    assert intra / len(e) > 0.75
+    # determinism
+    e2, _ = lfr(spark, n=400, mu=0.1, avg_degree=8, min_community=40, seed=3)
+    assert sorted(map(tuple, e2.select("src", "dst").collect())) == sorted(e)
+
+
+def test_lfr_communities_recoverable(spark):
+    from linkgraph.algs.community import nmi
+    from linkgraph.algs.plm import louvain
+    from linkgraph.generators import lfr
+
+    edges, planted = lfr(spark, n=300, mu=0.05, avg_degree=10,
+                         min_community=50, max_community=120, seed=5)
+    g = Graph.from_edges(edges)
+    found = louvain(g)
+    score = nmi(found, planted)
+    assert score > 0.8, f"NMI {score} too low for mu=0.05"
+
+
+def test_lfr_mu_dial(spark):
+    from linkgraph.generators import lfr
+
+    def mix(mu):
+        edges, labels = lfr(spark, n=300, mu=mu, avg_degree=8,
+                            min_community=50, seed=7)
+        lab = collect_map(labels, "id", "label")
+        e = [(r["src"], r["dst"]) for r in edges.collect()]
+        return sum(1 for u, v in e if lab[u] != lab[v]) / len(e)
+
+    assert mix(0.05) < mix(0.4)  # the dial moves the right way
