@@ -728,6 +728,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", F.round("score", 4).alias("score")
         )
 
+    def doc_laplacian(spark, sf):
+        from linkgraph.algs.centrality import laplacian_centrality
+
+        g = _doc_graph(spark, sf)
+        return laplacian_centrality(g).select(
+            "id", F.round("score", 6).alias("score")
+        )
+
     return {
         "doc_degrees": doc_degrees,
         "doc_out_degrees": doc_out_degrees,
@@ -801,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_seir_census": doc_seir_census,
         "gen_ba_structure": gen_ba_structure,
         "doc_betweenness_exact": doc_betweenness_exact,
+        "doc_laplacian": doc_laplacian,
     }
 
 
@@ -1111,6 +1120,7 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["doc_bfs"] = G.bfs_sql(EDGES_CTE_MAT, source=0, hops=12)
     sql["doc_sssp"] = G.sssp_sql(EDGES_CTE_MAT, source=0, rounds=16)
     sql["doc_sfigality"] = G.sfigality_sql(EDGES_CTE_MAT)
+    sql["doc_laplacian"] = G.laplacian_sql(EDGES_CTE_MAT)
     sql["doc_betweenness_exact"] = G.betweenness_sql(EDGES_CTE_MAT, hops=12)
     sql["doc_local_similarity"] = G.local_similarity_sql(EDGES_CTE_MAT)
     sql["doc_scan_similarity"] = G.scan_similarity_sql(EDGES_CTE_MAT)

@@ -849,3 +849,20 @@ bc AS (
 SELECT n.id, ROUND(COALESCE(bc.raw, 0.0) / 2.0, 4) AS score
 FROM nodes n LEFT JOIN bc ON bc.id = n.id
 """
+
+
+def laplacian_sql(cte: str) -> str:
+    """Laplacian centrality closed form: wdeg² + Σ_u (2·wdeg_u·w + w²)."""
+    return f"""
+WITH {cte},
+deg AS (SELECT src AS id, SUM(weight) AS wdeg FROM sym GROUP BY src),
+nb AS (
+  SELECT s.src AS id,
+         SUM(2.0 * du.wdeg * s.weight + s.weight * s.weight) AS nsum
+  FROM sym s JOIN deg du ON du.id = s.dst
+  GROUP BY s.src
+)
+SELECT n.id, ROUND(COALESCE(d.wdeg, 0.0) * COALESCE(d.wdeg, 0.0)
+                   + COALESCE(nb.nsum, 0.0), 6) AS score
+FROM nodes n LEFT JOIN deg d ON d.id = n.id LEFT JOIN nb ON nb.id = n.id
+"""

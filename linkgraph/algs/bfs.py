@@ -348,3 +348,35 @@ def dyn_multi_source_additions(
         )
     e.unpersist()
     return cur
+
+
+def closeness_sampled(graph: Graph, n_samples: int = 16, seed: int = 42) -> DataFrame:
+    """(id, score) — sampled closeness (centrality/ApproxCloseness.cpp
+    contract): pivot set S of hash-sampled vertices, one multi-source BFS,
+    c(v) estimated as (n−1) / (n/|S| · Σ_{s∈S} d(s,v)) over the pivots
+    that reach v (the reference adds variance corrections; this is the
+    plain pivot estimator — exact when |S| ≥ n, pytest-pinned)."""
+    nodes = graph.nodes()
+    n = nodes.count()
+    sources = [
+        r["id"]
+        for r in nodes.orderBy(F.xxhash64("id", F.lit(seed)), F.asc("id"))
+        .limit(min(n_samples, n))
+        .collect()
+    ]
+    k = len(sources)
+    d = multi_source_bfs(graph, sources).where(F.col("dist") > 0)
+    est = d.groupBy("id").agg(F.sum("dist").alias("sd"), F.count("*").alias("c"))
+    scale = float(n) / float(k)
+    return (
+        nodes.join(est, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.col("sd").isNotNull() & (F.col("sd") > 0),
+                (F.lit(float(n - 1))) / (F.lit(scale) * F.col("sd")),
+            )
+            .otherwise(0.0)
+            .alias("score"),
+        )
+    )

@@ -249,3 +249,44 @@ def attribute_assortativity(graph: Graph, attrs) -> float:
     if not row["c"] or not row["sa"] or not row["sb"]:
         return 0.0
     return float(row["c"] / (row["sa"] * row["sb"]))
+
+
+def laplacian_centrality(graph: Graph) -> DataFrame:
+    """(id, score) — Laplacian centrality (centrality/Laplacian
+    Centrality.cpp; Qi et al. 2012): the drop in graph Laplacian energy
+    E = Σ w_deg² + 2Σ w_ij² when v is removed. Closed local form — no
+    solver:
+
+        LC(v) = w_deg(v)² + Σ_{u∈N(v)} (2·w_deg(u)·w_uv + w_uv²)
+
+    One degree agg + one join + one agg; codegen arithmetic only."""
+    simple = graph.remove_self_loops()
+    sym = simple.symmetric_edges()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.sum("weight").alias("wdeg")
+    )
+    nbr = (
+        sym.join(
+            deg.withColumnRenamed("id", "dst").withColumnRenamed("wdeg", "wdeg_u"),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            F.sum(
+                2.0 * F.col("wdeg_u") * F.col("weight")
+                + F.col("weight") * F.col("weight")
+            ).alias("nsum")
+        )
+    )
+    return (
+        simple.nodes()
+        .join(deg, "id", "left")
+        .join(nbr, "id", "left")
+        .select(
+            "id",
+            (
+                F.coalesce("wdeg", F.lit(0.0)) * F.coalesce("wdeg", F.lit(0.0))
+                + F.coalesce("nsum", F.lit(0.0))
+            ).alias("score"),
+        )
+    )

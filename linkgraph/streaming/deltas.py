@@ -278,3 +278,11 @@ def stream_apply_deltas_pruned(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_wcc_additions(labels: DataFrame, added_edges: DataFrame) -> DataFrame:
+    """DynWeaklyConnectedComponents addition path: direction is ignored
+    for weak connectivity, so additions reduce to the undirected
+    incremental merge (label pairs → distributed/driver closure) —
+    delegate to incremental_cc_additions, which is direction-blind."""
+    return incremental_cc_additions(labels, added_edges)

@@ -190,3 +190,50 @@ def test_dyn_multi_source_matches_recompute(spark):
     # the new edge connected the two components for BOTH sources
     gd = {(s, i): d for s, i, d in got}
     assert gd[(0, 5)] == 5.0 and gd[(4, 0)] == 4.0
+
+
+def test_laplacian_centrality_path(spark, path_5):
+    from linkgraph.algs.centrality import laplacian_centrality
+
+    lc = collect_map(laplacian_centrality(path_5), "id", "score")
+    # path 0-1-2-3-4 (unweighted): LC(v) = d²+d+2Σ_{u∈N(v)}d(u)
+    assert lc[0] == 1 + 1 + 2 * 2          # end: d=1, neighbor d=2
+    assert lc[1] == 4 + 2 + 2 * (1 + 2)    # d=2, neighbors d=1,2
+    assert lc[2] == 4 + 2 + 2 * (2 + 2)    # center
+    assert lc[2] > lc[0]                    # center most central
+
+
+def test_laplacian_centrality_weighted(spark):
+    from linkgraph.algs.centrality import laplacian_centrality
+
+    df = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 2, 3.0)], "src bigint, dst bigint, weight double"
+    )
+    g = Graph.from_edges(df, weighted=True)
+    lc = collect_map(laplacian_centrality(g), "id", "score")
+    # v=0: wdeg=2; N={1} wdeg_1=5, w=2 → 4 + (2*5*2 + 4) = 28
+    assert lc[0] == pytest.approx(28.0)
+    # v=1: wdeg=5 → 25 + (2*2*2+4) + (2*3*3+9) = 25+12+27 = 64
+    assert lc[1] == pytest.approx(64.0)
+
+
+def test_closeness_sampled_full_sample_exact(spark, path_5):
+    from linkgraph.algs.bfs import closeness, closeness_sampled
+
+    exact = collect_map(closeness(path_5), "id", "score")
+    est = collect_map(closeness_sampled(path_5, n_samples=5), "id", "score")
+    for k in exact:
+        assert est[k] == pytest.approx(exact[k], rel=1e-9)
+
+
+def test_incremental_wcc_additions(spark):
+    from linkgraph.algs.components import connected_components
+    from linkgraph.streaming.deltas import incremental_wcc_additions
+
+    g = make_graph(spark, [(0, 1), (2, 3)], directed=True)
+    base = connected_components(g.to_undirected()).withColumnRenamed(
+        "component", "label"
+    )
+    add = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    lab = collect_map(incremental_wcc_additions(base, add), "id", "label")
+    assert len(set(lab.values())) == 1
