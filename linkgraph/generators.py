@@ -526,3 +526,133 @@ def lfr(
     )
     labels = nodes.select("id", F.col("start").alias("label"))
     return edges, labels
+
+
+def dorogovtsev_mendes(
+    spark: SparkSession, n: int, seed: int = 42, max_rounds: int = 64
+) -> DataFrame:
+    """Dorogovtsev–Mendes growing network
+    (generators/DorogovtsevMendesGenerator.cpp): start from a triangle;
+    each new node picks a uniform random EXISTING EDGE and connects to
+    both its endpoints (edge-copy preferential attachment; power-law
+    degrees, high clustering). Sequential in the reference; here the same
+    pointer-resolution trick as barabasi_albert: node t's random edge
+    reference r(t) = hash(t) mod m_t is counter-based, one endpoint of
+    every edge is its creator (closed form), the other endpoint of edge j
+    aliases an earlier edge's endpoint → chains shrink strictly and
+    resolve in O(log) pointer-jumping join rounds. Deterministic under
+    any partitioning."""
+    if n < 3:
+        raise ValueError("dorogovtsev_mendes needs n >= 3")
+    base = np.uint64((seed * 0xA24BAED4963EE407) % (1 << 64))
+    # edge numbering: 0..2 = triangle (0,1),(1,2),(0,2); node t >= 3 adds
+    # edges 3+2(t-3) and 3+2(t-3)+1, with m_t = 3 + 2(t-3) edges existing.
+    tri = [(0, 1), (1, 2), (0, 2)]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            t = pdf["id"].to_numpy().astype(np.int64) + 3  # new node ids
+            m_t = (3 + 2 * (t - 3)).astype(np.uint64)
+            r = (_splitmix64(base + t.astype(np.uint64)) % m_t).astype(np.int64)
+            out = []
+            for side in (0, 1):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "edge": 3 + 2 * (t - 3) + side,
+                            "src": t,
+                            "ref": r,
+                            "side": side,
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    att = spark.range(n - 3).mapInPandas(
+        gen, "edge bigint, src bigint, ref bigint, side int"
+    )
+    tri_df = spark.createDataFrame(
+        [(i, s, d) for i, (s, d) in enumerate(tri)],
+        "edge bigint, src bigint, dst bigint",
+    )
+    # endpoint(ref, 0) = src of edge ref: triangle constant or creator-node
+    # formula 3 + (ref-3)//2. endpoint(ref, 1) = dst of edge ref: triangle
+    # constant or a chain to that edge's own resolution.
+    tri_src = F.broadcast(tri_df.select(F.col("edge").alias("ref"), F.col("src").alias("t_src")))
+    tri_dst = F.broadcast(tri_df.select(F.col("edge").alias("ref"), F.col("dst").alias("t_dst")))
+    cur = (
+        att.join(tri_src, "ref", "left")
+        .join(tri_dst, "ref", "left")
+        .select(
+            "edge",
+            "src",
+            F.when(F.col("side") == 0,
+                   F.coalesce(
+                       "t_src",
+                       F.lit(3) + ((F.col("ref") - 3) / 2).cast("bigint"),
+                   ))
+            .otherwise(F.col("t_dst"))
+            .alias("dst"),
+            F.when((F.col("side") == 1) & F.col("t_dst").isNull(), F.col("ref")).alias("chain"),
+        )
+    )
+    from linkgraph.iterutil import Pin
+
+    pin = Pin(spark, "dm")
+    cur = pin(cur)
+    for _ in range(max_rounds):
+        if cur.where(F.col("chain").isNotNull()).isEmpty():
+            break
+        ref = cur.select(
+            F.col("edge").alias("chain"),
+            F.col("dst").alias("ref_dst"),
+            F.col("chain").alias("ref_chain"),
+        )
+        cur = pin(
+            cur.join(ref, "chain", "left").select(
+                "edge",
+                "src",
+                F.coalesce("dst", "ref_dst").alias("dst"),
+                F.when(F.col("dst").isNull(), F.col("ref_chain")).alias("chain"),
+            )
+        )
+    out = cur.select("src", "dst").unionByName(tri_df.select("src", "dst"))
+    return (
+        out.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+
+
+def havel_hakimi(spark: SparkSession, degrees: list) -> DataFrame:
+    """Havel–Hakimi degree-sequence realization
+    (generators/HavelHakimiGenerator.cpp): greedy highest-degree-first
+    wiring; raises ValueError when the sequence is not graphical
+    (Erdős–Gallai violated). The greedy is inherently sequential —
+    driver-side like the reference (fixture scale; large degree-driven
+    graphs use chung_lu/chung_lu_fast, the expected-degree scale path)."""
+    seq = sorted(((int(d), i) for i, d in enumerate(degrees)), reverse=True)
+    edges = []
+    import heapq
+
+    heap = [(-d, i) for d, i in seq if d > 0]
+    heapq.heapify(heap)
+    while heap:
+        d, v = heapq.heappop(heap)
+        d = -d
+        if d > len(heap):
+            raise ValueError("degree sequence is not graphical")
+        taken = [heapq.heappop(heap) for _ in range(d)]
+        for du, u in taken:
+            edges.append((min(u, v), max(u, v)))
+        for du, u in taken:
+            if -du - 1 > 0:
+                heapq.heappush(heap, (du + 1, u))
+    df = spark.createDataFrame(
+        [(s, t, 1.0) for s, t in edges], "src bigint, dst bigint, weight double"
+    )
+    return df

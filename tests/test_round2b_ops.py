@@ -420,3 +420,47 @@ def test_lfr_mu_dial(spark):
         return sum(1 for u, v in e if lab[u] != lab[v]) / len(e)
 
     assert mix(0.05) < mix(0.4)  # the dial moves the right way
+
+
+# --------------------------------------------------------------------------
+# Dorogovtsev–Mendes + Havel–Hakimi
+# --------------------------------------------------------------------------
+
+def test_dorogovtsev_mendes_structure(spark):
+    from linkgraph.algs.components import connected_components
+    from linkgraph.algs.triangles import per_vertex_triangles
+    from linkgraph.generators import dorogovtsev_mendes
+
+    n = 120
+    df = dorogovtsev_mendes(spark, n, seed=2)
+    g = Graph.from_edges(df)
+    assert g.num_nodes() == n
+    # each node adds 2 edges to an existing edge's endpoints; dedup only
+    # collapses when the same pair repeats
+    assert 3 + (n - 3) <= g.num_edges() <= 3 + 2 * (n - 3)
+    # connected (grows from the triangle)
+    assert connected_components(g).select("component").distinct().count() == 1
+    # triangle-closing growth → every new node closes a triangle
+    tri_total = per_vertex_triangles(g).agg(F.sum("triangles")).collect()[0][0]
+    assert tri_total >= n - 3
+    # deterministic
+    a = sorted(map(tuple, df.select("src", "dst").collect()))
+    b = sorted(map(tuple, dorogovtsev_mendes(spark, n, seed=2)
+                   .select("src", "dst").collect()))
+    assert a == b
+
+
+def test_havel_hakimi_realizes_sequence(spark):
+    from linkgraph.generators import havel_hakimi
+
+    seq = [3, 3, 2, 2, 2, 2]
+    g = Graph.from_edges(havel_hakimi(spark, seq))
+    degs = collect_map(g.degrees(), "id", "degree")
+    assert sorted(degs.values(), reverse=True) == sorted(seq, reverse=True)
+
+
+def test_havel_hakimi_rejects_nongraphical(spark):
+    from linkgraph.generators import havel_hakimi
+
+    with pytest.raises(ValueError):
+        havel_hakimi(spark, [3, 1, 1])  # sum odd / not graphical
