@@ -237,3 +237,39 @@ def test_incremental_wcc_additions(spark):
     add = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
     lab = collect_map(incremental_wcc_additions(base, add), "id", "label")
     assert len(set(lab.values())) == 1
+
+
+def test_b_suitor_respects_capacity(spark, karate):
+    from linkgraph.algs.matching import b_suitor_matching
+
+    m = b_suitor_matching(karate, b=2)
+    rows = m.collect()
+    cnt = {}
+    for r in rows:
+        cnt[r["u"]] = cnt.get(r["u"], 0) + 1
+        cnt[r["v"]] = cnt.get(r["v"], 0) + 1
+    assert cnt and max(cnt.values()) <= 2
+    # no duplicate pairs, canonical order
+    pairs = [(r["u"], r["v"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert all(u < v for u, v in pairs)
+
+
+def test_b_suitor_b1_equals_suitor(spark, karate):
+    from linkgraph.algs.matching import b_suitor_matching, suitor_matching
+
+    m1 = sorted(map(tuple, suitor_matching(karate).select("u", "v").collect()))
+    mb = sorted(map(tuple, b_suitor_matching(karate, b=1).select("u", "v").collect()))
+    assert m1 == mb
+
+
+def test_b_suitor_per_vertex_caps(spark):
+    from linkgraph.algs.matching import b_suitor_matching
+
+    # star 0-(1,2,3): center capacity 2, leaves 1 → exactly 2 matches
+    g = make_graph(spark, [(0, 1), (0, 2), (0, 3)])
+    caps = spark.createDataFrame(
+        [(0, 2), (1, 1), (2, 1), (3, 1)], "id bigint, b int"
+    )
+    m = b_suitor_matching(g, b=caps)
+    assert m.count() == 2
