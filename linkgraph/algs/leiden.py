@@ -99,9 +99,16 @@ def _refine(
             )
             .where(F.col("gain") > 0)
         )
-        win = Window.partitionBy("id").orderBy(F.desc("gain"), F.asc("target"))
+        # lexicographic max_by replaces the row_number window (same pick
+        # order: desc gain, asc target via order-reversing bitwise_not) —
+        # hash-agg with map-side combine, no per-vertex sort shuffle
         ranked = pin(
-            scored.withColumn("rn", F.row_number().over(win)).where(F.col("rn") == 1),
+            scored.groupBy("id").agg(
+                F.max_by(
+                    "target",
+                    F.struct(F.col("gain"), F.bitwise_not(F.col("target"))),
+                ).alias("target")
+            ),
             "ranked",
         )
         gate = F.pmod(F.xxhash64("id"), F.lit(2))

@@ -103,13 +103,20 @@ def _local_move(
                 ).alias("gain"),
             )
         )
-        win = Window.partitionBy("id").orderBy(
-            F.desc("gain"), F.asc(F.col("c") != F.col("community")), F.asc("c")
-        )
-        best = (
-            scored.withColumn("rn", F.row_number().over(win))
-            .where(F.col("rn") == 1)
-            .select("id", F.col("c").alias("target"), "community")
+        # same pick order as the former row_number window (desc gain,
+        # prefer-current on ties, asc c) as a lexicographic max_by hash-agg
+        # — map-side partial combine, no per-vertex sort shuffle.
+        # ``community`` is constant per id, so max() carries it through.
+        best = scored.groupBy("id").agg(
+            F.max_by(
+                "c",
+                F.struct(
+                    F.col("gain"),
+                    (F.col("c") == F.col("community")).cast("int"),
+                    F.bitwise_not(F.col("c")),
+                ),
+            ).alias("target"),
+            F.max("community").alias("community"),
         )
         # parity dampening: only a pseudo-random half of the vertices move
         # per round (fresh hash per round — a FIXED alternating split can
