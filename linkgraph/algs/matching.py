@@ -37,11 +37,17 @@ def suitor_matching(graph: Graph, max_rounds: int = 64) -> DataFrame:
     for _ in range(max_rounds):
         if avail.isEmpty():
             break
-        w = Window.partitionBy("src").orderBy(F.desc("weight"), F.asc("dst"))
+        # best proposal per vertex via lexicographic max_by (desc weight,
+        # asc dst) — hash-agg with map-side combine, no per-vertex sort
         prop = (
-            avail.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("src", "dst", "weight")
+            avail.groupBy("src")
+            .agg(
+                F.max_by(
+                    F.struct(F.col("dst"), F.col("weight")),
+                    F.struct(F.col("weight"), F.bitwise_not(F.col("dst"))),
+                ).alias("p")
+            )
+            .select("src", F.col("p.dst").alias("dst"), F.col("p.weight").alias("weight"))
         )
         mutual = (
             prop.alias("a")
