@@ -228,3 +228,15 @@ class Graph:
     def max_degree(self) -> int:
         row = self.degrees().agg(F.max("degree").alias("m")).collect()[0]
         return int(row["m"] or 0)
+
+
+def attach_attribute(nodes_or_graph, attrs: DataFrame, name: str) -> DataFrame:
+    """Node-attribute attachment (Graph.hpp attachNodeAttribute analogue):
+    the engine's attribute model is columnar — an attribute IS an
+    (id, value) DataFrame, and "attaching" is a left join producing the
+    widened node table (missing values stay null, as the reference's
+    unset slots do). Accepts a Graph or a node DataFrame."""
+    base = nodes_or_graph.nodes() if isinstance(nodes_or_graph, Graph) else nodes_or_graph
+    return base.join(
+        attrs.select("id", F.col(attrs.columns[1]).alias(name)), "id", "left"
+    )

@@ -334,3 +334,32 @@ def write_dgs(events: DataFrame, path: str) -> None:
             out.append(f"de {name}")
     with open(path, "w") as f:
         f.write("\n".join(out) + "\n")
+
+
+def write_metis(graph: Graph, path: str) -> None:
+    """METIS adjacency writer (io/METISGraphWriter.cpp): header ``n m``
+    (fmt 1 appended when weighted), line i+1 = neighbors of vertex i
+    (1-based), ``nbr weight`` pairs when weighted. Requires dense-ish ids
+    (0..n-1 — compact first via Graph.compact_ids); fixture-scale
+    driver-side stringify like the reference."""
+    sym = graph.symmetric_edges().where(F.col("src") != F.col("dst"))
+    rows = sym.select("src", "dst", "weight").collect()
+    adj: dict = {}
+    nodes = set()
+    for r in rows:
+        adj.setdefault(r["src"], []).append((r["dst"], r["weight"]))
+        nodes.add(r["src"])
+        nodes.add(r["dst"])
+    n = (max(nodes) + 1) if nodes else 0
+    m = sum(len(v) for v in adj.values()) // 2
+    lines = [f"{n} {m} 1" if graph.weighted else f"{n} {m}"]
+    for i in range(n):
+        nbrs = sorted(adj.get(i, []))
+        if graph.weighted:
+            lines.append(" ".join(
+                f"{v + 1} {int(w) if w == int(w) else w}" for v, w in nbrs
+            ))
+        else:
+            lines.append(" ".join(str(v + 1) for v, _ in nbrs))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

@@ -464,3 +464,40 @@ def test_havel_hakimi_rejects_nongraphical(spark):
 
     with pytest.raises(ValueError):
         havel_hakimi(spark, [3, 1, 1])  # sum odd / not graphical
+
+
+def test_metis_roundtrip(spark, tmp_path):
+    from linkgraph.io import read_metis, write_metis
+
+    g = make_graph(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    p = str(tmp_path / "g.metis")
+    write_metis(g, p)
+    g2 = read_metis(spark, p)
+    assert sorted(
+        map(tuple, g2.symmetric_edges().select("src", "dst").collect())
+    ) == sorted(map(tuple, g.symmetric_edges().select("src", "dst").collect()))
+
+
+def test_metis_roundtrip_weighted(spark, tmp_path):
+    from linkgraph.io import read_metis, write_metis
+
+    df = spark.createDataFrame(
+        [(0, 1, 3.0), (1, 2, 5.0)], "src bigint, dst bigint, weight double"
+    )
+    g = Graph.from_edges(df, weighted=True)
+    p = str(tmp_path / "w.metis")
+    write_metis(g, p)
+    g2 = read_metis(spark, p)
+    w = {(r["src"], r["dst"]): r["weight"]
+         for r in g2.symmetric_edges().collect()}
+    assert w[(0, 1)] == 3.0 and w[(1, 2)] == 5.0
+
+
+def test_attach_attribute(spark):
+    from linkgraph.graph import attach_attribute
+
+    g = make_graph(spark, [(0, 1), (1, 2)])
+    attrs = spark.createDataFrame([(0, 7.5), (2, 1.0)], "id bigint, v double")
+    widened = attach_attribute(g, attrs, "score")
+    got = {r["id"]: r["score"] for r in widened.collect()}
+    assert got[0] == 7.5 and got[2] == 1.0 and got[1] is None
