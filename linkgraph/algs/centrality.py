@@ -99,14 +99,30 @@ def katz_centrality(
     tol: float = 1e-9,
     max_iter: int = 100,
     work_dir: str | None = None,
+    warm_start: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, score): x' = α·(messages along in-edges) + β, to L2 tol."""
+    """(id, score): x' = α·(messages along in-edges) + β, to L2 tol.
+
+    ``warm_start`` (id, score) resumes iteration from a previous solution
+    — the DynKatzCentrality addition path (centrality/DynKatzCentrality
+    .cpp): after edge additions, restart from the stale scores and the
+    fixed point is re-reached in a handful of supersteps instead of a
+    cold run (the iteration map is a contraction for α < 1/λmax, so any
+    start converges to the SAME fixed point — dyn equals recompute)."""
     spark = graph.edges.sparkSession
     work_dir = work_dir or tempfile.mkdtemp(prefix="lg_katz_")
     e = (graph.edges if graph.directed else graph.symmetric_edges()).persist()
     nodes = graph.nodes().persist()
 
     def init() -> DataFrame:
+        if warm_start is not None:
+            return nodes.join(
+                warm_start.select("id", "score"), "id", "left"
+            ).select(
+                "id",
+                F.coalesce("score", F.lit(beta)).alias("score"),
+                F.lit(0.0).alias("delta"),
+            )
         return nodes.select("id", F.lit(beta).alias("score"), F.lit(0.0).alias("delta"))
 
     def step(x: DataFrame, k: int) -> DataFrame:

@@ -235,3 +235,102 @@ def forest_fire_score(
     return base.join(counts, ["src", "dst"], "left").select(
         "src", "dst", F.coalesce("score", F.lit(0.0)).alias("score")
     )
+
+
+def edge_switching(
+    graph: Graph, rounds: int = 10, seed: int = 42
+) -> Graph:
+    """Degree-preserving randomization — PARALLEL edge switching
+    (randomization/EdgeSwitchingMarkovChainGenerator.cpp /
+    randomization/Curveball.cpp intent; the reference's chains are
+    sequential MCMC, this is the synchronous-rounds variant): each round,
+    edges are hash-paired into buckets of two; a bucket {(a,b),(c,d)}
+    proposes the switch {(a,d),(c,b)} (degrees invariant by
+    construction); proposals that would create a self-loop or duplicate
+    an existing/just-created edge are rejected (their originals stay).
+    Each round is: one bucket hash + one window over 2-row buckets + one
+    anti-join validity check — all partition-parallel, deterministic by
+    counter hashes."""
+    spark = graph.edges.sparkSession
+    cur = (
+        graph.symmetric_edges()
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    m = cur.count()  # invariant: switches preserve the edge count
+    n_buckets = max(m // 2, 1)
+    for t in range(rounds):
+        h = F.xxhash64("src", "dst", F.lit(seed + t))
+        w = Window.partitionBy("bucket").orderBy("h")
+        tagged = (
+            cur.withColumn("h", h)
+            .withColumn("bucket", F.pmod(F.col("h"), F.lit(n_buckets)))
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("sz", F.count("*").over(Window.partitionBy("bucket")))
+        )
+        # pair rows 1&2 of each bucket (extras stay unswitched)
+        a = tagged.where((F.col("rn") == 1) & (F.col("sz") >= 2)).select(
+            "bucket", F.col("src").alias("a"), F.col("dst").alias("b")
+        )
+        b = tagged.where(F.col("rn") == 2).select(
+            "bucket", F.col("src").alias("c"), F.col("dst").alias("d")
+        )
+        prop = (
+            a.join(b, "bucket")
+            .select(
+                "bucket", "a", "b", "c", "d",
+                F.least("a", "d").alias("s1"), F.greatest("a", "d").alias("d1"),
+                F.least("c", "b").alias("s2"), F.greatest("c", "b").alias("d2"),
+            )
+            .where(
+                (F.col("a") != F.col("d")) & (F.col("c") != F.col("b"))
+                & ~((F.col("s1") == F.col("s2")) & (F.col("d1") == F.col("d2")))
+            )
+        )
+        # reject proposals that collide with surviving current edges
+        new1 = prop.select("bucket", F.col("s1").alias("src"), F.col("d1").alias("dst"))
+        new2 = prop.select("bucket", F.col("s2").alias("src"), F.col("d2").alias("dst"))
+        news = new1.unionByName(new2)
+        originals = prop.select(
+            "bucket", F.col("a").alias("src"), F.col("b").alias("dst")
+        ).unionByName(
+            prop.select("bucket", F.col("c").alias("src"), F.col("d").alias("dst"))
+        )
+        untouched = cur.join(
+            originals.select("src", "dst"), ["src", "dst"], "left_anti"
+        )
+        # CONSERVATIVE validity: reject a proposal whose new edge exists
+        # ANYWHERE in the current graph — including edges other buckets
+        # are switching away. Checking only `untouched` cascades: a
+        # reverted bucket restores its originals, which may then collide
+        # with an already-accepted proposal. Slightly fewer acceptances
+        # per round, but rounds compose and the chain stays valid.
+        conflict = (
+            news.join(cur, ["src", "dst"], "left_semi")
+            .select("bucket")
+            .union(
+                news.groupBy("src", "dst")
+                .agg(F.count("*").alias("n"), F.collect_set("bucket").alias("bs"))
+                .where(F.col("n") > 1)
+                .select(F.explode("bs").alias("bucket"))
+            )
+            .distinct()
+        )
+        ok = prop.join(conflict, "bucket", "left_anti")
+        switched = (
+            ok.select(F.col("s1").alias("src"), F.col("d1").alias("dst"))
+            .unionByName(ok.select(F.col("s2").alias("src"), F.col("d2").alias("dst")))
+        )
+        reverted = prop.join(conflict, "bucket", "left_semi")
+        kept_originals = (
+            reverted.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(reverted.select(F.col("c").alias("src"), F.col("d").alias("dst")))
+        )
+        cur = (
+            untouched.unionByName(switched).unionByName(kept_originals)
+            .localCheckpoint(eager=True)
+        )
+    return Graph(
+        cur.withColumn("weight", F.lit(1.0)), directed=False, weighted=False
+    )

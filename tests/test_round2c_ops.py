@@ -273,3 +273,36 @@ def test_b_suitor_per_vertex_caps(spark):
     )
     m = b_suitor_matching(g, b=caps)
     assert m.count() == 2
+
+
+def test_dyn_katz_warm_start_matches(spark):
+    from linkgraph.algs.centrality import katz_centrality
+
+    base = [(0, 1), (1, 2), (2, 3)]
+    g0 = make_graph(spark, base)
+    x0 = katz_centrality(g0, alpha=0.05)
+    g1 = make_graph(spark, base + [(0, 3)])
+    warm = collect_map(
+        katz_centrality(g1, alpha=0.05, warm_start=x0), "id", "score"
+    )
+    cold = collect_map(katz_centrality(g1, alpha=0.05), "id", "score")
+    for k in cold:
+        assert warm[k] == pytest.approx(cold[k], abs=1e-7)
+
+
+def test_edge_switching_preserves_degrees(spark, karate):
+    from linkgraph.algs.sparsification import edge_switching
+
+    before = collect_map(karate.degrees(), "id", "degree")
+    g2 = edge_switching(karate, rounds=6, seed=11)
+    after = collect_map(g2.degrees(), "id", "degree")
+    assert before == after
+    assert g2.num_edges() == karate.num_edges()
+    # the chain actually moved (some switch accepted over 6 rounds)
+    e1 = sorted(map(tuple, karate.to_undirected().edges.select("src", "dst").collect()))
+    e2 = sorted(map(tuple, g2.edges.select("src", "dst").collect()))
+    assert e1 != e2
+    # deterministic
+    g3 = edge_switching(karate, rounds=6, seed=11)
+    e3 = sorted(map(tuple, g3.edges.select("src", "dst").collect()))
+    assert e2 == e3
