@@ -736,6 +736,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", F.round("score", 6).alias("score")
         )
 
+    def doc_bridges(spark, sf):
+        """Bridge edges via distributed XOR-covering (whp-exact,
+        deterministic output; the cycle-membership certificate is not
+        SQL-expressible → rows-only; exactness pinned by the pytest
+        networkx-parity suite)."""
+        from linkgraph.algs.bridges import bridges
+
+        g = _doc_graph(spark, sf, directed=False)
+        return bridges(g).orderBy("src", "dst")
+
     return {
         "doc_degrees": doc_degrees,
         "doc_out_degrees": doc_out_degrees,
@@ -810,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_ba_structure": gen_ba_structure,
         "doc_betweenness_exact": doc_betweenness_exact,
         "doc_laplacian": doc_laplacian,
+        "doc_bridges": doc_bridges,
     }
 
 

@@ -306,3 +306,52 @@ def test_edge_switching_preserves_degrees(spark, karate):
     g3 = edge_switching(karate, rounds=6, seed=11)
     e3 = sorted(map(tuple, g3.edges.select("src", "dst").collect()))
     assert e2 == e3
+
+
+# --------------------------------------------------------------------------
+# bridges / 2-edge-connected components
+# --------------------------------------------------------------------------
+
+def test_bridges_path_all(spark, path_5):
+    from linkgraph.algs.bridges import bridges
+
+    got = sorted(map(tuple, bridges(path_5).collect()))
+    assert got == [(0, 1), (1, 2), (2, 3), (3, 4)]
+
+
+def test_bridges_cycle_none(spark, cycle_6):
+    from linkgraph.algs.bridges import bridges
+
+    assert bridges(cycle_6).count() == 0
+
+
+def test_bridges_two_triangles(spark, two_triangles_bridge):
+    from linkgraph.algs.bridges import bridges, two_edge_connected_components
+
+    got = sorted(map(tuple, bridges(two_triangles_bridge).collect()))
+    assert got == [(2, 3)]
+    tcc = {r["id"]: r["component"]
+           for r in two_edge_connected_components(two_triangles_bridge).collect()}
+    assert tcc[0] == tcc[1] == tcc[2]
+    assert tcc[3] == tcc[4] == tcc[5]
+    assert tcc[0] != tcc[3]
+
+
+def test_bridges_vs_networkx_karate(spark, karate):
+    nx = pytest.importorskip("networkx")
+    from linkgraph.algs.bridges import bridges
+    from linkgraph.nxadapter import to_networkx
+
+    got = sorted(map(tuple, bridges(karate).collect()))
+    want = sorted(tuple(sorted(e)) for e in nx.bridges(to_networkx(karate)))
+    assert got == want
+
+
+def test_bridges_disconnected(spark, two_components):
+    from linkgraph.algs.bridges import bridges
+    from linkgraph.nxadapter import to_networkx
+
+    nx = pytest.importorskip("networkx")
+    got = sorted(map(tuple, bridges(two_components).collect()))
+    want = sorted(tuple(sorted(e)) for e in nx.bridges(to_networkx(two_components)))
+    assert got == want
