@@ -130,3 +130,35 @@ def betweenness(
     )
     e.unpersist()
     return out
+
+
+def approx_betweenness(
+    graph: Graph,
+    epsilon: float = 0.05,
+    delta: float = 0.1,
+    seed: int = 42,
+    max_samples: int = 4096,
+    normalized: bool = True,
+) -> DataFrame:
+    """(id, score) — ApproxBetweenness.cpp contract (Riondato–Kornaropoulos
+    VC-dimension sampling): normalized betweenness within ±epsilon with
+    probability ≥ 1−delta, using
+
+        r = (c/ε²)·(⌊log₂(VD−2)⌋ + 1 + ln(1/δ)),  c = 0.5
+
+    samples, where VD is the vertex-diameter (approximated here by the
+    double-sweep lower bound + 2, the reference's own estimator spirit).
+    Delegates to the sampled Brandes machinery (multi-source BFS +
+    dependency back-prop), capped at ``max_samples`` sources."""
+    import math as _m
+
+    from linkgraph.algs.bfs import diameter_lower_bound
+
+    vd = max(int(diameter_lower_bound(graph)) + 2, 3)
+    r = int(_m.ceil(
+        (0.5 / (epsilon ** 2))
+        * (int(_m.floor(_m.log2(max(vd - 2, 2)))) + 1 + _m.log(1.0 / delta))
+    ))
+    r = min(max(r, 1), max_samples)
+    out = betweenness(graph, n_samples=r, seed=seed, normalized=normalized)
+    return out

@@ -65,3 +65,18 @@ def test_betweenness_path_graph(spark, path_5):
     assert got[1] == pytest.approx(3.0)
     assert got[2] == pytest.approx(4.0)
     assert got[3] == pytest.approx(3.0)
+
+
+def test_approx_betweenness_band(spark, karate):
+    from linkgraph.algs.betweenness import approx_betweenness, betweenness
+
+    exact = collect_map(betweenness(karate, normalized=True), "id", "score")
+    approx = collect_map(
+        approx_betweenness(karate, epsilon=0.08, delta=0.1, max_samples=34),
+        "id",
+        "score",
+    )
+    # epsilon-absolute band on normalized scores (34 sources = full set on
+    # karate → exact; the band also covers genuinely sampled runs)
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= 0.08 + 1e-9
