@@ -77,3 +77,31 @@ def test_cc_labels_are_member_minima(spark):
         for node, comp in cc.items():
             by_comp.setdefault(comp, []).append(node)
         assert all(comp == min(members) for comp, members in by_comp.items())
+
+
+def test_edge_switching_invariants_random(spark):
+    from linkgraph.algs.sparsification import edge_switching
+
+    for seed in (21, 22):
+        g = _er(spark, seed, n=30, p=0.15)
+        g2 = edge_switching(g, rounds=3, seed=seed)
+        d1 = sorted(collect_map(g.degrees(), "id", "degree").items())
+        d2 = sorted(collect_map(g2.degrees(), "id", "degree").items())
+        assert d1 == d2
+        # canonical, duplicate-free edge set
+        e = [(r["src"], r["dst"]) for r in g2.edges.collect()]
+        assert len(e) == len(set(e))
+        assert all(u < v for u, v in e)
+
+
+def test_lfr_degree_bounds(spark):
+    from linkgraph.generators import lfr
+
+    edges, _ = lfr(spark, n=200, mu=0.2, avg_degree=6, max_degree=20,
+                   min_community=40, seed=9)
+    from linkgraph.graph import Graph as _G
+
+    degs = collect_map(_G.from_edges(edges).degrees(), "id", "degree")
+    # stub-sampling + dedup keeps degrees in a sane envelope of the target
+    assert max(degs.values()) <= 3 * 20
+    assert sum(degs.values()) / len(degs) > 2
