@@ -380,3 +380,82 @@ def closeness_sampled(graph: Graph, n_samples: int = 16, seed: int = 42) -> Data
             .alias("score"),
         )
     )
+
+
+def dyn_harmonic_closeness(
+    graph: Graph,
+    dist_state: DataFrame,
+    added_edges: DataFrame,
+    n: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """DynTopHarmonicCloseness addition path: keep the sampled-pivot
+    distance table (source, id, dist) as STATE, repair it incrementally
+    under edge additions (dyn_multi_source_additions — only the improved
+    region recomputes), and re-aggregate the harmonic estimator from the
+    repaired table. Returns (new_dist_state, scores(id, score)); feed the
+    state back in on the next batch. Exactly equals recomputing the
+    sampled estimator from scratch on the post-addition graph."""
+    new_state = dyn_multi_source_additions(graph, dist_state, added_edges)
+    nodes = graph.nodes()
+    if n is None:
+        n = nodes.count()
+    k = new_state.select("source").distinct().count()
+    scale = (n - 1) / k if k else 0.0
+    scores = (
+        new_state.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg((F.lit(scale) * F.sum(1.0 / F.col("dist"))).alias("score"))
+    )
+    out = nodes.join(scores, "id", "left").select(
+        "id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+    return new_state, out
+
+
+def group_degree(graph: Graph, k: int = 5) -> DataFrame:
+    """(id,) — greedy group-degree maximization (centrality/GroupDegree
+    .cpp): k rounds, each adding the vertex covering the most
+    still-uncovered neighbors (the classic 1−1/e submodular greedy; ties
+    by min id → deterministic). Each round is ONE distributed agg over
+    the edge table filtered by the covered set — k supersteps total, no
+    per-candidate BFS, so feasible for the small k the greedy is used
+    with."""
+    spark = graph.edges.sparkSession
+    sym = (
+        graph.symmetric_edges()
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    group: list = []
+    covered = spark.createDataFrame([], "id bigint")
+    for _ in range(k):
+        cand = (
+            sym.join(
+                covered.withColumnRenamed("id", "dst"), "dst", "left_anti"
+            )
+            .join(
+                spark.createDataFrame([(g,) for g in group] or [], "src bigint"),
+                "src",
+                "left_anti",
+            )
+            .groupBy("src")
+            .agg(F.count("*").alias("gain"))
+        )
+        best = (
+            cand.orderBy(F.desc("gain"), F.asc("src")).limit(1).collect()
+        )
+        if not best or best[0]["gain"] <= 0:
+            break
+        v = int(best[0]["src"])
+        group.append(v)
+        newly = sym.where(F.col("src") == v).select(F.col("dst").alias("id"))
+        covered = (
+            covered.unionByName(newly)
+            .unionByName(spark.createDataFrame([(v,)], "id bigint"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    return spark.createDataFrame([(g,) for g in group] or [], "id bigint")

@@ -355,3 +355,55 @@ def test_bridges_disconnected(spark, two_components):
     got = sorted(map(tuple, bridges(two_components).collect()))
     want = sorted(tuple(sorted(e)) for e in nx.bridges(to_networkx(two_components)))
     assert got == want
+
+
+def test_dyn_harmonic_closeness_matches(spark):
+    from linkgraph.algs.bfs import (
+        dyn_harmonic_closeness,
+        harmonic_closeness_sampled,
+        multi_source_bfs,
+    )
+
+    base = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    g0 = make_graph(spark, base)
+    # full-pivot state (deterministic sample = all nodes)
+    sources = sorted(collect_map(g0.nodes(), "id", "id"))
+    state = multi_source_bfs(g0, sources)
+    add = spark.createDataFrame([(0, 4)], "src bigint, dst bigint")
+    g1 = make_graph(spark, base + [(0, 4)])
+    _, got = dyn_harmonic_closeness(g1, state, add)
+    want = harmonic_closeness_sampled(g1, n_samples=5)
+    gm = collect_map(got, "id", "score")
+    wm = collect_map(want, "id", "score")
+    for kk in wm:
+        assert gm[kk] == pytest.approx(wm[kk], rel=1e-9)
+
+
+def test_group_degree_star_plus(spark):
+    from linkgraph.algs.bfs import group_degree
+
+    # hub 0 covers 1..4; vertex 5 covers 6,7 — greedy picks 0 then 5
+    g = make_graph(spark, [(0, 1), (0, 2), (0, 3), (0, 4), (5, 6), (5, 7)])
+    got = sorted(r["id"] for r in group_degree(g, k=2).collect())
+    assert got == [0, 5]
+
+
+def test_group_degree_vs_bruteforce(spark, karate):
+    from itertools import combinations
+
+    nx = pytest.importorskip("networkx")
+    from linkgraph.algs.bfs import group_degree
+    from linkgraph.nxadapter import to_networkx
+
+    g = to_networkx(karate)
+    got = sorted(r["id"] for r in group_degree(karate, k=2).collect())
+
+    def coverage(S):
+        cov = set(S)
+        for v in S:
+            cov |= set(g.neighbors(v))
+        return len(cov - set(S))
+
+    best = max(coverage(c) for c in combinations(g.nodes(), 2))
+    # greedy guarantee: ≥ (1 − 1/e) of the optimal coverage
+    assert coverage(got) >= (1 - 1 / 2.718281828) * best
