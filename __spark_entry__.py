@@ -746,7 +746,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf, directed=False)
         return bridges(g).orderBy("src", "dst")
 
+    def doc_topo_levels(spark, sf):
+        """Kahn layer decomposition of the low->high oriented doc DAG
+        (GraphTools::topologicalSort, distributed form). Oracle: recursive
+        longest-path CTE (gate_sql.topo_levels_sql)."""
+        from linkgraph.algs.dag import topological_levels
+        from linkgraph.graph import Graph
+
+        g = _doc_graph(spark, sf)
+        dag = Graph.from_edges(
+            g.edges.where(F.col("src") < F.col("dst")), directed=True, weighted=True
+        )
+        return topological_levels(dag)
+
+    def doc_clique_hist(spark, sf):
+        """Maximal-clique size histogram (MaximalCliques, distributed
+        ego-net Bron-Kerbosch). Oracle: recursive clique-growth CTE
+        (gate_sql.clique_hist_sql)."""
+        from linkgraph.algs.cliques import clique_size_histogram
+
+        g = _doc_graph(spark, sf, directed=False)
+        return clique_size_histogram(g)
+
     return {
+        "doc_topo_levels": doc_topo_levels,
+        "doc_clique_hist": doc_clique_hist,
         "doc_degrees": doc_degrees,
         "doc_out_degrees": doc_out_degrees,
         "degree_top10": degree_top10,
@@ -1191,5 +1215,7 @@ SELECT src, dst, ROUND(weight, 6) AS weight FROM last WHERE op <> 'remove_edge'
     sql["doc_katz_index"] = G.katz_index_sql(EDGES_CTE_MAT, beta=0.005, max_length=3)
     sql["doc_prefix_jaccard"] = G.prefix_jaccard_sql(EDGES_CTE_MAT, k=5)
     sql["doc_simmelian"] = G.simmelian_sql(EDGES_CTE_MAT, max_rank=10)
+    sql["doc_topo_levels"] = G.topo_levels_sql(EDGES_CTE_MAT)
+    sql["doc_clique_hist"] = G.clique_hist_sql(EDGES_CTE_MAT)
 
     return sql

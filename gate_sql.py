@@ -866,3 +866,51 @@ SELECT n.id, ROUND(COALESCE(d.wdeg, 0.0) * COALESCE(d.wdeg, 0.0)
                    + COALESCE(nb.nsum, 0.0), 6) AS score
 FROM nodes n LEFT JOIN deg d ON d.id = n.id LEFT JOIN nb ON nb.id = n.id
 """
+
+
+# ---------------------------------------------------------------------------
+# Topological levels (Kahn layering) + maximal cliques
+# ---------------------------------------------------------------------------
+
+
+def topo_levels_sql(cte: str) -> str:
+    """Kahn levels on the low->high oriented DAG (acyclic by construction):
+    level(v) = longest path from the source frontier. Recursive CTE with
+    UNION dedup keeps the state at most n * depth rows."""
+    return f"""
+WITH RECURSIVE {cte},
+dag AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst GROUP BY src, dst),
+dn AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM dag UNION SELECT dst FROM dag) u
+),
+lv(id, lvl) AS (
+  SELECT id, 0 FROM dn WHERE id NOT IN (SELECT dst FROM dag)
+  UNION
+  SELECT d.dst, lv.lvl + 1 FROM lv JOIN dag d ON d.src = lv.id
+)
+SELECT id, CAST(MAX(lvl) AS INT) AS level FROM lv GROUP BY id
+"""
+
+
+def clique_hist_sql(cte: str) -> str:
+    """Maximal-clique size histogram. Enumerates all cliques as sorted member
+    lists grown one id at a time (recursive CTE; list_has_all = adjacency-to-
+    all test), keeps those with no adjacent-to-all outside vertex."""
+    return f"""
+WITH RECURSIVE {cte},
+adj AS MATERIALIZED (SELECT src AS id, list_sort(list(dst)) AS nbrs FROM sym GROUP BY src),
+cl(members, last) AS (
+  SELECT [id], id FROM nodes
+  UNION ALL
+  SELECT list_append(c.members, a.id), a.id
+  FROM cl c JOIN adj a ON a.id > c.last AND list_has_all(a.nbrs, c.members)
+),
+maxi AS (
+  SELECT members FROM cl c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM adj a
+    WHERE list_has_all(a.nbrs, c.members) AND NOT list_contains(c.members, a.id)
+  )
+)
+SELECT CAST(len(members) AS INT) AS size, count(*) AS n_cliques FROM maxi GROUP BY size
+"""

@@ -212,6 +212,51 @@ class Graph:
         )
         return e.where(keep).select("src", "dst")
 
+    def append(self, other: "Graph") -> "Graph":
+        """GraphTools::append — disjoint union: ``other``'s vertex ids are
+        shifted past this graph's max id so the two vertex sets cannot
+        collide. Two scalar aggs + a column add: no shuffle beyond the
+        union itself. Returns the combined graph (directed/weighted flags
+        follow ``self``).
+
+        Like the reference (which indexes by upperNodeIdBound), this
+        assumes DENSE non-negative ids: full-range xxhash64 ids admit no
+        collision-free offset, and the shift would overflow the 64-bit
+        domain (a hard error under ANSI mode, a silent corruption without
+        it) — so both conditions raise with a pointer to compact_ids."""
+        lo_s, hi_s = self._id_range()
+        lo_o, hi_o = other._id_range()
+        offset = hi_s + 1
+        if lo_s < 0 or lo_o < 0 or hi_o > (1 << 62):
+            raise ValueError(
+                "append requires dense non-negative ids on both graphs "
+                "(hash-id graphs have no collision-free shift); run "
+                "compact_ids() first"
+            )
+        shifted = other.edges.select(
+            (F.col("src") + F.lit(offset)).alias("src"),
+            (F.col("dst") + F.lit(offset)).alias("dst"),
+            "weight",
+        )
+        return replace(self, edges=self.edges.unionAll(shifted), _sym_cache=[])
+
+    def _id_range(self) -> tuple[int, int]:
+        row = self.edges.agg(
+            F.least(F.min("src"), F.min("dst")).alias("lo"),
+            F.greatest(F.max("src"), F.max("dst")).alias("hi"),
+        ).collect()[0]
+        lo = int(row["lo"]) if row["lo"] is not None else 0
+        hi = int(row["hi"]) if row["hi"] is not None else -1
+        return lo, hi
+
+    def merge(self, other: "Graph") -> "Graph":
+        """GraphTools::merge — union on a SHARED id space: edges present in
+        either graph, duplicate pairs deduped keeping max weight (consistent
+        with symmetric_edges' dedup rule). Pure union + hash agg."""
+        both = self.edges.unionAll(other.edges.select("src", "dst", "weight"))
+        merged = both.groupBy("src", "dst").agg(F.max("weight").alias("weight"))
+        return replace(self, edges=merged, _sym_cache=[])
+
     # -- scalar stats (GraphTools::density/volume/maxDegree) ----------------
     def density(self) -> float:
         n = self.num_nodes()

@@ -1,0 +1,150 @@
+"""Round-2 continuation: topological sort, graph append/merge, maximal
+cliques (final GraphTools/clique rows of SURVEY §2A)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph
+from tests.conftest import make_graph
+
+nx = pytest.importorskip("networkx")
+
+
+# -- topological sort --------------------------------------------------------
+
+def _levels(df):
+    return {r["id"]: r["level"] for r in df.collect()}
+
+
+def test_topological_levels_diamond(spark):
+    from linkgraph.algs.dag import topological_levels
+
+    # 0 -> 1 -> 3, 0 -> 2 -> 3, 0 -> 3: longest path to 3 has length 2.
+    g = make_graph(spark, [(0, 1), (0, 2), (1, 3), (2, 3), (0, 3)], directed=True)
+    assert _levels(topological_levels(g)) == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_topological_levels_match_networkx(spark):
+    from linkgraph.algs.dag import topological_levels
+
+    rng = __import__("random").Random(7)
+    # Random DAG: edges always low -> high id, so acyclic by construction.
+    pairs = sorted({(rng.randrange(0, 30), rng.randrange(0, 30)) for _ in range(120)})
+    pairs = [(a, b) for a, b in pairs if a < b]
+    g = make_graph(spark, pairs, directed=True)
+    got = _levels(topological_levels(g))
+
+    ng = nx.DiGraph(pairs)
+    want = {}
+    for v in nx.topological_sort(ng):
+        preds = list(ng.predecessors(v))
+        want[v] = max((want[u] + 1 for u in preds), default=0)
+    assert got == want
+
+
+def test_topological_order_is_valid(spark):
+    from linkgraph.algs.dag import topological_order
+
+    pairs = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (1, 4)]
+    g = make_graph(spark, pairs, directed=True)
+    pos = {r["id"]: r["pos"] for r in topological_order(g).collect()}
+    assert sorted(pos.values()) == list(range(5))
+    for a, b in pairs:
+        assert pos[a] < pos[b]
+
+
+def test_topological_levels_cycle_raises(spark, cycle_6):
+    from linkgraph.algs.dag import topological_levels
+
+    g = Graph.from_edges(cycle_6.edges, directed=True)
+    with pytest.raises(ValueError, match="cycle"):
+        topological_levels(g)
+
+
+def test_topological_levels_requires_directed(spark, path_5):
+    from linkgraph.algs.dag import topological_levels
+
+    with pytest.raises(ValueError, match="directed"):
+        topological_levels(path_5)
+
+
+# -- append / merge ----------------------------------------------------------
+
+def test_append_disjoint_union(spark, path_5):
+    h = make_graph(spark, [(0, 1), (1, 2)])
+    combined = path_5.append(h)
+    assert combined.num_edges() == 4 + 2
+    assert combined.num_nodes() == 5 + 3
+    # Shifted ids start past max id of the left graph (4) -> offset 5.
+    ids = {r["id"] for r in combined.nodes().collect()}
+    assert ids == {0, 1, 2, 3, 4, 5, 6, 7}
+
+
+def test_append_hash_ids_raise(spark, path_5):
+    # Full-range hash ids admit no collision-free shift: must refuse loudly
+    # instead of overflowing (caught live via spark-submit under ANSI mode).
+    h = make_graph(spark, [(-(2**62), 2**62)])
+    with pytest.raises(ValueError, match="compact_ids"):
+        path_5.append(h)
+    with pytest.raises(ValueError, match="compact_ids"):
+        h.append(path_5)
+
+
+def test_merge_shared_ids_dedups(spark, path_5):
+    h = make_graph(spark, [(3, 4, 2.5), (4, 5)], weighted=True)
+    merged = path_5.merge(h)
+    assert merged.num_edges() == 5  # (3,4) deduped
+    w = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in merged.edges.collect()
+    }
+    assert w[(3, 4)] == 2.5  # max-weight dedup rule
+
+
+# -- maximal cliques ---------------------------------------------------------
+
+def _nx_cliques(pairs):
+    ng = nx.Graph(pairs)
+    return sorted(tuple(sorted(c)) for c in nx.find_cliques(ng))
+
+
+def _spark_cliques(g):
+    from linkgraph.algs.cliques import maximal_cliques
+
+    return sorted(tuple(r["members"]) for r in maximal_cliques(g).collect())
+
+
+def test_maximal_cliques_karate(spark, karate):
+    from tests.conftest import KARATE_EDGES
+
+    assert _spark_cliques(karate) == _nx_cliques(KARATE_EDGES)
+
+
+@pytest.mark.parametrize("seed,p", [(1, 0.15), (2, 0.3), (3, 0.45)])
+def test_maximal_cliques_random(spark, seed, p):
+    rng = __import__("random").Random(seed)
+    pairs = [
+        (a, b)
+        for a in range(24)
+        for b in range(a + 1, 24)
+        if rng.random() < p
+    ]
+    g = make_graph(spark, pairs)
+    assert _spark_cliques(g) == _nx_cliques(pairs)
+
+
+def test_maximal_cliques_selfloop_singleton(spark):
+    g = make_graph(spark, [(0, 1), (2, 2)])
+    assert _spark_cliques(g) == [(0, 1), (2,)]
+
+
+def test_clique_size_histogram(spark, karate):
+    from linkgraph.algs.cliques import clique_size_histogram
+
+    hist = {r["size"]: r["n_cliques"] for r in clique_size_histogram(karate).collect()}
+    want = {}
+    for c in _nx_cliques(__import__("tests.conftest", fromlist=["KARATE_EDGES"]).KARATE_EDGES):
+        want[len(c)] = want.get(len(c), 0) + 1
+    assert hist == want
