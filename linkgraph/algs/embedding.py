@@ -87,3 +87,60 @@ def node2vec_walks(
     sym.unpersist()
     edge_set.unpersist()
     return corpus.localCheckpoint(eager=True)
+
+
+def node2vec_embeddings(
+    graph: Graph,
+    dim: int = 32,
+    walks_per_node: int = 8,
+    walk_length: int = 10,
+    p: float = 1.0,
+    q: float = 1.0,
+    window: int = 5,
+    max_iter: int = 1,
+    num_partitions: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, embedding array<double>) — full Node2Vec: the walk corpus above
+    fed to Spark MLlib's distributed Word2Vec (JVM-side skip-gram with
+    hierarchical softmax), completing embedding/Node2Vec.cpp parity.
+
+    Scale shape: walk generation is L rounds of join+window (see module
+    docstring); training is MLlib's data-parallel SGD — the vocabulary
+    (one vector per vertex) is broadcast per iteration, so dim * n floats
+    must fit per executor. That is Word2Vec's standard envelope; for
+    10^9+ vertices shard the graph by component or train on the
+    compact-id space. ``num_partitions=1`` keeps training deterministic
+    for a fixed seed (MLlib updates are otherwise merge-order dependent).
+    """
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.ml.functions import vector_to_array
+
+    walks = node2vec_walks(
+        graph,
+        walks_per_node=walks_per_node,
+        walk_length=walk_length,
+        p=p,
+        q=q,
+        seed=seed,
+    )
+    sentences = walks.groupBy("walk_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "vertex"))),
+            lambda s: s["vertex"].cast("string"),
+        ).alias("walk")
+    )
+    model = Word2Vec(
+        vectorSize=dim,
+        windowSize=window,
+        minCount=0,
+        maxIter=max_iter,
+        numPartitions=num_partitions,
+        seed=seed,
+        inputCol="walk",
+        outputCol="vec",
+    ).fit(sentences)
+    return model.getVectors().select(
+        F.col("word").cast("bigint").alias("id"),
+        vector_to_array(F.col("vector")).alias("embedding"),
+    )

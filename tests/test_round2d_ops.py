@@ -148,3 +148,43 @@ def test_clique_size_histogram(spark, karate):
     for c in _nx_cliques(__import__("tests.conftest", fromlist=["KARATE_EDGES"]).KARATE_EDGES):
         want[len(c)] = want.get(len(c), 0) + 1
     assert hist == want
+
+
+# -- node2vec skip-gram training ---------------------------------------------
+
+def test_node2vec_embeddings_structure(spark):
+    from linkgraph.algs.embedding import node2vec_embeddings
+
+    # Barbell: two K4s joined by one bridge — embeddings must separate sides.
+    left = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    right = [(a + 10, b + 10) for a, b in left]
+    g = make_graph(spark, left + right + [(3, 10)])
+    emb = node2vec_embeddings(
+        g, dim=8, walks_per_node=12, walk_length=8, max_iter=4, seed=7
+    )
+    vecs = {r["id"]: r["embedding"] for r in emb.collect()}
+    assert set(vecs) == {0, 1, 2, 3, 10, 11, 12, 13}
+    assert all(len(v) == 8 for v in vecs.values())
+
+    import numpy as np
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+    intra = [cos(vecs[a], vecs[b]) for a, b in left] + [
+        cos(vecs[a + 10], vecs[b + 10]) for a, b in left
+    ]
+    inter = [cos(vecs[a], vecs[b + 10]) for a in range(4) for b in range(4)]
+    assert np.mean(intra) > np.mean(inter)
+
+
+def test_node2vec_embeddings_deterministic(spark, two_triangles_bridge):
+    from linkgraph.algs.embedding import node2vec_embeddings
+
+    kw = dict(dim=4, walks_per_node=4, walk_length=5, max_iter=1, seed=11)
+    a = node2vec_embeddings(two_triangles_bridge, **kw).collect()
+    b = node2vec_embeddings(two_triangles_bridge, **kw).collect()
+    va = {r["id"]: list(r["embedding"]) for r in a}
+    vb = {r["id"]: list(r["embedding"]) for r in b}
+    assert va == vb
