@@ -768,9 +768,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf, directed=False)
         return clique_size_histogram(g)
 
+    def doc_group_degree(spark, sf):
+        """Greedy group-degree (k=3). Oracle: the same greedy unrolled to
+        chained SQL rounds (gate_sql.group_degree_sql)."""
+        from linkgraph.algs.bfs import group_degree
+
+        g = _doc_graph(spark, sf, directed=False)
+        return group_degree(g, k=3)
+
+    def doc_switch_degrees(spark, sf):
+        """Degrees AFTER 5 rounds of parallel edge switching. Oracle: the
+        original graph's degrees — the operator's degree-preservation
+        contract, checked exactly (gate_sql.degree_invariant_sql)."""
+        from linkgraph.algs.sparsification import edge_switching
+
+        g = _doc_graph(spark, sf, directed=False)
+        switched = edge_switching(g, rounds=5, seed=42)
+        return (
+            switched.degrees().select("id", "degree")
+        )
+
     return {
         "doc_topo_levels": doc_topo_levels,
         "doc_clique_hist": doc_clique_hist,
+        "doc_group_degree": doc_group_degree,
+        "doc_switch_degrees": doc_switch_degrees,
         "doc_degrees": doc_degrees,
         "doc_out_degrees": doc_out_degrees,
         "degree_top10": degree_top10,
@@ -1217,5 +1239,7 @@ SELECT src, dst, ROUND(weight, 6) AS weight FROM last WHERE op <> 'remove_edge'
     sql["doc_simmelian"] = G.simmelian_sql(EDGES_CTE_MAT, max_rank=10)
     sql["doc_topo_levels"] = G.topo_levels_sql(EDGES_CTE_MAT)
     sql["doc_clique_hist"] = G.clique_hist_sql(EDGES_CTE_MAT)
+    sql["doc_group_degree"] = G.group_degree_sql(EDGES_CTE_MAT, k=3)
+    sql["doc_switch_degrees"] = G.degree_invariant_sql(EDGES_CTE_MAT)
 
     return sql

@@ -914,3 +914,48 @@ maxi AS (
 )
 SELECT CAST(len(members) AS INT) AS size, count(*) AS n_cliques FROM maxi GROUP BY size
 """
+
+
+def group_degree_sql(cte: str, k: int = 3) -> str:
+    """Unrolled greedy group-degree (k rounds): round i picks the
+    non-group vertex with the most still-uncovered neighbors (ties by min
+    id); covered = group + its neighborhoods. Mirrors algs/bfs.py::
+    group_degree exactly, including the gain>0 stop rule."""
+    parts = [
+        "symp AS MATERIALIZED (SELECT src, dst FROM sym WHERE src <> dst)",
+        "g1 AS MATERIALIZED (SELECT src FROM (SELECT src, count(*) AS gain "
+        "FROM symp GROUP BY src) z ORDER BY gain DESC, src ASC LIMIT 1)",
+        "c1 AS MATERIALIZED (SELECT src AS id FROM g1 UNION "
+        "SELECT dst FROM symp WHERE src IN (SELECT src FROM g1))",
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        grp = " UNION ".join(f"SELECT src FROM g{j}" for j in range(1, i))
+        parts.append(
+            f"cand{i} AS MATERIALIZED (SELECT s.src, count(*) AS gain FROM symp s "
+            f"WHERE s.dst NOT IN (SELECT id FROM c{p}) "
+            f"AND s.src NOT IN ({grp}) GROUP BY s.src)"
+        )
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT src FROM cand{i} WHERE gain > 0 "
+            f"ORDER BY gain DESC, src ASC LIMIT 1)"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT id FROM c{p} UNION SELECT src FROM g{i} "
+            f"UNION SELECT dst FROM symp WHERE src IN (SELECT src FROM g{i}))"
+        )
+    sel = " UNION ALL ".join(f"SELECT src AS id FROM g{j}" for j in range(1, k + 1))
+    return f"WITH {cte},\n" + ",\n".join(parts) + f"\n{sel}"
+
+
+def degree_invariant_sql(cte: str) -> str:
+    """Undirected degrees of the ORIGINAL graph — the oracle for
+    degree-preserving randomization (edge switching's contract is that
+    the switched graph's degree table equals this exactly)."""
+    return f"""
+WITH {cte},
+canon AS (SELECT src, dst FROM sym WHERE src < dst)
+SELECT id, count(*) AS degree FROM (
+  SELECT src AS id FROM canon UNION ALL SELECT dst AS id FROM canon
+) z GROUP BY id
+"""
