@@ -788,11 +788,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             switched.degrees().select("id", "degree")
         )
 
+    def doc_group_closeness(spark, sf):
+        """Greedy group-closeness (k=3). Oracle: the same greedy unrolled
+        over the all-pairs hop-distance CTE (gate_sql.group_closeness_sql)."""
+        from linkgraph.algs.bfs import group_closeness
+
+        g = _doc_graph(spark, sf, directed=False)
+        return group_closeness(g, k=3)
+
     return {
         "doc_topo_levels": doc_topo_levels,
         "doc_clique_hist": doc_clique_hist,
         "doc_group_degree": doc_group_degree,
         "doc_switch_degrees": doc_switch_degrees,
+        "doc_group_closeness": doc_group_closeness,
         "doc_degrees": doc_degrees,
         "doc_out_degrees": doc_out_degrees,
         "degree_top10": degree_top10,
@@ -1240,6 +1249,7 @@ SELECT src, dst, ROUND(weight, 6) AS weight FROM last WHERE op <> 'remove_edge'
     sql["doc_topo_levels"] = G.topo_levels_sql(EDGES_CTE_MAT)
     sql["doc_clique_hist"] = G.clique_hist_sql(EDGES_CTE_MAT)
     sql["doc_group_degree"] = G.group_degree_sql(EDGES_CTE_MAT, k=3)
+    sql["doc_group_closeness"] = G.group_closeness_sql(EDGES_CTE_MAT, k=3, hops=12)
     sql["doc_switch_degrees"] = G.degree_invariant_sql(EDGES_CTE_MAT)
 
     return sql

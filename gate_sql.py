@@ -959,3 +959,41 @@ SELECT id, count(*) AS degree FROM (
   SELECT src AS id FROM canon UNION ALL SELECT dst AS id FROM canon
 ) z GROUP BY id
 """
+
+
+def group_closeness_sql(cte: str, k: int = 3, hops: int = 12) -> str:
+    """Unrolled greedy group-closeness over the all-pairs hop-distance
+    table: round i adds the vertex maximizing the farness reduction
+    sum_u max(cur_u - d(v,u), 0), unreached penalty = n; ties by min id.
+    Mirrors algs/bfs.py::group_closeness exactly."""
+    ap = f"ap{hops}"
+    parts = [
+        _all_pairs_cte(hops),
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "cur0 AS MATERIALIZED (SELECT id AS u, (SELECT n FROM nn) AS d FROM nodes)",
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        grp = (
+            " UNION ".join(f"SELECT v FROM g{j}" for j in range(1, i))
+            if i > 1
+            else "SELECT CAST(NULL AS BIGINT) AS v WHERE FALSE"
+        )
+        parts.append(
+            f"red{i} AS MATERIALIZED (SELECT a.s AS v, "
+            f"SUM(GREATEST(c.d - a.dist, 0.0)) AS red "
+            f"FROM {ap} a JOIN cur{p} c ON c.u = a.id "
+            f"WHERE a.s NOT IN ({grp}) GROUP BY a.s)"
+        )
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT v FROM red{i} WHERE red > 0.0 "
+            f"ORDER BY red DESC, v ASC LIMIT 1)"
+        )
+        parts.append(
+            f"cur{i} AS MATERIALIZED (SELECT c.u, "
+            f"LEAST(c.d, COALESCE(a.dist, c.d)) AS d FROM cur{p} c "
+            f"LEFT JOIN (SELECT id, CAST(dist AS DOUBLE) AS dist FROM {ap} "
+            f"WHERE s IN (SELECT v FROM g{i})) a ON a.id = c.u)"
+        )
+    sel = " UNION ALL ".join(f"SELECT v AS id FROM g{j}" for j in range(1, k + 1))
+    return f"WITH {cte},\n" + ",\n".join(parts) + f"\n{sel}"

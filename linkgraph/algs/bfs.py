@@ -459,3 +459,58 @@ def group_degree(graph: Graph, k: int = 5) -> DataFrame:
         )
     sym.unpersist()
     return spark.createDataFrame([(g,) for g in group] or [], "id bigint")
+
+
+def group_closeness(
+    graph: Graph,
+    k: int = 3,
+    candidates: list | None = None,
+    max_hops: int = 10_000,
+) -> DataFrame:
+    """(id,) — greedy group-closeness maximization (centrality/
+    GroupCloseness.cpp): k rounds, each adding the vertex that most
+    reduces total group farness sum_u d(S, u), with d(S, u) =
+    min over members; unreached vertices carry penalty n (so coverage is
+    rewarded before distance polish). Ties by min id -> deterministic.
+
+    Plan shape: ONE multi-source BFS builds the (candidate, u, dist)
+    table (source rides as a column — S candidates cost one superstep
+    loop, not S), then each greedy round is a join + groupBy agg on it.
+    The distance table is all-pairs when ``candidates`` is None —
+    exact-parity mode for fixture scale, the same bill the reference's
+    exact greedy pays; at web scale pass a candidate sample and/or
+    ``max_hops`` (both estimator knobs the reference also exposes).
+    """
+    spark = graph.edges.sparkSession
+    nodes = [int(r["id"]) for r in graph.nodes().collect()] if candidates is None else [
+        int(c) for c in candidates
+    ]
+    n = graph.num_nodes()
+    D = multi_source_bfs(graph, nodes, max_iter=max_hops).select(
+        F.col("source").alias("v"), F.col("id").alias("u"), "dist"
+    ).persist()
+    cur = graph.nodes().select(
+        F.col("id").alias("u"), F.lit(float(n)).alias("d")
+    ).localCheckpoint(eager=True)
+    group: list = []
+    for _ in range(k):
+        grp_df = spark.createDataFrame([(g,) for g in group] or [], "v bigint")
+        red = (
+            D.join(grp_df, "v", "left_anti")
+            .join(cur, "u")
+            .groupBy("v")
+            .agg(F.sum(F.greatest(F.col("d") - F.col("dist"), F.lit(0.0))).alias("red"))
+        )
+        best = red.orderBy(F.desc("red"), F.asc("v")).limit(1).collect()
+        if not best or best[0]["red"] <= 0.0:
+            break
+        v = int(best[0]["v"])
+        group.append(v)
+        dv = D.where(F.col("v") == v).select("u", F.col("dist").alias("dv"))
+        cur = (
+            cur.join(dv, "u", "left")
+            .select("u", F.least("d", F.coalesce("dv", F.lit(float("inf")))).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    D.unpersist()
+    return spark.createDataFrame([(g,) for g in group] or [], "id bigint")

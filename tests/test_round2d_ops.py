@@ -188,3 +188,45 @@ def test_node2vec_embeddings_deterministic(spark, two_triangles_bridge):
     va = {r["id"]: list(r["embedding"]) for r in a}
     vb = {r["id"]: list(r["embedding"]) for r in b}
     assert va == vb
+
+
+# -- group closeness ---------------------------------------------------------
+
+def _greedy_group_closeness_brute(pairs, k):
+    ng = nx.Graph(pairs)
+    n = ng.number_of_nodes()
+    dist = dict(nx.all_pairs_shortest_path_length(ng))
+    cur = {u: float(n) for u in ng.nodes}
+    group = []
+    for _ in range(k):
+        best_v, best_red = None, 0.0
+        for v in sorted(ng.nodes):
+            if v in group:
+                continue
+            red = sum(max(cur[u] - d, 0.0) for u, d in dist[v].items())
+            if red > best_red:
+                best_v, best_red = v, red
+        if best_v is None:
+            break
+        group.append(best_v)
+        for u, d in dist[best_v].items():
+            cur[u] = min(cur[u], float(d))
+    return group
+
+
+def test_group_closeness_karate(spark, karate):
+    from linkgraph.algs.bfs import group_closeness
+    from tests.conftest import KARATE_EDGES
+
+    got = sorted(r["id"] for r in group_closeness(karate, k=3).collect())
+    want = sorted(_greedy_group_closeness_brute(KARATE_EDGES, 3))
+    assert got == want
+
+
+def test_group_closeness_disconnected(spark):
+    from linkgraph.algs.bfs import group_closeness
+
+    # Two components: the greedy must cover both before polishing distance.
+    g = make_graph(spark, [(0, 1), (1, 2), (10, 11)])
+    got = {r["id"] for r in group_closeness(g, k=2).collect()}
+    assert got == {1, 10}
