@@ -230,3 +230,69 @@ def test_group_closeness_disconnected(spark):
     g = make_graph(spark, [(0, 1), (1, 2), (10, 11)])
     got = {r["id"] for r in group_closeness(g, k=2).collect()}
     assert got == {1, 10}
+
+
+# -- max flow (push-relabel) -------------------------------------------------
+
+def test_max_flow_classic(spark):
+    from linkgraph.algs.flow import max_flow
+
+    # CLRS-style example: value 23.
+    caps = [
+        (0, 1, 16), (0, 2, 13), (1, 3, 12), (2, 1, 4), (2, 4, 14),
+        (3, 2, 9), (3, 5, 20), (4, 3, 7), (4, 5, 4),
+    ]
+    g = make_graph(spark, [(a, b, float(c)) for a, b, c in caps], directed=True, weighted=True)
+    value, flows = max_flow(g, 0, 5)
+    assert value == pytest.approx(23.0)
+    # feasibility: 0 <= flow <= cap, conservation at interior vertices
+    rows = flows.collect()
+    assert all(-1e-9 <= r["flow"] <= r["cap"] + 1e-9 for r in rows)
+    net = {}
+    for r in rows:
+        net[r["src"]] = net.get(r["src"], 0.0) - r["flow"]
+        net[r["dst"]] = net.get(r["dst"], 0.0) + r["flow"]
+    for v, e in net.items():
+        if v not in (0, 5):
+            assert abs(e) < 1e-9
+
+
+@pytest.mark.parametrize("seed", [5, 6, 7])
+def test_max_flow_random_matches_networkx(spark, seed):
+    from linkgraph.algs.flow import max_flow
+
+    rng = __import__("random").Random(seed)
+    pairs = {}
+    for _ in range(40):
+        a, b = rng.randrange(10), rng.randrange(10)
+        if a != b:
+            pairs[(a, b)] = float(rng.randint(1, 10))
+    g = make_graph(
+        spark, [(a, b, c) for (a, b), c in pairs.items()], directed=True, weighted=True
+    )
+    value, _ = max_flow(g, 0, 9)
+
+    ng = nx.DiGraph()
+    for (a, b), c in pairs.items():
+        ng.add_edge(a, b, capacity=c)
+    if 0 in ng and 9 in ng:
+        want = nx.maximum_flow_value(ng, 0, 9)
+    else:
+        want = 0.0
+    assert value == pytest.approx(want)
+
+
+def test_max_flow_disconnected_zero(spark):
+    from linkgraph.algs.flow import max_flow
+
+    g = make_graph(spark, [(0, 1, 5.0), (2, 3, 5.0)], directed=True, weighted=True)
+    value, _ = max_flow(g, 0, 3)
+    assert value == pytest.approx(0.0)
+
+
+def test_min_cut_undirected_bridge(spark, two_triangles_bridge):
+    from linkgraph.algs.flow import min_cut_value
+
+    # Bridge capacity 1 separates the triangles: min cut across = 1.
+    ids = sorted(r["id"] for r in two_triangles_bridge.nodes().collect())
+    assert min_cut_value(two_triangles_bridge, ids[0], ids[-1]) == pytest.approx(1.0)
