@@ -788,6 +788,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             switched.degrees().select("id", "degree")
         )
 
+    def gen_hyperbolic_structure(spark, sf):
+        """Random hyperbolic graph structural fingerprint (threshold
+        model; xxhash64 coordinates -> rows-only; exact edge-set parity
+        vs brute-force distances is pinned in pytest): degree histogram
+        of the n=400, avg_k=6, gamma=2.5 graph."""
+        from linkgraph.generators import hyperbolic
+        from linkgraph.graph import Graph as _G
+
+        g = _G.from_edges(hyperbolic(spark, 400, avg_degree=6.0, gamma=2.5, seed=2))
+        return (
+            g.degrees()
+            .groupBy("degree")
+            .agg(F.count("*").alias("n"))
+            .orderBy("degree")
+        )
+
     def doc_group_closeness(spark, sf):
         """Greedy group-closeness (k=3). Oracle: the same greedy unrolled
         over the all-pairs hop-distance CTE (gate_sql.group_closeness_sql)."""
@@ -802,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_group_degree": doc_group_degree,
         "doc_switch_degrees": doc_switch_degrees,
         "doc_group_closeness": doc_group_closeness,
+        "gen_hyperbolic_structure": gen_hyperbolic_structure,
         "doc_degrees": doc_degrees,
         "doc_out_degrees": doc_out_degrees,
         "degree_top10": degree_top10,

@@ -656,3 +656,137 @@ def havel_hakimi(spark: SparkSession, degrees: list) -> DataFrame:
         [(s, t, 1.0) for s, t in edges], "src bigint, dst bigint, weight double"
     )
     return df
+
+
+def hyperbolic_points(
+    spark: SparkSession, n: int, a: float, R: float, seed: int = 42
+) -> DataFrame:
+    """(id, theta, r) — deterministic counter-hash coordinates in the
+    hyperbolic disk: theta uniform on [0, 2pi), r by inverting the radial
+    CDF (cosh(a r)-1)/(cosh(a R)-1) on a hash-uniform draw."""
+    base = F.lit(seed * 0x9E3779B9 + 0x243F6A88)
+    return spark.range(n).select(
+        F.col("id"),
+        (
+            (F.shiftrightunsigned(F.xxhash64("id", base, F.lit(0)), 11)
+             / F.lit(float(1 << 53))) * (2.0 * math.pi)
+        ).alias("theta"),
+        (
+            F.acosh(
+                1.0
+                + (F.shiftrightunsigned(F.xxhash64("id", base, F.lit(1)), 11)
+                   / F.lit(float(1 << 53))) * (math.cosh(a * R) - 1.0)
+            ) / a
+        ).alias("r"),
+    )
+
+
+def hyperbolic(
+    spark: SparkSession,
+    n: int,
+    avg_degree: float = 8.0,
+    gamma: float = 2.5,
+    radius: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Random hyperbolic graph, threshold (T=0) model — generators/
+    HyperbolicGenerator.cpp parity. Node i sits at (r_i, theta_i) in the
+    hyperbolic disk of radius R (theta uniform, radial CDF
+    (cosh(a r)-1)/(cosh(a R)-1) with a = (gamma-1)/2); u~v iff their
+    hyperbolic distance <= R. Yields power-law degree exponent ~gamma
+    with native hub skew.
+
+    R defaults to the Krioukov et al. asymptotic estimate for the target
+    average degree: avg_k ~= (2 a^2 / (pi (a - 1/2)^2)) * n * e^{-R/2}.
+
+    Distributed shape (the engine's version of the reference's band data
+    structure): coordinates are counter-hash deterministic (no RNG state,
+    no shuffle to generate); CORE points (r <= 3R/4 — O(n^{1-3a/4}·) of
+    them, a vanishing fraction) are broadcast-joined against everything,
+    the hub path; PERIPHERY pairs (both r > 3R/4) have angular reach
+    bounded by theta_max(3R/4, 3R/4), so a bucketed self-join on angular
+    sectors of that width (own + adjacent sector) finds every candidate;
+    each candidate is verified with the exact distance formula. Falls
+    back to the plain self-join when the reach bound exceeds a sector
+    third (tiny graphs).
+
+    Returns canonical (src, dst, weight=1.0) rows with src < dst.
+    """
+    a = (gamma - 1.0) / 2.0
+    if a <= 0.5:
+        raise ValueError("gamma must exceed 2 (alpha > 1/2)")
+    if radius is None:
+        radius = 2.0 * math.log(
+            (2.0 * a * a * n) / (math.pi * avg_degree * (a - 0.5) ** 2)
+        )
+    R = float(radius)
+    pts = hyperbolic_points(spark, n, a, R, seed).localCheckpoint(eager=True)
+
+    def _dist_ok(ru, rv, du):  # cosh d <= cosh R, d = hyperbolic distance
+        return (
+            F.cosh(ru) * F.cosh(rv) - F.sinh(ru) * F.sinh(rv) * F.cos(du)
+        ) <= math.cosh(R) + 1e-12
+
+    r_split = 0.75 * R
+    core = pts.where(F.col("r") <= r_split)
+    peri = pts.where(F.col("r") > r_split)
+
+    # exact angular reach bound at the inner periphery rim
+    ch = (math.cosh(r_split) ** 2 - math.cosh(R)) / (math.sinh(r_split) ** 2)
+    theta_max = math.acos(max(-1.0, min(1.0, ch)))
+
+    def _pairs_exact(left, right, anti_dup):
+        l = left.select(
+            F.col("id").alias("u"), F.col("theta").alias("tu"), F.col("r").alias("ru")
+        )
+        rt = right.select(
+            F.col("id").alias("v"), F.col("theta").alias("tv"), F.col("r").alias("rv")
+        )
+        cond = F.col("u") < F.col("v") if anti_dup else F.col("u") != F.col("v")
+        dtheta = F.abs(F.col("tu") - F.col("tv"))
+        du = F.least(dtheta, 2.0 * math.pi - dtheta)
+        return (
+            l.join(rt, cond)
+            .where(_dist_ok(F.col("ru"), F.col("rv"), du))
+            .select(
+                F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst")
+            )
+        )
+
+    from pyspark.sql.functions import broadcast
+
+    core_pairs = _pairs_exact(broadcast(core), pts, anti_dup=False)
+
+    if theta_max >= (2.0 * math.pi) / 3.0:
+        peri_pairs = _pairs_exact(peri, peri, anti_dup=True)
+    else:
+        n_buckets = int((2.0 * math.pi) // theta_max)
+        bucket = F.floor(F.col("theta") / F.lit(2.0 * math.pi / n_buckets))
+        lhs = peri.select(
+            F.col("id").alias("u"), F.col("theta").alias("tu"), F.col("r").alias("ru"),
+            F.explode(
+                F.array(
+                    F.pmod(bucket - 1, F.lit(n_buckets)),
+                    bucket,
+                    F.pmod(bucket + 1, F.lit(n_buckets)),
+                )
+            ).alias("b"),
+        )
+        rhs = peri.select(
+            F.col("id").alias("v"), F.col("theta").alias("tv"), F.col("r").alias("rv"),
+            bucket.alias("b"),
+        )
+        dtheta = F.abs(F.col("tu") - F.col("tv"))
+        du = F.least(dtheta, 2.0 * math.pi - dtheta)
+        peri_pairs = (
+            lhs.join(rhs, "b")
+            .where(F.col("u") < F.col("v"))
+            .where(_dist_ok(F.col("ru"), F.col("rv"), du))
+            .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        )
+
+    return (
+        core_pairs.unionByName(peri_pairs)
+        .distinct()
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )

@@ -296,3 +296,64 @@ def test_min_cut_undirected_bridge(spark, two_triangles_bridge):
     # Bridge capacity 1 separates the triangles: min cut across = 1.
     ids = sorted(r["id"] for r in two_triangles_bridge.nodes().collect())
     assert min_cut_value(two_triangles_bridge, ids[0], ids[-1]) == pytest.approx(1.0)
+
+
+# -- hyperbolic generator ----------------------------------------------------
+
+def _hyp_brute(spark, n, gamma, avg_degree, seed):
+    import math
+
+    from linkgraph.generators import hyperbolic_points
+
+    a = (gamma - 1.0) / 2.0
+    R = 2.0 * math.log((2.0 * a * a * n) / (math.pi * avg_degree * (a - 0.5) ** 2))
+    pts = {r["id"]: (r["theta"], r["r"]) for r in hyperbolic_points(spark, n, a, R, seed).collect()}
+    edges = set()
+    for u in pts:
+        for v in pts:
+            if u >= v:
+                continue
+            tu, ru = pts[u]
+            tv, rv = pts[v]
+            dt = abs(tu - tv)
+            dt = min(dt, 2 * math.pi - dt)
+            ch = math.cosh(ru) * math.cosh(rv) - math.sinh(ru) * math.sinh(rv) * math.cos(dt)
+            if ch <= math.cosh(R) + 1e-12:
+                edges.add((u, v))
+    return edges
+
+
+@pytest.mark.parametrize("n,seed", [(150, 1), (400, 2)])
+def test_hyperbolic_matches_bruteforce(spark, n, seed):
+    from linkgraph.generators import hyperbolic
+
+    got = {
+        (r["src"], r["dst"])
+        for r in hyperbolic(spark, n, avg_degree=6.0, gamma=2.5, seed=seed).collect()
+    }
+    want = _hyp_brute(spark, n, 2.5, 6.0, seed)
+    assert got == want
+
+
+def test_hyperbolic_degree_envelope(spark):
+    from linkgraph.generators import hyperbolic
+
+    n = 600
+    e = hyperbolic(spark, n, avg_degree=8.0, gamma=2.7, seed=3)
+    m = e.count()
+    avg = 2.0 * m / n
+    # Krioukov estimate is asymptotic — accept a loose band at small n.
+    assert 2.0 < avg < 32.0
+    # hub skew: max degree far above the mean (power-law signature)
+    from linkgraph.graph import Graph
+
+    g = Graph.from_edges(e)
+    assert g.max_degree() > 4 * avg
+
+
+def test_hyperbolic_deterministic(spark):
+    from linkgraph.generators import hyperbolic
+
+    a = sorted(map(tuple, hyperbolic(spark, 200, seed=9).collect()))
+    b = sorted(map(tuple, hyperbolic(spark, 200, seed=9).collect()))
+    assert a == b
