@@ -357,3 +357,67 @@ def test_hyperbolic_deterministic(spark):
     a = sorted(map(tuple, hyperbolic(spark, 200, seed=9).collect()))
     b = sorted(map(tuple, hyperbolic(spark, 200, seed=9).collect()))
     assert a == b
+
+
+# -- Laplacian-solver centralities -------------------------------------------
+
+def test_effective_resistance_path(spark, path_5):
+    from linkgraph.algs.electrical import effective_resistance
+
+    assert effective_resistance(path_5, 0, 4) == pytest.approx(4.0, abs=1e-5)
+    assert effective_resistance(path_5, 1, 3) == pytest.approx(2.0, abs=1e-5)
+
+
+def test_effective_resistance_cycle(spark, cycle_6):
+    from linkgraph.algs.electrical import effective_resistance
+
+    # Parallel paths of 1 and 5 unit resistors: 5/6.
+    assert effective_resistance(cycle_6, 0, 1) == pytest.approx(5.0 / 6.0, abs=1e-5)
+    # Antipodal: 3*3/6 = 1.5.
+    assert effective_resistance(cycle_6, 0, 3) == pytest.approx(1.5, abs=1e-5)
+
+
+def test_effective_resistance_karate_vs_numpy(spark, karate):
+    # numpy pinv oracle (nx.resistance_distance needs scipy, absent here)
+    import numpy as np
+
+    from linkgraph.algs.electrical import effective_resistance
+    from tests.conftest import KARATE_EDGES
+
+    n = 34
+    L = np.zeros((n, n))
+    for a, b in KARATE_EDGES:
+        L[a, a] += 1
+        L[b, b] += 1
+        L[a, b] -= 1
+        L[b, a] -= 1
+    Lp = np.linalg.pinv(L)
+    for u, v in [(0, 33), (5, 10)]:
+        want = Lp[u, u] + Lp[v, v] - 2 * Lp[u, v]
+        assert effective_resistance(karate, u, v) == pytest.approx(want, abs=1e-4)
+
+
+def test_spanning_edge_centrality_cycle(spark, cycle_6):
+    from linkgraph.algs.electrical import spanning_edge_centrality
+
+    # Every cycle edge has SEC = r_eff = 5/6; JL error ~ 1/sqrt(k).
+    sec = {(r["src"], r["dst"]): r["sec"] for r in
+           spanning_edge_centrality(cycle_6, k=24, seed=4).collect()}
+    assert len(sec) == 6
+    for v in sec.values():
+        assert v == pytest.approx(5.0 / 6.0, rel=0.45)
+    # SEC sums to n-1 exactly in expectation (cycle: 6 * 5/6 = 5).
+    assert sum(sec.values()) == pytest.approx(5.0, rel=0.25)
+
+
+def test_electrical_closeness_cycle_uniform(spark, cycle_6):
+    from linkgraph.algs.electrical import electrical_closeness
+
+    # Symmetric graph: all scores equal; exact value (n-1)/sum_d r.
+    # r(0,d) = d(6-d)/6: farness = 2*(5/6 + 8/6) + 9/6 = 35/6.
+    got = {r["id"]: r["score"] for r in electrical_closeness(cycle_6, k=24, seed=5).collect()}
+    want = 5.0 / (35.0 / 6.0)
+    vals = list(got.values())
+    for v in vals:
+        assert v == pytest.approx(want, rel=0.35)
+    assert max(vals) - min(vals) < 0.35 * want
