@@ -245,3 +245,55 @@ def min_cut_value(graph: Graph, source: int, sink: int) -> float:
     want; the cut side is recoverable as the residual-reachable set)."""
     value, _ = max_flow(graph, source, sink)
     return value
+
+
+def cut_clustering(graph: Graph, alpha: float, max_iter: int = 10_000) -> DataFrame:
+    """(id, label) — Flake–Tarjan cut clustering (community/
+    CutClustering.cpp): augment the graph with an artificial sink t
+    connected to every vertex with capacity alpha; each unassigned vertex
+    v (ascending id — deterministic) claims the source side of its min
+    v-t cut as one community. alpha interpolates singletons (large) to
+    one cluster (tiny).
+
+    The outer loop is sequential per community, as in the reference —
+    each iteration is one distributed max-flow + one residual-BFS; the
+    documented use is fixture/subgraph scale.
+    """
+    spark = graph.edges.sparkSession
+    nodes = [int(r["id"]) for r in graph.nodes().collect()]
+    sink = max(nodes) + 1
+    aug_edges = (
+        graph.symmetric_edges()
+        .unionByName(
+            graph.nodes().select(
+                F.col("id").alias("src"),
+                F.lit(sink).alias("dst"),
+                F.lit(float(alpha)).alias("weight"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    aug = Graph.from_edges(aug_edges, directed=True, weighted=True)
+    labels: dict[int, int] = {}
+    pin = Pin(spark, "cutcluster")
+    try:
+        for v in sorted(nodes):
+            if v in labels:
+                continue
+            _, flows = max_flow(aug, v, sink, max_iter=max_iter)
+            # source side = vertices that v reaches in the residual graph
+            # (distance-to-v on transposed residual arcs)
+            residual_t = _residual_of(flows).select(
+                F.col("v").alias("u"), F.col("u").alias("v"), "rescap", "dir"
+            )
+            d = _residual_dists(residual_t, v, pin, len(nodes) + 1)
+            side = {int(r["id"]) for r in d.collect()} - {sink}
+            for u in side:
+                if u not in labels:
+                    labels[u] = v
+            labels[v] = v
+    finally:
+        pin.close()
+    return spark.createDataFrame(
+        sorted(labels.items()), "id bigint, label bigint"
+    )

@@ -421,3 +421,27 @@ def test_electrical_closeness_cycle_uniform(spark, cycle_6):
     for v in vals:
         assert v == pytest.approx(want, rel=0.35)
     assert max(vals) - min(vals) < 0.35 * want
+
+
+# -- cut clustering ----------------------------------------------------------
+
+def test_cut_clustering_two_triangles(spark, two_triangles_bridge):
+    from linkgraph.algs.flow import cut_clustering
+
+    # alpha in (1/3, 1/2): triangle side (cut 1 + 3a) beats singleton
+    # (2 + a) and whole-graph (6a) cuts
+    labels = {r["id"]: r["label"] for r in cut_clustering(two_triangles_bridge, alpha=0.4).collect()}
+    groups = {}
+    for i, l in labels.items():
+        groups.setdefault(l, set()).add(i)
+    parts = sorted(map(tuple, (sorted(g) for g in groups.values())))
+    # bridge capacity 1 < alpha-side pull: triangles split cleanly
+    assert len(parts) == 2
+    assert all(len(p) == 3 for p in parts)
+
+
+def test_cut_clustering_alpha_extremes(spark, path_5):
+    from linkgraph.algs.flow import cut_clustering
+
+    big = {r["id"]: r["label"] for r in cut_clustering(path_5, alpha=10.0).collect()}
+    assert len(set(big.values())) == 5  # singletons
