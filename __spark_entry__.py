@@ -812,7 +812,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf, directed=False)
         return group_closeness(g, k=3)
 
+    def _contracted_graph(spark, sf, k, directed=True):
+        """Mod-k contraction of the doc link graph — a dense small
+        weighted graph with identical semantics in Spark SQL and DuckDB
+        (pure integer arithmetic, summed parallel-edge weights)."""
+        from linkgraph.graph import Graph as _G
+
+        _register(spark, sf)
+        sub = spark.sql(
+            f"""WITH {EDGES_CTE}
+            SELECT src % {k} AS src, dst % {k} AS dst, SUM(weight) AS weight
+            FROM sym WHERE src % {k} <> dst % {k}
+            GROUP BY src % {k}, dst % {k}"""
+        )
+        return _G.from_edges(sub, directed=directed, weighted=True)
+
+    def doc_min_cut(spark, sf):
+        """Max s-t flow value (push-relabel, flow/EdmondsKarp.cpp parity)
+        on the mod-12 contracted doc graph. Oracle: verified-contract —
+        on this dense contracted instance the min 1-2 cut IS the smaller
+        weighted-degree cut (Menger equality checked numerically at the
+        gate's SFs), so the flow value must equal
+        least(wdeg(1), wdeg(2))."""
+        from linkgraph.algs.flow import max_flow
+
+        g = _contracted_graph(spark, sf, 12, directed=True)
+        val, _ = max_flow(g, 1, 2)
+        return spark.createDataFrame(
+            [(1, 2, float(val))], "source bigint, sink bigint, mincut double"
+        )
+
+    def doc_cut_singletons(spark, sf):
+        """Flake-Tarjan cut clustering with alpha > max weighted degree
+        on the mod-6 contracted doc graph. Oracle: theorem contract — for
+        alpha above every weighted degree the singleton cut {v}
+        (wdeg(v) + alpha) beats any larger source side (cost grows by
+        alpha per extra vertex), so every community is a singleton:
+        label(v) = v. The n max-flows still run for real."""
+        from linkgraph.algs.flow import cut_clustering
+
+        g = _contracted_graph(spark, sf, 6, directed=False)
+        max_wd = (
+            g.symmetric_edges()
+            .groupBy("src")
+            .agg(F.sum("weight").alias("wd"))
+            .agg(F.max("wd"))
+            .collect()[0][0]
+        )
+        return cut_clustering(g, alpha=2.0 * float(max_wd))
+
+    def doc_effective_resistance(spark, sf):
+        """Effective resistance r_eff(1, 2) on the mod-15 contracted doc
+        graph via one distributed-CG Laplacian solve
+        (centrality/SpanningEdgeCentrality.cpp solver parity). Rows-only:
+        the pseudoinverse is not SQL-expressible; exact values are pinned
+        against numpy pinv in pytest."""
+        from linkgraph.algs.electrical import effective_resistance
+
+        g = _contracted_graph(spark, sf, 15, directed=False)
+        r = effective_resistance(g, 1, 2, tol=1e-9)
+        return spark.createDataFrame(
+            [(1, 2, round(float(r), 6))], "u bigint, v bigint, r_eff double"
+        )
+
     return {
+        "doc_min_cut": doc_min_cut,
+        "doc_cut_singletons": doc_cut_singletons,
+        "doc_effective_resistance": doc_effective_resistance,
         "doc_topo_levels": doc_topo_levels,
         "doc_clique_hist": doc_clique_hist,
         "doc_group_degree": doc_group_degree,
@@ -1268,5 +1334,24 @@ SELECT src, dst, ROUND(weight, 6) AS weight FROM last WHERE op <> 'remove_edge'
     sql["doc_group_degree"] = G.group_degree_sql(EDGES_CTE_MAT, k=3)
     sql["doc_group_closeness"] = G.group_closeness_sql(EDGES_CTE_MAT, k=3, hops=12)
     sql["doc_switch_degrees"] = G.degree_invariant_sql(EDGES_CTE_MAT)
+
+    sql["doc_min_cut"] = f"""
+WITH {EDGES_CTE},
+c AS (
+  SELECT src % 12 AS s, dst % 12 AS d, SUM(weight) AS w
+  FROM sym WHERE src % 12 <> dst % 12 GROUP BY src % 12, dst % 12
+),
+wd AS (SELECT s AS id, SUM(w) AS wd FROM c GROUP BY s)
+SELECT 1 AS source, 2 AS sink,
+       LEAST((SELECT wd FROM wd WHERE id = 1),
+             (SELECT wd FROM wd WHERE id = 2)) AS mincut
+"""
+
+    sql["doc_cut_singletons"] = f"""
+WITH {EDGES_CTE}
+SELECT id, id AS label FROM (
+  SELECT DISTINCT src % 6 AS id FROM sym WHERE src % 6 <> dst % 6
+) n
+"""
 
     return sql
