@@ -861,6 +861,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return cut_clustering(g, alpha=2.0 * float(max_wd))
 
+    def doc_articulation(spark, sf):
+        """Articulation points (components/BiconnectedComponents.cpp) via
+        distributed Tarjan-Vishkin — BFS forest, subtree preorder/low/high
+        folds, auxiliary-graph CC; cut vertices = vertices in >1 block.
+        Input: sparsified mod-24 contracted doc graph + a pendant chain at
+        vertex 3 (guarantees non-trivial cuts at any sf). Oracle: per-
+        vertex exclusion closure (recursive CTE: v is a cut iff two of its
+        neighbors are disconnected in G - v) — independent of the TV
+        construction."""
+        from linkgraph.algs.biconnected import articulation_points
+        from linkgraph.graph import Graph as _G
+
+        _register(spark, sf)
+        sub = spark.sql(
+            f"""WITH {EDGES_CTE},
+            c AS (SELECT src % 24 AS src, dst % 24 AS dst FROM sym
+                  WHERE src % 24 <> dst % 24 GROUP BY src % 24, dst % 24),
+            sp AS (SELECT src, dst FROM c WHERE (src * 7 + dst * 11) % 8 = 0
+                   UNION SELECT dst, src FROM c WHERE (src * 7 + dst * 11) % 8 = 0),
+            chain AS (SELECT * FROM (VALUES (3, 1000), (1000, 1001),
+                      (1001, 1002), (1002, 1003), (1003, 1004)) AS t(src, dst)),
+            sp2 AS (SELECT src, dst FROM sp
+                    UNION SELECT src, dst FROM chain
+                    UNION SELECT dst, src FROM chain)
+            SELECT src, dst, CAST(1 AS DOUBLE) AS weight FROM sp2"""
+        )
+        g = _G.from_edges(sub, directed=False, weighted=True)
+        return articulation_points(g).orderBy("id")
+
     def doc_effective_resistance(spark, sf):
         """Effective resistance r_eff(1, 2) on the mod-15 contracted doc
         graph via one distributed-CG Laplacian solve
@@ -876,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     return {
+        "doc_articulation": doc_articulation,
         "doc_min_cut": doc_min_cut,
         "doc_cut_singletons": doc_cut_singletons,
         "doc_effective_resistance": doc_effective_resistance,
@@ -1345,6 +1375,28 @@ wd AS (SELECT s AS id, SUM(w) AS wd FROM c GROUP BY s)
 SELECT 1 AS source, 2 AS sink,
        LEAST((SELECT wd FROM wd WHERE id = 1),
              (SELECT wd FROM wd WHERE id = 2)) AS mincut
+"""
+
+    sql["doc_articulation"] = f"""
+WITH RECURSIVE {EDGES_CTE},
+c AS (SELECT src % 24 AS src, dst % 24 AS dst FROM sym
+      WHERE src % 24 <> dst % 24 GROUP BY src % 24, dst % 24),
+g0 AS (SELECT src, dst FROM c WHERE (src * 7 + dst * 11) % 8 = 0
+       UNION SELECT dst, src FROM c WHERE (src * 7 + dst * 11) % 8 = 0),
+chain AS (SELECT * FROM (VALUES (3, 1000), (1000, 1001), (1001, 1002),
+          (1002, 1003), (1003, 1004)) AS t(src, dst)),
+g AS (SELECT src, dst FROM g0 UNION SELECT src, dst FROM chain
+      UNION SELECT dst, src FROM chain),
+vs AS (SELECT DISTINCT src AS id FROM g),
+r(ex, id, label) AS (
+  SELECT v.id, n.id, n.id FROM vs v JOIN vs n ON n.id <> v.id
+  UNION
+  SELECT r.ex, e.dst, r.label FROM r JOIN g e ON e.src = r.id
+  WHERE e.src <> r.ex AND e.dst <> r.ex AND r.label < e.dst
+),
+m AS (SELECT ex, id, MIN(label) AS lab FROM r GROUP BY ex, id)
+SELECT g.src AS id FROM g JOIN m ON m.ex = g.src AND m.id = g.dst
+GROUP BY g.src HAVING COUNT(DISTINCT m.lab) > 1 ORDER BY id
 """
 
     sql["doc_cut_singletons"] = f"""
