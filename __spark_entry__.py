@@ -59,6 +59,23 @@ nodes AS (
 """
 
 
+# Sparsified mod-24 contraction of the doc graph + a pendant chain at
+# vertex 3 — a small portable graph with guaranteed cut structure
+# (bridges + articulation points) at any sf; used by the biconnectivity
+# and bridge gate entries and their exclusion-closure oracles.
+SPARSE_CHAIN_CTE = """
+c24 AS (SELECT src % 24 AS src, dst % 24 AS dst FROM sym
+        WHERE src % 24 <> dst % 24 GROUP BY src % 24, dst % 24),
+sp24 AS (SELECT src, dst FROM c24 WHERE (src * 7 + dst * 11) % 8 = 0
+         UNION SELECT dst, src FROM c24 WHERE (src * 7 + dst * 11) % 8 = 0),
+chain AS (SELECT * FROM (VALUES (3, 1000), (1000, 1001), (1001, 1002),
+          (1002, 1003), (1003, 1004)) AS t(src, dst)),
+spg AS (SELECT src, dst FROM sp24
+        UNION SELECT src, dst FROM chain
+        UNION SELECT dst, src FROM chain)
+"""
+
+
 def _register(spark: SparkSession, sf_dir: str) -> None:
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
@@ -738,12 +755,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def doc_bridges(spark, sf):
         """Bridge edges via distributed XOR-covering (whp-exact,
-        deterministic output; the cycle-membership certificate is not
-        SQL-expressible → rows-only; exactness pinned by the pytest
-        networkx-parity suite)."""
+        deterministic output) over the sparse chain-augmented contracted
+        graph (the full doc graph has no bridges — 0 rows proves
+        nothing). Oracle: per-edge exclusion closure — (a, b) is a bridge
+        iff b is unreachable from a in G minus that edge (recursive CTE,
+        independent of the XOR certificate)."""
         from linkgraph.algs.bridges import bridges
+        from linkgraph.graph import Graph as _G
 
-        g = _doc_graph(spark, sf, directed=False)
+        _register(spark, sf)
+        sub = spark.sql(
+            f"""WITH {EDGES_CTE}, {SPARSE_CHAIN_CTE}
+            SELECT src, dst, CAST(1 AS DOUBLE) AS weight FROM spg"""
+        )
+        g = _G.from_edges(sub, directed=False, weighted=True)
         return bridges(g).orderBy("src", "dst")
 
     def doc_topo_levels(spark, sf):
@@ -789,14 +814,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def gen_hyperbolic_structure(spark, sf):
-        """Random hyperbolic graph structural fingerprint (threshold
-        model; xxhash64 coordinates -> rows-only; exact edge-set parity
-        vs brute-force distances is pinned in pytest): degree histogram
-        of the n=400, avg_k=6, gamma=2.5 graph."""
+        """Random hyperbolic graph degree histogram (threshold model,
+        n=400, avg_k=6, gamma=2.5). portable=True draws coordinates from
+        the md5 portable hash with exp/ln-spelled trig, so the oracle
+        regenerates the IDENTICAL point set in DuckDB and re-derives
+        every edge by brute-force pairwise hyperbolic distance — a full
+        end-to-end check of the generator's bucketed candidate join."""
         from linkgraph.generators import hyperbolic
         from linkgraph.graph import Graph as _G
 
-        g = _G.from_edges(hyperbolic(spark, 400, avg_degree=6.0, gamma=2.5, seed=2))
+        g = _G.from_edges(
+            hyperbolic(spark, 400, avg_degree=6.0, gamma=2.5, seed=2, portable=True)
+        )
         return (
             g.degrees()
             .groupBy("degree")
@@ -875,17 +904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         _register(spark, sf)
         sub = spark.sql(
-            f"""WITH {EDGES_CTE},
-            c AS (SELECT src % 24 AS src, dst % 24 AS dst FROM sym
-                  WHERE src % 24 <> dst % 24 GROUP BY src % 24, dst % 24),
-            sp AS (SELECT src, dst FROM c WHERE (src * 7 + dst * 11) % 8 = 0
-                   UNION SELECT dst, src FROM c WHERE (src * 7 + dst * 11) % 8 = 0),
-            chain AS (SELECT * FROM (VALUES (3, 1000), (1000, 1001),
-                      (1001, 1002), (1002, 1003), (1003, 1004)) AS t(src, dst)),
-            sp2 AS (SELECT src, dst FROM sp
-                    UNION SELECT src, dst FROM chain
-                    UNION SELECT dst, src FROM chain)
-            SELECT src, dst, CAST(1 AS DOUBLE) AS weight FROM sp2"""
+            f"""WITH {EDGES_CTE}, {SPARSE_CHAIN_CTE}
+            SELECT src, dst, CAST(1 AS DOUBLE) AS weight FROM spg"""
         )
         g = _G.from_edges(sub, directed=False, weighted=True)
         return articulation_points(g).orderBy("id")
@@ -1378,25 +1398,71 @@ SELECT 1 AS source, 2 AS sink,
 """
 
     sql["doc_articulation"] = f"""
-WITH RECURSIVE {EDGES_CTE},
-c AS (SELECT src % 24 AS src, dst % 24 AS dst FROM sym
-      WHERE src % 24 <> dst % 24 GROUP BY src % 24, dst % 24),
-g0 AS (SELECT src, dst FROM c WHERE (src * 7 + dst * 11) % 8 = 0
-       UNION SELECT dst, src FROM c WHERE (src * 7 + dst * 11) % 8 = 0),
-chain AS (SELECT * FROM (VALUES (3, 1000), (1000, 1001), (1001, 1002),
-          (1002, 1003), (1003, 1004)) AS t(src, dst)),
-g AS (SELECT src, dst FROM g0 UNION SELECT src, dst FROM chain
-      UNION SELECT dst, src FROM chain),
-vs AS (SELECT DISTINCT src AS id FROM g),
+WITH RECURSIVE {EDGES_CTE}, {SPARSE_CHAIN_CTE},
+vs AS (SELECT DISTINCT src AS id FROM spg),
 r(ex, id, label) AS (
   SELECT v.id, n.id, n.id FROM vs v JOIN vs n ON n.id <> v.id
   UNION
-  SELECT r.ex, e.dst, r.label FROM r JOIN g e ON e.src = r.id
+  SELECT r.ex, e.dst, r.label FROM r JOIN spg e ON e.src = r.id
   WHERE e.src <> r.ex AND e.dst <> r.ex AND r.label < e.dst
 ),
 m AS (SELECT ex, id, MIN(label) AS lab FROM r GROUP BY ex, id)
-SELECT g.src AS id FROM g JOIN m ON m.ex = g.src AND m.id = g.dst
-GROUP BY g.src HAVING COUNT(DISTINCT m.lab) > 1 ORDER BY id
+SELECT spg.src AS id FROM spg JOIN m ON m.ex = spg.src AND m.id = spg.dst
+GROUP BY spg.src HAVING COUNT(DISTINCT m.lab) > 1 ORDER BY id
+"""
+
+    import math as _math
+
+    from linkgraph.portable import phash_sql as _ph
+
+    _hn, _hk, _hg, _hs = 400, 6.0, 2.5, 2
+    _ha = (_hg - 1.0) / 2.0
+    _hR = 2.0 * _math.log(
+        (2.0 * _ha * _ha * _hn) / (_math.pi * _hk * (_ha - 0.5) ** 2)
+    )
+    sql["gen_hyperbolic_structure"] = f"""
+WITH pts AS (
+  SELECT p.i AS id,
+         ({_ph("p.i", str(_hs), "0")} / 1152921504606846976.0)
+           * {repr(2.0 * _math.pi)} AS theta,
+         (LN(x.x + SQRT(x.x * x.x - 1.0)) / {repr(_ha)}) AS r
+  FROM range({_hn}) p(i),
+       LATERAL (SELECT 1.0 + ({_ph("p.i", str(_hs), "1")}
+                / 1152921504606846976.0)
+                * {repr(_math.cosh(_ha * _hR) - 1.0)} AS x) x
+),
+pairs AS (
+  SELECT u.id AS src, v.id AS dst
+  FROM pts u JOIN pts v ON u.id < v.id
+  WHERE ((EXP(u.r)+EXP(-u.r))/2.0) * ((EXP(v.r)+EXP(-v.r))/2.0)
+      - ((EXP(u.r)-EXP(-u.r))/2.0) * ((EXP(v.r)-EXP(-v.r))/2.0)
+        * COS(LEAST(ABS(u.theta - v.theta),
+                    {repr(2.0 * _math.pi)} - ABS(u.theta - v.theta)))
+      <= {repr(_math.cosh(_hR) + 1e-12)}
+),
+deg AS (
+  SELECT id, COUNT(*) AS degree FROM (
+    SELECT src AS id FROM pairs UNION ALL SELECT dst FROM pairs
+  ) e GROUP BY id
+)
+SELECT degree, COUNT(*) AS n FROM deg GROUP BY degree ORDER BY degree
+"""
+
+    sql["doc_bridges"] = f"""
+WITH RECURSIVE {EDGES_CTE}, {SPARSE_CHAIN_CTE},
+ed AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM spg GROUP BY LEAST(src, dst), GREATEST(src, dst)),
+r(ea, eb, id) AS (
+  SELECT a, b, a FROM ed
+  UNION
+  SELECT r.ea, r.eb, e.dst FROM r JOIN spg e ON e.src = r.id
+  WHERE NOT (LEAST(e.src, e.dst) = r.ea AND GREATEST(e.src, e.dst) = r.eb)
+)
+SELECT a AS src, b AS dst FROM ed
+WHERE NOT EXISTS (
+  SELECT 1 FROM r WHERE r.ea = ed.a AND r.eb = ed.b AND r.id = ed.b
+)
+ORDER BY src, dst
 """
 
     sql["doc_cut_singletons"] = f"""

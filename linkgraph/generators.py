@@ -659,25 +659,39 @@ def havel_hakimi(spark: SparkSession, degrees: list) -> DataFrame:
 
 
 def hyperbolic_points(
-    spark: SparkSession, n: int, a: float, R: float, seed: int = 42
+    spark: SparkSession, n: int, a: float, R: float, seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, theta, r) — deterministic counter-hash coordinates in the
     hyperbolic disk: theta uniform on [0, 2pi), r by inverting the radial
-    CDF (cosh(a r)-1)/(cosh(a R)-1) on a hash-uniform draw."""
-    base = F.lit(seed * 0x9E3779B9 + 0x243F6A88)
+    CDF (cosh(a r)-1)/(cosh(a R)-1) on a hash-uniform draw.
+
+    portable=True draws from the 60-bit md5 ``portable.phash`` instead of
+    xxhash64 so the gate's DuckDB oracle can regenerate the identical
+    point set (same arithmetic, same doubles)."""
+    if portable:
+        from linkgraph.portable import phash
+
+        def draw(counter: int):
+            return phash(F.col("id"), F.lit(int(seed)), F.lit(counter)) / F.lit(
+                float(1 << 60)
+            )
+    else:
+        base = F.lit(seed * 0x9E3779B9 + 0x243F6A88)
+
+        def draw(counter: int):
+            return F.shiftrightunsigned(
+                F.xxhash64("id", base, F.lit(counter)), 11
+            ) / F.lit(float(1 << 53))
+
+    x = 1.0 + draw(1) * (math.cosh(a * R) - 1.0)
+    # portable mode spells acosh as ln(x + sqrt(x^2-1)) — the exact
+    # expression the DuckDB oracle computes (JVM acosh differs by ulps)
+    r = (F.log(x + F.sqrt(x * x - 1.0)) if portable else F.acosh(x)) / a
     return spark.range(n).select(
         F.col("id"),
-        (
-            (F.shiftrightunsigned(F.xxhash64("id", base, F.lit(0)), 11)
-             / F.lit(float(1 << 53))) * (2.0 * math.pi)
-        ).alias("theta"),
-        (
-            F.acosh(
-                1.0
-                + (F.shiftrightunsigned(F.xxhash64("id", base, F.lit(1)), 11)
-                   / F.lit(float(1 << 53))) * (math.cosh(a * R) - 1.0)
-            ) / a
-        ).alias("r"),
+        (draw(0) * (2.0 * math.pi)).alias("theta"),
+        r.alias("r"),
     )
 
 
@@ -688,6 +702,7 @@ def hyperbolic(
     gamma: float = 2.5,
     radius: float | None = None,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Random hyperbolic graph, threshold (T=0) model — generators/
     HyperbolicGenerator.cpp parity. Node i sits at (r_i, theta_i) in the
@@ -720,11 +735,19 @@ def hyperbolic(
             (2.0 * a * a * n) / (math.pi * avg_degree * (a - 0.5) ** 2)
         )
     R = float(radius)
-    pts = hyperbolic_points(spark, n, a, R, seed).localCheckpoint(eager=True)
+    pts = hyperbolic_points(spark, n, a, R, seed, portable=portable).localCheckpoint(eager=True)
+
+    # portable mode spells cosh/sinh via exp — the exact expressions the
+    # DuckDB oracle computes (no cosh/sinh builtins there; JVM ulps differ)
+    if portable:
+        _ch = lambda c: (F.exp(c) + F.exp(-c)) / 2.0  # noqa: E731
+        _sh = lambda c: (F.exp(c) - F.exp(-c)) / 2.0  # noqa: E731
+    else:
+        _ch, _sh = F.cosh, F.sinh
 
     def _dist_ok(ru, rv, du):  # cosh d <= cosh R, d = hyperbolic distance
         return (
-            F.cosh(ru) * F.cosh(rv) - F.sinh(ru) * F.sinh(rv) * F.cos(du)
+            _ch(ru) * _ch(rv) - _sh(ru) * _sh(rv) * F.cos(du)
         ) <= math.cosh(R) + 1e-12
 
     r_split = 0.75 * R
