@@ -709,24 +709,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pagerank_nibble(g, [0]).orderBy("id")
 
     def doc_seir_census(spark, sf):
-        """SEIR per-tick compartment census (xxhash64 coins → rows-only;
-        determinism + conservation pinned in pytest)."""
+        """SEIR per-tick compartment census with portable md5 contact
+        coins. Oracle: the identical epidemic replayed tick by tick as
+        unrolled SQL (gate_sql.seir_sql), including the early stop."""
         from linkgraph.algs.simulation import seir
 
         g = _doc_graph(spark, sf, directed=False)
-        _, census = seir(g, zero=[0], p_transmit=0.05, ticks=8, seed=42)
+        _, census = seir(
+            g, zero=[0], p_transmit=0.05, ticks=8, seed=42, portable=True
+        )
         return spark.createDataFrame(
             census, "tick int, s bigint, e bigint, i bigint, r bigint"
         )
 
     def gen_ba_structure(spark, sf):
-        """Distributed Barabási–Albert structural fingerprint (xxhash64
-        slot references → rows-only; structure pinned in pytest): degree
-        histogram of the n=500,k=3 graph."""
+        """Distributed Barabási–Albert degree histogram (n=500, k=3),
+        portable md5 slot references. Oracle: DuckDB re-derives every
+        attachment edge by resolving the identical pointer chains with a
+        recursive CTE (gate_sql.ba_structure_sql) — a full end-to-end
+        check of the Sanders-Schulz slot resolution."""
         from linkgraph.generators import barabasi_albert
         from linkgraph.graph import Graph as _G
 
-        g = _G.from_edges(barabasi_albert(spark, 500, k=3, seed=42))
+        g = _G.from_edges(barabasi_albert(spark, 500, k=3, seed=42, portable=True))
         return (
             g.degrees()
             .groupBy("degree")
@@ -1384,6 +1389,10 @@ SELECT src, dst, ROUND(weight, 6) AS weight FROM last WHERE op <> 'remove_edge'
     sql["doc_group_degree"] = G.group_degree_sql(EDGES_CTE_MAT, k=3)
     sql["doc_group_closeness"] = G.group_closeness_sql(EDGES_CTE_MAT, k=3, hops=12)
     sql["doc_switch_degrees"] = G.degree_invariant_sql(EDGES_CTE_MAT)
+    sql["gen_ba_structure"] = G.ba_structure_sql(n=500, k=3, seed=42)
+    sql["doc_seir_census"] = G.seir_sql(
+        EDGES_CTE_MAT, zero=0, p_transmit=0.05, ticks=8, seed=42
+    )
 
     sql["doc_min_cut"] = f"""
 WITH {EDGES_CTE},

@@ -997,3 +997,111 @@ def group_closeness_sql(cte: str, k: int = 3, hops: int = 12) -> str:
         )
     sel = " UNION ALL ".join(f"SELECT v AS id FROM g{j}" for j in range(1, k + 1))
     return f"WITH {cte},\n" + ",\n".join(parts) + f"\n{sel}"
+
+
+def seir_sql(
+    cte: str,
+    zero: int = 0,
+    p_transmit: float = 0.05,
+    t_latent: int = 2,
+    t_infectious: int = 4,
+    ticks: int = 8,
+    seed: int = 42,
+) -> str:
+    """SEIR census replay — tick-unrolled state machine with the portable
+    contact coin (matches algs/simulation.py::seir(portable=True) exactly,
+    including the early stop once no Exposed/Infectious remain)."""
+    parts = [
+        f"s0 AS MATERIALIZED (SELECT id,"
+        f" CASE WHEN id = {zero} THEN 2 ELSE 0 END AS state,"
+        f" CASE WHEN id = {zero} THEN {t_infectious} ELSE 0 END AS timer"
+        f" FROM nodes)"
+    ]
+    for t in range(1, ticks + 1):
+        coin = phash_sql("e.dst", "e.src", str(seed + t))
+        parts.append(
+            f"x{t} AS MATERIALIZED (SELECT DISTINCT e.dst AS id"
+            f" FROM s{t-1} i JOIN sym e ON e.src = i.id AND i.state = 2"
+            f" WHERE ({coin} % 1000000007) / 1000000007.0 < {p_transmit!r})"
+        )
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT s.id,"
+            f" CASE WHEN s.state = 0 AND x.id IS NOT NULL THEN 1"
+            f" WHEN s.state = 1 AND s.timer <= 1 THEN 2"
+            f" WHEN s.state = 2 AND s.timer <= 1 THEN 3"
+            f" ELSE s.state END AS state,"
+            f" CASE WHEN s.state = 0 AND x.id IS NOT NULL THEN {t_latent}"
+            f" WHEN s.state = 1 AND s.timer <= 1 THEN {t_infectious}"
+            f" WHEN s.state IN (1, 2) THEN s.timer - 1"
+            f" ELSE 0 END AS timer"
+            f" FROM s{t-1} s LEFT JOIN x{t} x ON x.id = s.id)"
+        )
+    census_rows = " UNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS tick,"
+        f" COUNT(*) FILTER (WHERE state = 0) AS s,"
+        f" COUNT(*) FILTER (WHERE state = 1) AS e,"
+        f" COUNT(*) FILTER (WHERE state = 2) AS i,"
+        f" COUNT(*) FILTER (WHERE state = 3) AS r"
+        f" FROM s{t}"
+        for t in range(0, ticks + 1)
+    )
+    parts.append(f"census AS MATERIALIZED ({census_rows})")
+    return (
+        f"WITH {cte},\n" + ",\n".join(parts) + f"""
+SELECT tick, s, e, i, r FROM census
+WHERE tick <= COALESCE(
+  (SELECT MIN(tick) FROM census WHERE tick > 0 AND e = 0 AND i = 0), {ticks})
+ORDER BY tick
+"""
+    )
+
+
+def ba_structure_sql(n: int = 500, k: int = 3, seed: int = 42) -> str:
+    """Degree histogram of the portable-hash distributed Barabási-Albert
+    graph — DuckDB re-derives every attachment edge by resolving the
+    slot-reference pointer chains with a recursive CTE (indices strictly
+    decrease, so the chase terminates), then mirrors the engine's
+    self-loop drop + canonical dedup."""
+    k0 = k
+    seed_edges = [(i, j) for i in range(k0) for j in range(i + 1, k0)]
+    n_seed = len(seed_edges)
+    seed_vals = ", ".join(
+        f"({i}, {s}, {d})" for i, (s, d) in enumerate(seed_edges)
+    )
+    ref = phash_sql("i", str(seed))
+    return f"""
+WITH RECURSIVE att AS (
+  SELECT {n_seed} + i AS edge, {k0} + i // {k} AS src,
+         {ref} % (2 * ({n_seed} + i)) AS ref
+  FROM range({(n - k0) * k}) t(i)
+),
+seed_e AS (SELECT * FROM (VALUES {seed_vals}) AS t(edge, src, dst)),
+chase(edge, ref) AS (
+  SELECT edge, ref FROM att
+  UNION ALL
+  SELECT c.edge, a.ref FROM chase c JOIN att a ON a.edge = (c.ref - 1) // 2
+  WHERE c.ref % 2 = 1 AND (c.ref - 1) // 2 >= {n_seed}
+),
+term AS (
+  SELECT edge, ref FROM chase
+  WHERE ref % 2 = 0 OR (ref - 1) // 2 < {n_seed}
+),
+resolved AS (
+  SELECT a.src,
+    CASE WHEN t.ref % 2 = 0 THEN
+      CASE WHEN t.ref // 2 < {n_seed}
+           THEN (SELECT s.src FROM seed_e s WHERE s.edge = t.ref // 2)
+           ELSE {k0} + ((t.ref // 2) - {n_seed}) // {k} END
+    ELSE (SELECT s.dst FROM seed_e s WHERE s.edge = (t.ref - 1) // 2)
+    END AS dst
+  FROM term t JOIN att a USING (edge)
+),
+alle AS (SELECT src, dst FROM resolved
+         UNION ALL SELECT src, dst FROM seed_e),
+canon AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM alle WHERE src <> dst),
+deg AS (SELECT id, COUNT(*) AS degree FROM (
+          SELECT a AS id FROM canon UNION ALL SELECT b FROM canon
+        ) e GROUP BY id)
+SELECT degree, COUNT(*) AS n FROM deg GROUP BY degree ORDER BY degree
+"""

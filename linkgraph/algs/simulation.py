@@ -30,12 +30,15 @@ def seir(
     t_infectious: int = 4,
     ticks: int = 32,
     seed: int = 42,
+    portable: bool = False,
 ) -> tuple[DataFrame, list]:
     """Run SEIR from patient-zero set ``zero``.
 
     Returns (final_states(id, state), census) where census is a list of
     (tick, n_susceptible, n_exposed, n_infectious, n_recovered) tuples.
-    state codes: 0=S 1=E 2=I 3=R.
+    state codes: 0=S 1=E 2=I 3=R. ``portable=True`` draws contact coins
+    from the md5 portable hash so the gate's DuckDB oracle can replay the
+    identical epidemic tick by tick.
     """
     spark = graph.edges.sparkSession
     sym = graph.symmetric_edges().select("src", "dst").persist()
@@ -64,15 +67,17 @@ def seir(
     snapshot(0)
     for t in range(1, ticks + 1):
         infectious = state.where(F.col("state") == I).select(F.col("id").alias("src"))
+        if portable:
+            from linkgraph.portable import phash
+
+            raw = phash(F.col("id"), F.col("src"), F.lit(seed + t))
+        else:
+            raw = F.xxhash64("id", "src", F.lit(seed + t))
         exposures = (
             infectious.join(sym, "src")
             .select(F.col("dst").alias("id"), "src")
             .withColumn(
-                "coin",
-                F.pmod(
-                    F.xxhash64("id", "src", F.lit(seed + t)), F.lit(1_000_000_007)
-                )
-                / 1_000_000_007.0,
+                "coin", F.pmod(raw, F.lit(1_000_000_007)) / 1_000_000_007.0
             )
             .where(F.col("coin") < p_transmit)
             .select("id")

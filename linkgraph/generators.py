@@ -233,7 +233,8 @@ def chung_lu_fast(
 
 
 def barabasi_albert(
-    spark: SparkSession, n: int, k: int = 4, seed: int = 42, max_rounds: int = 64
+    spark: SparkSession, n: int, k: int = 4, seed: int = 42, max_rounds: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """Barabási–Albert preferential attachment, DISTRIBUTED
     (generators/BarabasiAlbertGenerator.cpp is sequential; this is the
@@ -249,7 +250,10 @@ def barabasi_albert(
     hashes — deterministic under any partitioning, no sequential state.
 
     Seed graph: a k-clique on vertices 0..k-1 (edges 0..C(k,2)-1 fixed),
-    then vertices k..n-1 attach k edges each."""
+    then vertices k..n-1 attach k edges each. ``portable=True`` draws the
+    slot references from the md5 portable hash (native expressions, no
+    pandas) so the gate's DuckDB oracle can resolve the identical pointer
+    chains with a recursive CTE."""
     k0 = k
     seed_edges = [(i, j) for i in range(k0) for j in range(i + 1, k0)]
     n_seed = len(seed_edges)
@@ -267,9 +271,21 @@ def barabasi_albert(
             r = (_splitmix64(base + e.astype(np.uint64)) % lim).astype(np.int64)
             yield pd.DataFrame({"edge": n_seed + e, "src": src, "ref": r})
 
-    att = spark.range((n - k0) * k).mapInPandas(
-        gen, "edge bigint, src bigint, ref bigint"
-    )
+    if portable:
+        from linkgraph.portable import phash
+
+        att = spark.range((n - k0) * k).select(
+            (F.lit(n_seed) + F.col("id")).alias("edge"),
+            (F.lit(k0) + (F.col("id") / k).cast("bigint")).alias("src"),
+            F.pmod(
+                phash(F.col("id"), F.lit(int(seed))),
+                F.lit(2) * (F.lit(n_seed) + F.col("id")),
+            ).alias("ref"),
+        )
+    else:
+        att = spark.range((n - k0) * k).mapInPandas(
+            gen, "edge bigint, src bigint, ref bigint"
+        )
     # resolve even slots immediately: slot 2m → source of edge m
     seed_df = spark.createDataFrame(
         [(i, s, d) for i, (s, d) in enumerate(seed_edges)],
