@@ -472,6 +472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return leiden(g, max_rounds=4, max_levels=1, refine_rounds=4)
 
     def doc_suitor_matching(spark, sf):
+        """Suitor ½-approx max-weight matching (deterministic message
+        passing, no hash draws). Oracle: the same proposal/mutual-lock
+        rounds unrolled to SQL (gate_sql.suitor_sql)."""
         from linkgraph.algs.matching import suitor_matching
 
         g = _doc_graph(spark, sf)
@@ -551,13 +554,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def node2vec_walks(spark, sf):
-        """Deterministic Node2Vec walk generation (rows-only gate entry:
-        the exponential-race sampling is xxhash-seeded — validated by the
-        pytest bias/determinism suite instead of a SQL oracle)."""
+        """Deterministic Node2Vec walk corpus (p=q=1, portable md5 race).
+        Oracle: the identical walks replayed step by step in unrolled SQL
+        (gate_sql.node2vec_walks_sql) — with unit bias the exponential
+        race is an integer hash race, so parity is exact."""
         from linkgraph.algs.embedding import node2vec_walks as walks
 
         g = _doc_graph(spark, sf)
-        return walks(g, walk_length=5, walks_per_node=1, p=1.0, q=1.0, seed=7)
+        return walks(
+            g, walk_length=5, walks_per_node=1, p=1.0, q=1.0, seed=7,
+            portable=True,
+        )
 
     def events_stream_replay(spark, sf):
         """Deterministic graph-event replay THROUGH Structured Streaming:
@@ -698,6 +705,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy(F.desc("score"), F.asc("id"))
             .limit(10)
         )
+
+    def doc_ppr(spark, sf):
+        """Personalized PageRank from seed 0 (the PPR machinery inside
+        PageRankNibble), fixed 25 iterations. Oracle: the same sparse
+        power iteration unrolled (gate_sql.ppr_sql)."""
+        from linkgraph.algs.scd import personalized_pagerank
+
+        g = _doc_graph(spark, sf, directed=False)
+        pr = personalized_pagerank(g, [0], alpha=0.15, tol=0.0, max_iter=25)
+        return pr.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
 
     def doc_nibble(spark, sf):
         """PageRankNibble community around seed 0 — PPR is tol-converged
@@ -1009,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_measures": partition_measures,
         "doc_top_closeness": doc_top_closeness,
         "doc_nibble": doc_nibble,
+        "doc_ppr": doc_ppr,
         "doc_seir_census": doc_seir_census,
         "gen_ba_structure": gen_ba_structure,
         "doc_betweenness_exact": doc_betweenness_exact,
@@ -1390,6 +1408,11 @@ SELECT src, dst, ROUND(weight, 6) AS weight FROM last WHERE op <> 'remove_edge'
     sql["doc_group_closeness"] = G.group_closeness_sql(EDGES_CTE_MAT, k=3, hops=12)
     sql["doc_switch_degrees"] = G.degree_invariant_sql(EDGES_CTE_MAT)
     sql["gen_ba_structure"] = G.ba_structure_sql(n=500, k=3, seed=42)
+    sql["node2vec_walks"] = G.node2vec_walks_sql(
+        EDGES_CTE_MAT, walk_length=5, seed=7
+    )
+    sql["doc_suitor_matching"] = G.suitor_sql(EDGES_CTE_MAT, rounds=24)
+    sql["doc_ppr"] = G.ppr_sql(EDGES_CTE_MAT, seed_vertex=0, alpha=0.15, iters=25)
     sql["doc_seir_census"] = G.seir_sql(
         EDGES_CTE_MAT, zero=0, p_transmit=0.05, ticks=8, seed=42
     )

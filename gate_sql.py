@@ -1105,3 +1105,99 @@ deg AS (SELECT id, COUNT(*) AS degree FROM (
         ) e GROUP BY id)
 SELECT degree, COUNT(*) AS n FROM deg GROUP BY degree ORDER BY degree
 """
+
+
+def node2vec_walks_sql(cte: str, walk_length: int = 5, seed: int = 7) -> str:
+    """Unbiased (p=q=1) Node2Vec walk corpus replay, walks_per_node=1 —
+    with unit bias weights the exponential race reduces to an integer
+    hash race (argmax of the portable draw, ties to the smaller
+    candidate), so every step unrolls to one join + one window."""
+    parts = [
+        "s0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM nodes)"
+    ]
+    for t in range(1, walk_length):
+        h = phash_sql("s.walk_id", "e.dst", str(t), str(seed))
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT s.walk_id, e.dst AS cand,"
+            f" ({h} % 1000000007) AS hc"
+            f" FROM s{t-1} s JOIN sym e ON e.src = s.cur)"
+        )
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT walk_id, cand AS cur FROM ("
+            f"SELECT walk_id, cand, ROW_NUMBER() OVER ("
+            f"PARTITION BY walk_id ORDER BY hc DESC, cand ASC) AS rn"
+            f" FROM c{t}) r WHERE rn = 1)"
+        )
+    corpus = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({t} AS INT) AS pos, cur AS vertex FROM s{t}"
+        for t in range(0, walk_length)
+    )
+    return f"WITH {cte},\n" + ",\n".join(parts) + f"\n{corpus}"
+
+
+def suitor_sql(cte: str, rounds: int = 24) -> str:
+    """Suitor matching replay — round-unrolled: per round each vertex
+    proposes to its best available neighbor (weight desc, id asc), mutual
+    proposals lock in, matched endpoints leave the pool. Deterministic
+    (no hash draws), so a fixed unroll with margin reproduces the engine
+    exactly: once no mutual pair exists the state is a fixpoint and extra
+    rounds are no-ops."""
+    parts = [
+        "av1 AS MATERIALIZED (SELECT src, dst, weight FROM sym WHERE src <> dst)"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"pr{r} AS MATERIALIZED (SELECT src, dst, weight FROM ("
+            f"SELECT src, dst, weight, ROW_NUMBER() OVER ("
+            f"PARTITION BY src ORDER BY weight DESC, dst ASC) AS rn"
+            f" FROM av{r}) p WHERE rn = 1)"
+        )
+        parts.append(
+            f"mu{r} AS MATERIALIZED (SELECT a.src AS u, a.dst AS v,"
+            f" a.weight FROM pr{r} a JOIN pr{r} b"
+            f" ON a.src = b.dst AND a.dst = b.src WHERE a.src < a.dst)"
+        )
+        if r < rounds:
+            parts.append(
+                f"tk{r} AS MATERIALIZED (SELECT u AS id FROM mu{r}"
+                f" UNION ALL SELECT v FROM mu{r})"
+            )
+            parts.append(
+                f"av{r+1} AS MATERIALIZED (SELECT e.src, e.dst, e.weight"
+                f" FROM av{r} e"
+                f" WHERE e.src NOT IN (SELECT id FROM tk{r})"
+                f" AND e.dst NOT IN (SELECT id FROM tk{r}))"
+            )
+    union = " UNION ALL ".join(
+        f"SELECT u, v, weight FROM mu{r}" for r in range(1, rounds + 1)
+    )
+    return f"WITH {cte},\n" + ",\n".join(parts) + f"\n{union}"
+
+
+def ppr_sql(cte: str, seed_vertex: int = 0, alpha: float = 0.15, iters: int = 25) -> str:
+    """Personalized PageRank (teleport to one seed) — fixed-iteration
+    unroll mirroring algs/scd.py::personalized_pagerank: rank0 = teleport,
+    rank_{t+1}(v) = (1-alpha)·Σ_u rank_t(u)·w_uv/wdeg(u) + alpha·[v=seed],
+    support-sparse (zero rows dropped). Rounded to 6 dp on both sides."""
+    a, b = repr(float(alpha)), repr(1.0 - float(alpha))
+    parts = [
+        "fr AS MATERIALIZED (SELECT src, dst,"
+        " weight / SUM(weight) OVER (PARTITION BY src) AS frac FROM sym)",
+        f"r0 AS MATERIALIZED (SELECT CAST({seed_vertex} AS BIGINT) AS id,"
+        f" 1.0 AS rank)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT id, rank FROM ("
+            f"SELECT COALESCE(s.id, {seed_vertex}) AS id,"
+            f" COALESCE(s.m, 0.0) + {a} * (CASE WHEN COALESCE(s.id,"
+            f" {seed_vertex}) = {seed_vertex} THEN 1.0 ELSE 0.0 END) AS rank"
+            f" FROM (SELECT e.dst AS id, SUM(r.rank * e.frac * {b}) AS m"
+            f"       FROM r{i-1} r JOIN fr e ON e.src = r.id GROUP BY e.dst) s"
+            f" FULL JOIN (SELECT {seed_vertex} AS id) sd ON sd.id = s.id"
+            f") q WHERE rank > 0)"
+        )
+    return (
+        f"WITH {cte},\n" + ",\n".join(parts)
+        + f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{iters} ORDER BY id"
+    )

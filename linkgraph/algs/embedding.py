@@ -32,8 +32,11 @@ def node2vec_walks(
     p: float = 1.0,
     q: float = 1.0,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
-    """(walk_id, pos, vertex) — walk corpus rows in step order."""
+    """(walk_id, pos, vertex) — walk corpus rows in step order.
+    ``portable=True`` races on the md5 portable hash so the gate's DuckDB
+    oracle can replay the identical walks step by step."""
     spark = graph.edges.sparkSession
     sym = graph.symmetric_edges().select("src", "dst").persist()
     edge_set = sym.select(
@@ -65,10 +68,13 @@ def node2vec_walks(
         )
         # pmod, not abs: abs(Long.MIN_VALUE) overflows under ANSI mode;
         # +1 over M+1 keeps u strictly in (0, 1] so log(u) is finite
-        u = (
-            F.pmod(F.xxhash64("walk_id", "cand", F.lit(step), F.lit(seed)),
-                   F.lit(1_000_000_007)) + 1
-        ) / 1_000_000_008.0
+        if portable:
+            from linkgraph.portable import phash
+
+            raw = phash("walk_id", "cand", F.lit(step), F.lit(seed))
+        else:
+            raw = F.xxhash64("walk_id", "cand", F.lit(step), F.lit(seed))
+        u = (F.pmod(raw, F.lit(1_000_000_007)) + 1) / 1_000_000_008.0
         # exponential race: max u^(1/w) ⇔ weighted sample; log form avoids
         # pow underflow and keeps the comparison monotone
         key = F.log(u) / F.col("w")

@@ -62,20 +62,24 @@ def personalized_pagerank(
             .where(F.col("rank") > 0)
             .localCheckpoint(eager=True)
         )
-        delta = (
-            new.join(rank.withColumnRenamed("rank", "old"), "id", "full")
-            .agg(
-                F.sum(
-                    F.abs(
-                        F.coalesce("rank", F.lit(0.0)) - F.coalesce("old", F.lit(0.0))
+        if tol > 0:
+            delta = (
+                new.join(rank.withColumnRenamed("rank", "old"), "id", "full")
+                .agg(
+                    F.sum(
+                        F.abs(
+                            F.coalesce("rank", F.lit(0.0))
+                            - F.coalesce("old", F.lit(0.0))
+                        )
                     )
                 )
+                .collect()[0][0]
             )
-            .collect()[0][0]
-        )
-        rank = new
-        if delta is not None and delta < tol:
-            break
+            rank = new
+            if delta is not None and delta < tol:
+                break
+        else:  # fixed-iteration mode (tol=0): no per-iter convergence scan
+            rank = new
     e.unpersist()
     return rank
 
