@@ -492,7 +492,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _register(spark, sf)
         emb = spark.table("embeddings")
         qs = emb.where(F.col("vec_id") < 10)
-        return lsh_cosine_topk_banded(emb, qs, k=5, n_planes=16, bands=8).select(
+        return lsh_cosine_topk_banded(
+            emb, qs, k=5, n_planes=16, bands=8, portable=True
+        ).select(
             "query_id", "neighbor_id", F.round("cos", 4).alias("cos")
         )
 
@@ -613,7 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _register(spark, sf)
         emb = spark.table("embeddings")
         qs = emb.where(F.col("vec_id") < 10)
-        return lsh_cosine_topk(emb, qs, k=5, n_planes=8).select(
+        return lsh_cosine_topk(emb, qs, k=5, n_planes=8, portable=True).select(
             "query_id", "neighbor_id", F.round("cos", 4).alias("cos")
         )
 
@@ -1413,6 +1415,10 @@ SELECT src, dst, ROUND(weight, 6) AS weight FROM last WHERE op <> 'remove_edge'
     )
     sql["doc_suitor_matching"] = G.suitor_sql(EDGES_CTE_MAT, rounds=24)
     sql["doc_ppr"] = G.ppr_sql(EDGES_CTE_MAT, seed_vertex=0, alpha=0.15, iters=25)
+    sql["embed_lsh_top5"] = G.lsh_topk_sql(n_planes=8, k=5, seed=42, dim=64)
+    sql["embed_lsh_banded_top5"] = G.lsh_banded_topk_sql(
+        n_planes=16, bands=8, k=5, seed=42, dim=64
+    )
     sql["doc_seir_census"] = G.seir_sql(
         EDGES_CTE_MAT, zero=0, p_transmit=0.05, ticks=8, seed=42
     )

@@ -1201,3 +1201,77 @@ def ppr_sql(cte: str, seed_vertex: int = 0, alpha: float = 0.15, iters: int = 25
         f"WITH {cte},\n" + ",\n".join(parts)
         + f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{iters} ORDER BY id"
     )
+
+
+def _lsh_planes_cte(dim: int, n_planes: int, seed: int) -> str:
+    ph = phash_sql("pd.d", "pd.j", str(seed))
+    return (
+        f"pd AS MATERIALIZED (SELECT d.range AS d, j.range AS j FROM"
+        f" range({dim}) d, range({n_planes}) j),\n"
+        f"pl AS MATERIALIZED (SELECT pd.j,"
+        f" LIST(({ph} / 1152921504606846976.0 - 0.5) ORDER BY pd.d) AS pv"
+        f" FROM pd GROUP BY pd.j)"
+    )
+
+
+def lsh_topk_sql(
+    n_planes: int = 8, k: int = 5, seed: int = 42, dim: int = 64,
+    q_max: int = 10,
+) -> str:
+    """Single-probe hyperplane-LSH top-k replay: regenerate the portable
+    md5 planes, recompute every signature (sign bits of DOUBLE[] inner
+    products), bucket-join, exact-score, top-k."""
+    return f"""
+WITH {_lsh_planes_cte(dim, n_planes, seed)},
+sig AS MATERIALIZED (
+  SELECT e.vec_id AS id,
+         SUM(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.pv) > 0
+             THEN (CAST(1 AS BIGINT) << pl.j) ELSE 0 END) AS bucket
+  FROM embeddings e, pl GROUP BY e.vec_id),
+cand AS (
+  SELECT q.id AS query_id, e.id AS neighbor_id
+  FROM sig q JOIN sig e ON q.bucket = e.bucket AND e.id <> q.id
+  WHERE q.id < {q_max}),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                CAST(en.embedding AS DOUBLE[])) AS cos
+  FROM cand c JOIN embeddings eq ON eq.vec_id = c.query_id
+              JOIN embeddings en ON en.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
+  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM scored) t WHERE rn <= {k}
+"""
+
+
+def lsh_banded_topk_sql(
+    n_planes: int = 16, bands: int = 8, k: int = 5, seed: int = 42,
+    dim: int = 64, q_max: int = 10,
+) -> str:
+    """OR-banded hyperplane-LSH top-k replay — per-band bit-group buckets,
+    candidates from ANY matching band, deduplicated, exact-scored."""
+    rpb = n_planes // bands
+    return f"""
+WITH {_lsh_planes_cte(dim, n_planes, seed)},
+sigb AS MATERIALIZED (
+  SELECT e.vec_id AS id, pl.j // {rpb} AS band,
+         SUM(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.pv) > 0
+             THEN (CAST(1 AS BIGINT) << (pl.j % {rpb})) ELSE 0 END) AS bucket
+  FROM embeddings e, pl GROUP BY e.vec_id, pl.j // {rpb}),
+cand AS (
+  SELECT DISTINCT q.id AS query_id, e.id AS neighbor_id
+  FROM sigb q JOIN sigb e ON q.band = e.band AND q.bucket = e.bucket
+                          AND e.id <> q.id
+  WHERE q.id < {q_max}),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                CAST(en.embedding AS DOUBLE[])) AS cos
+  FROM cand c JOIN embeddings eq ON eq.vec_id = c.query_id
+              JOIN embeddings en ON en.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
+  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM scored) t WHERE rn <= {k}
+"""

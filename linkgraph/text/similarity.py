@@ -71,6 +71,20 @@ def cosine_topk(
     )
 
 
+def _portable_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic hyperplanes from the md5 portable hash (uniform on
+    [-0.5, 0.5) per coordinate — symmetric about 0, so sign-hash LSH
+    semantics hold), bit-identical to the DuckDB oracle's regeneration."""
+    import hashlib
+
+    arr = np.empty((dim, n_planes))
+    for d in range(dim):
+        for j in range(n_planes):
+            h = int(hashlib.md5(f"{d}:{j}:{seed}".encode()).hexdigest()[:15], 16)
+            arr[d, j] = h / float(1 << 60) - 0.5
+    return arr
+
+
 def hyperplane_signatures(
     embeddings: DataFrame,
     n_planes: int = 16,
@@ -78,15 +92,22 @@ def hyperplane_signatures(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable: bool = False,
 ) -> DataFrame:
     """(id, bucket) — random-hyperplane LSH: bucket = sign-bit pattern of
     ``n_planes`` seeded Gaussian projections. Vectorized pandas UDF: one
-    (batch × dim) @ (dim × planes) matmul per Arrow batch."""
-    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    (batch × dim) @ (dim × planes) matmul per Arrow batch. portable=True
+    swaps Gaussian planes for md5 portable-hash planes the DuckDB oracle
+    regenerates exactly."""
+    planes = (
+        _portable_planes(dim, n_planes, seed)
+        if portable
+        else np.random.default_rng(seed).standard_normal((dim, n_planes))
+    )
 
     @F.pandas_udf(T.LongType())
     def bucket_of(v: pd.Series) -> pd.Series:
-        mat = np.stack(v.to_numpy())  # (batch, dim)
+        mat = np.stack(v.to_numpy()).astype(np.float64)  # (batch, dim)
         bits = (mat @ planes) > 0  # (batch, planes)
         weights = (1 << np.arange(n_planes)).astype(np.int64)
         return pd.Series(bits @ weights)
@@ -105,6 +126,7 @@ def lsh_cosine_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k: compare only within matching hyperplane buckets.
 
@@ -112,8 +134,8 @@ def lsh_cosine_topk(
     lower recall). At 10^9 vectors the bucket join shuffles each side once
     on a 64-bit key instead of forming the full cross product.
     """
-    sig = hyperplane_signatures(embeddings, n_planes, dim, seed, id_col, vec_col)
-    qsig = hyperplane_signatures(queries, n_planes, dim, seed, id_col, vec_col)
+    sig = hyperplane_signatures(embeddings, n_planes, dim, seed, id_col, vec_col, portable)
+    qsig = hyperplane_signatures(queries, n_planes, dim, seed, id_col, vec_col, portable)
     e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")).join(
         sig.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
     )
@@ -141,6 +163,7 @@ def banded_hyperplane_signatures(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable: bool = False,
 ) -> DataFrame:
     """(id, band, bucket) — OR-banded hyperplane LSH (the MinHash-banding
     trick applied to hyperplane bits): the n_planes sign bits split into
@@ -150,11 +173,15 @@ def banded_hyperplane_signatures(
     1 − (1 − (1−θ/π)^{n/b})^b while keeping buckets selective."""
     assert n_planes % bands == 0, "bands must divide n_planes"
     rpb = n_planes // bands
-    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    planes = (
+        _portable_planes(dim, n_planes, seed)
+        if portable
+        else np.random.default_rng(seed).standard_normal((dim, n_planes))
+    )
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def band_buckets(v: pd.Series) -> pd.Series:
-        mat = np.stack(v.to_numpy())
+        mat = np.stack(v.to_numpy()).astype(np.float64)
         bits = (mat @ planes) > 0  # (batch, n_planes)
         weights = (1 << np.arange(rpb)).astype(np.int64)
         out = [
@@ -179,13 +206,14 @@ def lsh_cosine_topk_banded(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k with graceful recall: candidates from ANY matching
     band (OR over bands), deduplicated, then exactly scored. The bucket
     join shuffles on (band, bucket) — bands× the single-probe shuffle
     volume for recall that no single-table probe reaches."""
-    sig = banded_hyperplane_signatures(embeddings, n_planes, bands, dim, seed, id_col, vec_col)
-    qsig = banded_hyperplane_signatures(queries, n_planes, bands, dim, seed, id_col, vec_col)
+    sig = banded_hyperplane_signatures(embeddings, n_planes, bands, dim, seed, id_col, vec_col, portable)
+    qsig = banded_hyperplane_signatures(queries, n_planes, bands, dim, seed, id_col, vec_col, portable)
     cand = (
         sig.withColumnRenamed("id", "neighbor_id")
         .join(qsig.withColumnRenamed("id", "query_id"), ["band", "bucket"])
