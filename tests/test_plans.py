@@ -63,3 +63,33 @@ def test_pagerank_csr_plan_partitions_static_edges(spark):
     # (reused partitioning), not a fresh Exchange of the edge table
     assert "InMemoryTableScan" in plan
     sym.unpersist()
+
+
+def test_biconnected_preorder_window_is_parent_partitioned(spark):
+    """The Tarjan-Vishkin sibling prefix sum must window PARTITIONED BY
+    PARENT (fan-in bounded by degree) — never a global single-partition
+    sort over all vertices."""
+    from linkgraph.algs.biconnected import _tree_state
+    from linkgraph.graph import Graph
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (0, 4, 1.0), (4, 5, 1.0),
+         (5, 0, 1.0)],
+        "src bigint, dst bigint, weight double",
+    )
+    g = Graph.from_edges(edges, directed=False, weighted=True)
+    state, non_tree = _tree_state(g, max_iter=100)
+    # the state DF is the product of every fold round; a SinglePartition
+    # exchange anywhere in its lineage would be the global-sort smell
+    plan = state._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_flow_residual_plan_no_global_window(spark, two_triangles_bridge):
+    """Push-relabel discharge plans stay hash-partitioned on vertex id —
+    no single-partition Window/Sort in the flow state lineage."""
+    from linkgraph.algs.flow import max_flow
+
+    _, flows = max_flow(two_triangles_bridge, 0, 5)
+    plan = flows._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
