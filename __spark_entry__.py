@@ -298,13 +298,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return strongly_connected_components(g)
 
     def doc_betweenness(spark, sf):
-        """Sampled Brandes betweenness (EstimateBetweenness contract);
-        rows-only — sources are xxhash-sampled, validated by the pytest
-        networkx-exact suite instead of a SQL oracle."""
+        """Sampled Brandes betweenness (EstimateBetweenness contract),
+        portable md5 source sample. Oracle: the pair-sum identity SQL
+        restricted to the identical source set and scaled n/|S|
+        (gate_sql.betweenness_sql(n_samples=...)) — independent of the
+        engine's dependency back-propagation."""
         from linkgraph.algs.betweenness import betweenness
 
         g = _doc_graph(spark, sf, directed=False)
-        return betweenness(g, n_samples=24).select(
+        return betweenness(g, n_samples=24, portable=True).select(
             "id", F.round("score", 4).alias("score")
         )
 
@@ -719,13 +721,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pr.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
 
     def doc_nibble(spark, sf):
-        """PageRankNibble community around seed 0 — PPR is tol-converged
-        (not fixed-iteration), so rows-only; membership set is pinned by
-        the pytest conductance oracle on fixtures."""
+        """PageRankNibble community around seed 0, portable mode: PPR at
+        fixed 25 iterations (tol=0) with ranks rounded to 6 dp before the
+        sweep key — downstream vol/cut/conductance arithmetic is exact on
+        this integer-weight graph, so DuckDB replays the whole sweep and
+        the argmin prefix (gate_sql.nibble_sql)."""
         from linkgraph.algs.scd import pagerank_nibble
 
         g = _doc_graph(spark, sf, directed=False)
-        return pagerank_nibble(g, [0]).orderBy("id")
+        return pagerank_nibble(
+            g, [0], tol=0.0, max_iter=25, round_rank=6
+        ).orderBy("id")
 
     def doc_seir_census(spark, sf):
         """SEIR per-tick compartment census with portable md5 contact
@@ -1346,6 +1352,9 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["doc_sfigality"] = G.sfigality_sql(EDGES_CTE_MAT)
     sql["doc_laplacian"] = G.laplacian_sql(EDGES_CTE_MAT)
     sql["doc_betweenness_exact"] = G.betweenness_sql(EDGES_CTE_MAT, hops=12)
+    sql["doc_betweenness"] = G.betweenness_sql(
+        EDGES_CTE_MAT, hops=12, n_samples=24, seed=42
+    )
     sql["doc_local_similarity"] = G.local_similarity_sql(EDGES_CTE_MAT)
     sql["doc_scan_similarity"] = G.scan_similarity_sql(EDGES_CTE_MAT)
     sql["doc_multiscale"] = G.multiscale_sql(EDGES_CTE_MAT)
@@ -1415,6 +1424,9 @@ SELECT src, dst, ROUND(weight, 6) AS weight FROM last WHERE op <> 'remove_edge'
     )
     sql["doc_suitor_matching"] = G.suitor_sql(EDGES_CTE_MAT, rounds=24)
     sql["doc_ppr"] = G.ppr_sql(EDGES_CTE_MAT, seed_vertex=0, alpha=0.15, iters=25)
+    sql["doc_nibble"] = G.nibble_sql(
+        EDGES_CTE_MAT, seed_vertex=0, alpha=0.15, iters=25, round_rank=6
+    )
     sql["embed_lsh_top5"] = G.lsh_topk_sql(n_planes=8, k=5, seed=42, dim=64)
     sql["embed_lsh_banded_top5"] = G.lsh_banded_topk_sql(
         n_planes=16, bands=8, k=5, seed=42, dim=64

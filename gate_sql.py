@@ -810,7 +810,9 @@ SELECT
 """
 
 
-def betweenness_sql(cte: str, hops: int = 12) -> str:
+def betweenness_sql(
+    cte: str, hops: int = 12, n_samples: int | None = None, seed: int = 42
+) -> str:
     """EXACT betweenness via the pair-sum identity — independent of the
     engine's Brandes back-propagation: with all-pairs (dist, #shortest
     paths σ) from a level-synchronous unrolled DP,
@@ -818,7 +820,12 @@ def betweenness_sql(cte: str, hops: int = 12) -> str:
         bc(v) = ½ Σ_{s≠v≠t} σ_sv·σ_vt/σ_st · [d_sv + d_vt = d_st]
 
     (½ = undirected ordered-pair double count, matching networkx/engine
-    convention, normalized=False)."""
+    convention, normalized=False).
+
+    With ``n_samples`` the sum is restricted to the EstimateBetweenness
+    portable-hash source sample (the identical top-k by md5 phash the
+    engine picks with portable=True) and scaled by n/|S| — re-deriving
+    the sampled estimator without Brandes back-prop."""
     parts = [
         "b0 AS MATERIALIZED (SELECT id AS s, id AS v, 0 AS dist, CAST(1 AS DOUBLE) AS sigma FROM nodes)",
         "c0 AS MATERIALIZED (SELECT * FROM b0)",
@@ -835,18 +842,33 @@ def betweenness_sql(cte: str, hops: int = 12) -> str:
             f"c{h} AS MATERIALIZED (SELECT * FROM c{p} UNION ALL SELECT * FROM b{h})"
         )
     chain = ",\n".join(parts)
+    if n_samples is None:
+        samp = ""
+        src_filter = ""
+        factor = "/ 2.0"
+    else:
+        key = phash_sql("id", str(seed))
+        parts_s = (
+            f"samp AS MATERIALIZED (SELECT id FROM nodes"
+            f" ORDER BY {key}, id LIMIT {n_samples}),"
+        )
+        samp = parts_s + "\n"
+        src_filter = " AND sv.s IN (SELECT id FROM samp)"
+        factor = (
+            f"* ((SELECT COUNT(*) FROM nodes) * 1.0 / {n_samples}) / 2.0"
+        )
     return f"""
 WITH {cte},
 {chain},
-bc AS (
+{samp}bc AS (
   SELECT sv.v AS id, SUM(sv.sigma * vt.sigma / st.sigma) AS raw
   FROM c{hops} sv
   JOIN c{hops} vt ON vt.s = sv.v AND vt.dist > 0
   JOIN c{hops} st ON st.s = sv.s AND st.v = vt.v AND st.dist = sv.dist + vt.dist
-  WHERE sv.dist > 0 AND sv.s <> vt.v
+  WHERE sv.dist > 0 AND sv.s <> vt.v{src_filter}
   GROUP BY sv.v
 )
-SELECT n.id, ROUND(COALESCE(bc.raw, 0.0) / 2.0, 4) AS score
+SELECT n.id, ROUND(COALESCE(bc.raw, 0.0) {factor}, 4) AS score
 FROM nodes n LEFT JOIN bc ON bc.id = n.id
 """
 
@@ -1174,11 +1196,9 @@ def suitor_sql(cte: str, rounds: int = 24) -> str:
     return f"WITH {cte},\n" + ",\n".join(parts) + f"\n{union}"
 
 
-def ppr_sql(cte: str, seed_vertex: int = 0, alpha: float = 0.15, iters: int = 25) -> str:
-    """Personalized PageRank (teleport to one seed) — fixed-iteration
-    unroll mirroring algs/scd.py::personalized_pagerank: rank0 = teleport,
-    rank_{t+1}(v) = (1-alpha)·Σ_u rank_t(u)·w_uv/wdeg(u) + alpha·[v=seed],
-    support-sparse (zero rows dropped). Rounded to 6 dp on both sides."""
+def _ppr_chain(seed_vertex: int, alpha: float, iters: int) -> list[str]:
+    """CTE chain r0..r{iters} for fixed-iteration personalized PageRank —
+    shared by ppr_sql and nibble_sql."""
     a, b = repr(float(alpha)), repr(1.0 - float(alpha))
     parts = [
         "fr AS MATERIALIZED (SELECT src, dst,"
@@ -1197,10 +1217,78 @@ def ppr_sql(cte: str, seed_vertex: int = 0, alpha: float = 0.15, iters: int = 25
             f" FULL JOIN (SELECT {seed_vertex} AS id) sd ON sd.id = s.id"
             f") q WHERE rank > 0)"
         )
+    return parts
+
+
+def ppr_sql(cte: str, seed_vertex: int = 0, alpha: float = 0.15, iters: int = 25) -> str:
+    """Personalized PageRank (teleport to one seed) — fixed-iteration
+    unroll mirroring algs/scd.py::personalized_pagerank: rank0 = teleport,
+    rank_{t+1}(v) = (1-alpha)·Σ_u rank_t(u)·w_uv/wdeg(u) + alpha·[v=seed],
+    support-sparse (zero rows dropped). Rounded to 6 dp on both sides."""
+    parts = _ppr_chain(seed_vertex, alpha, iters)
     return (
         f"WITH {cte},\n" + ",\n".join(parts)
         + f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{iters} ORDER BY id"
     )
+
+
+def nibble_sql(
+    cte: str,
+    seed_vertex: int = 0,
+    alpha: float = 0.15,
+    iters: int = 25,
+    max_support: int = 10_000,
+    round_rank: int = 6,
+) -> str:
+    """PageRankNibble membership replay (algs/scd.py::pagerank_nibble in
+    portable mode: tol=0 fixed-iteration PPR, ranks rounded before the
+    sweep key). Everything downstream of the rounded ranks is exact
+    arithmetic on this graph (integer weights → integer vol/cut in
+    doubles), so the conductance argmin is engine-identical:
+
+      support = top max_support by (rank/wdeg DESC, id ASC), wdeg > 0
+      vol(k)  = running Σ wdeg;  internal(k) = running Σ closed edges
+      cut(k)  = vol(k) − 2·internal(k);  φ(k) = cut/min(vol, 2m−vol)
+      answer  = ids of the φ-argmin prefix (pos tie → smaller prefix)
+    """
+    parts = _ppr_chain(seed_vertex, alpha, iters)
+    chain = ",\n".join(parts)
+    return f"""
+WITH {cte},
+{chain},
+ppr AS MATERIALIZED (SELECT id, ROUND(rank, {round_rank}) AS rank FROM r{iters}),
+wd AS MATERIALIZED (SELECT src AS id, SUM(weight) AS wdeg FROM sym GROUP BY src),
+two_m AS MATERIALIZED (SELECT SUM(weight) AS w FROM sym),
+support AS MATERIALIZED (
+  SELECT p.id, p.rank / w.wdeg AS key, w.wdeg
+  FROM ppr p JOIN wd w ON w.id = p.id WHERE w.wdeg > 0
+  ORDER BY key DESC, p.id ASC LIMIT {max_support}),
+pref AS MATERIALIZED (
+  SELECT id,
+         ROW_NUMBER() OVER (ORDER BY key DESC, id ASC) AS pos,
+         SUM(wdeg) OVER (ORDER BY key DESC, id ASC) AS vol
+  FROM support),
+pe AS MATERIALIZED (
+  SELECT GREATEST(pu.pos, pv.pos) AS pos, SUM(s.weight) AS closed
+  FROM sym s
+  JOIN pref pu ON pu.id = s.src
+  JOIN pref pv ON pv.id = s.dst
+  WHERE s.src < s.dst
+  GROUP BY GREATEST(pu.pos, pv.pos)),
+sweep AS MATERIALIZED (
+  SELECT p.id, p.pos, p.vol,
+         p.vol - 2.0 * SUM(COALESCE(pe.closed, 0.0))
+                       OVER (ORDER BY p.pos) AS cut
+  FROM pref p LEFT JOIN pe ON pe.pos = p.pos),
+cond AS MATERIALIZED (
+  SELECT id, pos,
+         CASE WHEN LEAST(vol, (SELECT w FROM two_m) - vol) > 0
+              THEN cut / LEAST(vol, (SELECT w FROM two_m) - vol)
+              ELSE 1.0 END AS cond
+  FROM sweep),
+best AS (SELECT pos FROM cond ORDER BY cond ASC, pos ASC LIMIT 1)
+SELECT id FROM cond WHERE pos <= (SELECT pos FROM best) ORDER BY id
+"""
 
 
 def _lsh_planes_cte(dim: int, n_planes: int, seed: int) -> str:

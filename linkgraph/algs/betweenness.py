@@ -33,9 +33,15 @@ def betweenness(
     n_samples: int | None = None,
     seed: int = 42,
     normalized: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, score) — exact Brandes when ``n_samples`` is None, else the
-    EstimateBetweenness sampled estimator (scaled by n/|S|)."""
+    EstimateBetweenness sampled estimator (scaled by n/|S|).
+
+    ``portable=True`` selects sample sources by the md5 portable hash
+    (linkgraph/portable.py) instead of xxhash64 so a DuckDB oracle can
+    re-derive the identical source set (gate use only; xxhash64 is the
+    cheap default)."""
     spark = graph.edges.sparkSession
     e = (
         (graph.edges if graph.directed else graph.symmetric_edges())
@@ -50,9 +56,13 @@ def betweenness(
         src_rows = nodes
         scale = 1.0
     else:
-        src_rows = (
-            nodes.orderBy(F.xxhash64("id", F.lit(seed)), F.asc("id")).limit(n_samples)
-        )
+        if portable:
+            from linkgraph.portable import phash
+
+            key = phash(F.col("id"), F.lit(seed))
+        else:
+            key = F.xxhash64("id", F.lit(seed))
+        src_rows = nodes.orderBy(key, F.asc("id")).limit(n_samples)
         scale = n / n_samples
 
     # ---- forward: per-level BFS with shortest-path counts ---------------

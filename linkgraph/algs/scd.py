@@ -94,13 +94,25 @@ def pagerank_nibble(
     alpha: float = 0.15,
     max_support: int = 10_000,
     tol: float = 1e-8,
+    max_iter: int = 60,
+    round_rank: int | None = None,
 ) -> DataFrame:
     """(id,) — the community around ``seeds``: the prefix of the
     rank/degree-ordered PPR support with minimum conductance
     (scd/PageRankNibble.cpp). The sweep's running sums are a window over
     at most ``max_support`` rows (top support by rank), explicitly
-    bounded — never a full-table sort."""
-    ppr = personalized_pagerank(graph, seeds, alpha=alpha, tol=tol)
+    bounded — never a full-table sort.
+
+    ``tol=0`` + ``max_iter`` runs the PPR at a fixed iteration count and
+    ``round_rank`` quantizes ranks before the sweep key — together they
+    make the whole sweep (exact integer-weight vol/cut arithmetic over
+    rounded ranks) bit-replayable by the DuckDB gate oracle
+    (gate_sql.nibble_sql). Defaults keep the converged float path."""
+    ppr = personalized_pagerank(
+        graph, seeds, alpha=alpha, tol=tol, max_iter=max_iter
+    )
+    if round_rank is not None:
+        ppr = ppr.select("id", F.round("rank", round_rank).alias("rank"))
     # WEIGHTED degree throughout: vol, cut and 2m must share one unit or
     # the sweep denominators disagree on weighted graphs
     deg = graph.remove_self_loops().degrees().select(
