@@ -321,12 +321,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def doc_louvain(spark, sf):
+        """Two-level Louvain, portable md5 parity gate. Oracle: the whole
+        pipeline — gated move rounds, coarsening, level-1 moves, prolong,
+        canonical relabel — replayed as unrolled SQL
+        (gate_sql.louvain_sql)."""
         from linkgraph.algs.plm import louvain
 
         g = _doc_graph(spark, sf)
         # kept intentionally small: each move round is several joins and
         # the driver gate runs every query serially
-        return louvain(g, max_rounds=6, max_levels=2)
+        return louvain(g, max_rounds=6, max_levels=2, portable=True)
 
     def doc_neighborhood_2hop(spark, sf):
         from linkgraph.algs.anf import per_vertex_neighborhood_size
@@ -466,12 +470,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- rows-only entries (hash-seeded internals; pytest-validated) ------
     def doc_leiden(spark, sf):
+        """Leiden (move → singleton refinement → coarsen-by-refined →
+        seeded final move), portable md5 parity gates. Oracle: the whole
+        pipeline replayed as unrolled SQL (gate_sql.leiden_sql)."""
         from linkgraph.algs.leiden import leiden
 
         # light budget: the driver gate runs every query serially, and each
         # refine round costs several actions; quality is pytest's job
         g = _doc_graph(spark, sf)
-        return leiden(g, max_rounds=4, max_levels=1, refine_rounds=4)
+        return leiden(g, max_rounds=4, max_levels=1, refine_rounds=4, portable=True)
 
     def doc_suitor_matching(spark, sf):
         """Suitor ½-approx max-weight matching (deterministic message
@@ -483,10 +490,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return suitor_matching(g)
 
     def doc_ego_cover(spark, sf):
+        """EgoSplitting overlapping cover, portable persona hash + PLP
+        tie-break. Oracle: ego components via reachability closure,
+        persona graph + PLP replayed in SQL (gate_sql.ego_cover_sql)."""
         from linkgraph.algs.egosplit import ego_splitting
 
         g = _doc_graph(spark, sf, directed=False)
-        return ego_splitting(g, max_ego_degree=100, plp_max_iter=10)
+        return ego_splitting(g, max_ego_degree=100, plp_max_iter=10, portable=True)
 
     def embed_lsh_banded_top5(spark, sf):
         from linkgraph.text.similarity import lsh_cosine_topk_banded
@@ -1424,6 +1434,13 @@ SELECT src, dst, ROUND(weight, 6) AS weight FROM last WHERE op <> 'remove_edge'
     )
     sql["doc_suitor_matching"] = G.suitor_sql(EDGES_CTE_MAT, rounds=24)
     sql["doc_ppr"] = G.ppr_sql(EDGES_CTE_MAT, seed_vertex=0, alpha=0.15, iters=25)
+    sql["doc_louvain"] = G.louvain_sql(EDGES_CTE_MAT, gamma=1.0, rounds=6)
+    sql["doc_leiden"] = G.leiden_sql(
+        EDGES_CTE_MAT, gamma=1.0, rounds=4, refine_rounds=4
+    )
+    sql["doc_ego_cover"] = G.ego_cover_sql(
+        EDGES_CTE_MAT, max_ego_degree=100, plp_iters=10
+    )
     sql["doc_nibble"] = G.nibble_sql(
         EDGES_CTE_MAT, seed_vertex=0, alpha=0.15, iters=25, round_rank=6
     )

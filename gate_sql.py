@@ -239,29 +239,45 @@ def spanning_stats_sql(cte: str, weights: tuple = (1, 2, 3, 4, 5)) -> str:
 # ---------------------------------------------------------------------------
 
 
-def plp_sql(cte: str, iters: int = 30) -> str:
+def _plp_chain(px: str, iters: int) -> list[str]:
+    """Synchronous-PLP replay chain over pre-existing CTEs ``{px}symn``
+    (src, dst, weight — no self-loops) and ``{px}nodes`` (id); emits
+    labels {px}l0 .. {px}l{iters} (algs/plp.py::label_propagation with
+    tie_hash='portable', expression by expression)."""
     parts = [
-        "symn AS MATERIALIZED (SELECT src, dst, weight FROM sym WHERE src <> dst)",
-        "l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)",
+        f"{px}l0 AS MATERIALIZED (SELECT id, id AS label FROM {px}nodes)",
     ]
     for i in range(1, iters + 1):
         p = i - 1
         tie = phash_sql("v.label", str(i - 1))
         parts.append(
-            f"v{i} AS MATERIALIZED (SELECT e.dst AS id, l.label, SUM(e.weight) AS w "
-            f"FROM l{p} l JOIN symn e ON e.src = l.id GROUP BY e.dst, l.label)"
+            f"{px}v{i} AS MATERIALIZED (SELECT e.dst AS id, l.label, SUM(e.weight) AS w "
+            f"FROM {px}l{p} l JOIN {px}symn e ON e.src = l.id GROUP BY e.dst, l.label)"
         )
         parts.append(
-            f"b{i} AS MATERIALIZED (SELECT id, label FROM ("
+            f"{px}b{i} AS MATERIALIZED (SELECT id, label FROM ("
             f"SELECT v.id, v.label, ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY "
             f"v.w DESC, (CASE WHEN v.label = c.label THEN 1 ELSE 0 END) DESC, "
             f"{tie} ASC, v.label ASC) AS rn "
-            f"FROM v{i} v JOIN l{p} c ON c.id = v.id) z WHERE rn = 1)"
+            f"FROM {px}v{i} v JOIN {px}l{p} c ON c.id = v.id) z WHERE rn = 1)"
         )
         parts.append(
-            f"l{i} AS MATERIALIZED (SELECT n.id, COALESCE(b.label, c.label) AS label "
-            f"FROM nodes n JOIN l{p} c ON c.id = n.id LEFT JOIN b{i} b ON b.id = n.id)"
+            f"{px}l{i} AS MATERIALIZED (SELECT n.id, COALESCE(b.label, c.label) AS label "
+            f"FROM {px}nodes n JOIN {px}l{p} c ON c.id = n.id"
+            f" LEFT JOIN {px}b{i} b ON b.id = n.id)"
         )
+    return parts
+
+
+def plp_sql(cte: str, iters: int = 30) -> str:
+    parts = [
+        "symn AS MATERIALIZED (SELECT src, dst, weight FROM sym WHERE src <> dst)",
+        "nodes2 AS MATERIALIZED (SELECT id FROM nodes)",
+    ]
+    chain = _plp_chain("", iters)
+    # the un-prefixed chain expects "nodes"; the shared cte already defines
+    # it, so just rebind symn and reuse the chain directly
+    parts += [c.replace("FROM nodes n", "FROM nodes2 n") for c in chain]
     body = ",\n".join(parts)
     return f"""
 WITH {cte},
@@ -1288,6 +1304,259 @@ cond AS MATERIALIZED (
   FROM sweep),
 best AS (SELECT pos FROM cond ORDER BY cond ASC, pos ASC LIMIT 1)
 SELECT id FROM cond WHERE pos <= (SELECT pos FROM best) ORDER BY id
+"""
+
+
+def _move_chain(p: str, l: int, rounds: int, gamma: float, init: str | None = None) -> list[str]:
+    """CTE chain for one portable Louvain move phase on half-edge table
+    {p}e{l}: sym {p}s{l}, deg {p}d{l} (self-loops count twice), then ``rounds``
+    synchronous gated move rounds {p}L{l}_0 .. {p}L{l}_{rounds} mirroring
+    algs/plm.py::_local_move(portable=True) expression by expression
+    (exact integer sums; the only float ops are the single gain division
+    and subtraction, identical IEEE on both engines)."""
+    g = repr(float(gamma))
+    parts = [
+        f"{p}s{l} AS MATERIALIZED (SELECT src, dst, MAX(weight) AS weight FROM ("
+        f"SELECT src, dst, weight FROM {p}e{l} UNION ALL"
+        f" SELECT dst, src, weight FROM {p}e{l}) b GROUP BY src, dst)",
+        f"{p}d{l} AS MATERIALIZED (SELECT src AS id,"
+        f" SUM(CASE WHEN src = dst THEN 2.0 * weight ELSE weight END) AS k"
+        f" FROM {p}s{l} GROUP BY src)",
+        (f"{p}L{l}_0 AS MATERIALIZED (SELECT d.id,"
+         f" COALESCE(i.community, d.id) AS community"
+         f" FROM {p}d{l} d LEFT JOIN {init} i ON i.id = d.id)")
+        if init else
+        f"{p}L{l}_0 AS MATERIALIZED (SELECT id, id AS community FROM {p}d{l})",
+    ]
+    for t in range(rounds):
+        L = f"{p}L{l}_{t}"
+        gbit = phash_sql("id", str(t))
+        parts += [
+            f"{p}V{l}_{t} AS MATERIALIZED (SELECT community, SUM(k) AS vol"
+            f" FROM {L} JOIN {p}d{l} USING (id) GROUP BY community)",
+            f"{p}W{l}_{t} AS MATERIALIZED (SELECT s.src AS id, lb.community AS c,"
+            f" SUM(s.weight) AS w FROM {p}s{l} s JOIN {L} lb ON lb.id = s.dst"
+            f" WHERE s.src <> s.dst GROUP BY s.src, lb.community)",
+            f"{p}C{l}_{t} AS MATERIALIZED (SELECT COALESCE(w.id, o.id) AS id,"
+            f" COALESCE(w.c, o.c) AS c, COALESCE(w.w, 0.0) AS w"
+            f" FROM {p}W{l}_{t} w FULL JOIN"
+            f" (SELECT id, community AS c FROM {L}) o"
+            f" ON o.id = w.id AND o.c = w.c)",
+            f"{p}S{l}_{t} AS MATERIALIZED (SELECT c.id, c.c, lb.community,"
+            f" c.w - {g} * d.k * (v.vol - CASE WHEN c.c = lb.community"
+            f" THEN d.k ELSE 0.0 END) / (SELECT w FROM {p}tw) AS gain"
+            f" FROM {p}C{l}_{t} c JOIN {L} lb ON lb.id = c.id"
+            f" JOIN {p}d{l} d ON d.id = c.id"
+            f" JOIN {p}V{l}_{t} v ON v.community = c.c)",
+            f"{p}B{l}_{t} AS MATERIALIZED (SELECT id, community, c AS target"
+            f" FROM (SELECT id, community, c, ROW_NUMBER() OVER"
+            f" (PARTITION BY id ORDER BY gain DESC,"
+            f" CASE WHEN c = community THEN 1 ELSE 0 END DESC, c ASC) AS rn"
+            f" FROM {p}S{l}_{t}) q WHERE rn = 1)",
+            f"{p}P{l}_{t} AS MATERIALIZED (SELECT id, target,"
+            f" CAST({gbit} % 2 AS INT) AS gbit FROM {p}B{l}_{t}"
+            f" WHERE target <> community)",
+            f"{p}M{l}_{t} AS MATERIALIZED (SELECT id, target FROM {p}P{l}_{t}"
+            f" WHERE gbit = (CASE WHEN EXISTS"
+            f" (SELECT 1 FROM {p}P{l}_{t} WHERE gbit = 0) THEN 0 ELSE 1 END))",
+            f"{p}L{l}_{t + 1} AS MATERIALIZED (SELECT lb.id,"
+            f" COALESCE(m.target, lb.community) AS community"
+            f" FROM {L} lb LEFT JOIN {p}M{l}_{t} m ON m.id = lb.id)",
+        ]
+    return parts
+
+
+def louvain_sql(cte: str, gamma: float = 1.0, rounds: int = 6) -> str:
+    """Two-level portable Louvain replay (algs/plm.py::louvain with
+    max_levels=2, max_rounds=``rounds``, portable=True): level-0 move
+    phase on the half-edge graph, coarsen by community (least/greatest
+    contraction, intra edges → self-loops), level-1 move phase, labels
+    composed only if level 0 actually shrank (the engine's break rule),
+    then canonical min-member-id relabeling."""
+    parts = [
+        "lve0 AS MATERIALIZED (SELECT src, dst, weight FROM sym WHERE src <= dst)",
+    ]
+    # two_w from the level-0 symmetrized view (engine: g.symmetric_edges()
+    # sum); placed before the level chains which reference lvtw in gains.
+    parts.append(
+        "lvtw AS MATERIALIZED (SELECT SUM(weight) AS w FROM ("
+        "SELECT src, dst, MAX(weight) AS weight FROM ("
+        "SELECT src, dst, weight FROM lve0 UNION ALL"
+        " SELECT dst, src, weight FROM lve0) b GROUP BY src, dst) s)"
+    )
+    parts += _move_chain('lv', 0, rounds, gamma)
+    parts += [
+        f"lvsh0 AS MATERIALIZED (SELECT"
+        f" (SELECT COUNT(DISTINCT community) FROM lvL0_{rounds})"
+        f" < (SELECT COUNT(*) FROM lvL0_{rounds}) AS s)",
+        f"lve1 AS MATERIALIZED (SELECT LEAST(ls.community, ld.community) AS src,"
+        f" GREATEST(ls.community, ld.community) AS dst,"
+        f" SUM(e.weight) AS weight FROM lve0 e"
+        f" JOIN lvL0_{rounds} ls ON ls.id = e.src"
+        f" JOIN lvL0_{rounds} ld ON ld.id = e.dst GROUP BY 1, 2)",
+    ]
+    parts += _move_chain('lv', 1, rounds, gamma)
+    chain = ",\n".join(parts)
+    return f"""
+WITH {cte},
+{chain},
+lvraw AS MATERIALIZED (
+  SELECT m.id,
+         CASE WHEN (SELECT s FROM lvsh0) THEN l1.community
+              ELSE m.community END AS label
+  FROM lvL0_{rounds} m LEFT JOIN lvL1_{rounds} l1 ON l1.id = m.community),
+lvcanon AS (SELECT label, MIN(id) AS lvcanon FROM lvraw GROUP BY label)
+SELECT r.id, c.lvcanon AS label FROM lvraw r JOIN lvcanon c ON c.label = r.label
+"""
+
+
+def _refine_chain(p: str, rounds: int, gamma: float) -> list[str]:
+    """CTE chain for the Leiden refinement phase on level-0 tables
+    ({p}s0 sym, {p}d0 deg, {p}tw 2W), mirroring
+    algs/leiden.py::_refine(portable=True): singleton-only merges into
+    positive-gain sub-communities of the same parent, alternating-parity
+    portable gate with complementary fallback. State R{t}(id, ref,
+    parent); R0 starts from the move-phase communities {p}L0_* (ref =
+    id)."""
+    g = repr(float(gamma))
+    parts = []
+    for t in range(rounds):
+        R = f"{p}R{t}"
+        gbit = phash_sql("id")
+        a, b = t % 2, (t + 1) % 2
+        parts += [
+            f"{p}RZ{t} AS MATERIALIZED (SELECT ref, COUNT(*) AS sz"
+            f" FROM {R} GROUP BY ref)",
+            f"{p}RC{t} AS MATERIALIZED (SELECT s.src AS id, ts.ref AS target,"
+            f" SUM(s.weight) AS w FROM {p}s0 s"
+            f" JOIN {R} ts ON ts.id = s.dst"
+            f" JOIN {R} ss ON ss.id = s.src"
+            f" JOIN {p}RZ{t} z ON z.ref = ss.ref"
+            f" WHERE s.src <> s.dst AND ss.parent = ts.parent"
+            f" AND ss.ref <> ts.ref AND z.sz = 1"
+            f" GROUP BY s.src, ts.ref)",
+            f"{p}RV{t} AS MATERIALIZED (SELECT ref, SUM(k) AS vol"
+            f" FROM {R} JOIN {p}d0 USING (id) GROUP BY ref)",
+            f"{p}RS{t} AS MATERIALIZED (SELECT * FROM ("
+            f"SELECT c.id, c.target,"
+            f" c.w - {g} * d.k * v.vol / (SELECT w FROM {p}tw) AS gain"
+            f" FROM {p}RC{t} c JOIN {p}d0 d ON d.id = c.id"
+            f" JOIN {p}RV{t} v ON v.ref = c.target) q WHERE gain > 0)",
+            f"{p}RR{t} AS MATERIALIZED (SELECT id, target,"
+            f" CAST({gbit} % 2 AS INT) AS gbit FROM ("
+            f"SELECT id, target, gain, ROW_NUMBER() OVER (PARTITION BY id"
+            f" ORDER BY gain DESC, target ASC) AS rn FROM {p}RS{t}) q"
+            f" WHERE rn = 1)",
+            f"{p}RM{t} AS MATERIALIZED (SELECT id, target FROM {p}RR{t}"
+            f" WHERE gbit = (CASE WHEN EXISTS"
+            f" (SELECT 1 FROM {p}RR{t} WHERE gbit = {a})"
+            f" THEN {a} ELSE {b} END))",
+            f"{p}R{t + 1} AS MATERIALIZED (SELECT r.id,"
+            f" COALESCE(m.target, r.ref) AS ref, r.parent"
+            f" FROM {R} r LEFT JOIN {p}RM{t} m ON m.id = r.id)",
+        ]
+    return parts
+
+
+def leiden_sql(
+    cte: str, gamma: float = 1.0, rounds: int = 4, refine_rounds: int = 4
+) -> str:
+    """Portable Leiden replay (algs/leiden.py::leiden with max_levels=1,
+    max_rounds=``rounds``, refine_rounds=``refine_rounds``,
+    portable=True): level-0 move phase → refinement from singletons →
+    if the refined partition shrank, coarsen by REFINED blocks and run
+    the post-loop move phase seeded with each block's min move-community;
+    labels = that phase's communities composed through the refined
+    mapping, else the level-0 move communities. Canonical min-member-id
+    output either way."""
+    p = "ld"
+    parts = [
+        f"{p}e0 AS MATERIALIZED (SELECT src, dst, weight FROM sym WHERE src <= dst)",
+        f"{p}tw AS MATERIALIZED (SELECT SUM(weight) AS w FROM ("
+        f"SELECT src, dst, MAX(weight) AS weight FROM ("
+        f"SELECT src, dst, weight FROM {p}e0 UNION ALL"
+        f" SELECT dst, src, weight FROM {p}e0) b GROUP BY src, dst) s)",
+    ]
+    parts += _move_chain(p, 0, rounds, gamma)
+    comm0 = f"{p}L0_{rounds}"
+    parts.append(
+        f"{p}R0 AS MATERIALIZED (SELECT id, id AS ref,"
+        f" community AS parent FROM {comm0})"
+    )
+    parts += _refine_chain(p, refine_rounds, gamma)
+    ref0 = f"{p}R{refine_rounds}"
+    parts += [
+        f"{p}sh0 AS MATERIALIZED (SELECT"
+        f" (SELECT COUNT(DISTINCT ref) FROM {ref0})"
+        f" < (SELECT COUNT(*) FROM {ref0}) AS s)",
+        f"{p}e1 AS MATERIALIZED (SELECT LEAST(ls.ref, ld_.ref) AS src,"
+        f" GREATEST(ls.ref, ld_.ref) AS dst, SUM(e.weight) AS weight"
+        f" FROM {p}e0 e JOIN {ref0} ls ON ls.id = e.src"
+        f" JOIN {ref0} ld_ ON ld_.id = e.dst GROUP BY 1, 2)",
+        f"{p}init1 AS MATERIALIZED (SELECT r.ref AS id,"
+        f" MIN(c.community) AS community FROM {ref0} r"
+        f" JOIN {comm0} c ON c.id = r.id GROUP BY r.ref)",
+    ]
+    parts += _move_chain(p, 1, rounds, gamma, init=f"{p}init1")
+    comm1 = f"{p}L1_{rounds}"
+    chain = ",\n".join(parts)
+    return f"""
+WITH {cte},
+{chain},
+ldraw AS MATERIALIZED (
+  SELECT c0.id,
+         CASE WHEN (SELECT s FROM {p}sh0) THEN l1.community
+              ELSE c0.community END AS label
+  FROM {comm0} c0
+  JOIN {ref0} r ON r.id = c0.id
+  LEFT JOIN {comm1} l1 ON l1.id = r.ref),
+ldcanon AS (SELECT label, MIN(id) AS canon FROM ldraw GROUP BY label)
+SELECT r.id, c.canon AS label FROM ldraw r JOIN ldcanon c ON c.label = r.label
+"""
+
+
+def ego_cover_sql(cte: str, max_ego_degree: int = 100, plp_iters: int = 10) -> str:
+    """EgoSplitting Cover replay (algs/egosplit.py::ego_splitting with
+    portable=True): ego-net parts re-derived as the true component minimum
+    via a reachability recursive CTE (the engine's label-min fixpoint
+    converges to exactly that), portable md5 persona ids, persona-graph
+    PLP replayed with the shared unrolled chain, overlapping cover
+    projected back per (vertex, persona)."""
+    pid = phash_sql("u", "part")
+    chain = ",\n".join(_plp_chain("eg", plp_iters))
+    return f"""
+WITH RECURSIVE {cte},
+egsd AS MATERIALIZED (SELECT DISTINCT src, dst FROM sym WHERE src <> dst),
+egdeg AS (SELECT src, COUNT(*) AS d FROM egsd GROUP BY src),
+egkeep AS (SELECT src FROM egdeg WHERE d <= {max_ego_degree}),
+egs AS MATERIALIZED (SELECT e.src, e.dst FROM egsd e
+  JOIN egkeep k1 ON k1.src = e.src JOIN egkeep k2 ON k2.src = e.dst),
+egw AS MATERIALIZED (
+  SELECT ua.src AS u, ua.dst AS a, ub.dst AS b
+  FROM egs ua JOIN egs ub ON ub.src = ua.src AND ua.dst < ub.dst
+  JOIN egs ab ON ab.src = ua.dst AND ab.dst = ub.dst),
+ege AS MATERIALIZED (SELECT u, a, b FROM egw
+  UNION SELECT u, b AS a, a AS b FROM egw),
+egreach(u, v, w) AS (
+  SELECT src AS u, dst AS v, dst AS w FROM egs
+  UNION
+  SELECT r.u, r.v, e.b FROM egreach r JOIN ege e ON e.u = r.u AND e.a = r.w),
+egparts AS MATERIALIZED (SELECT u, v, MIN(w) AS part FROM egreach GROUP BY u, v),
+egper AS MATERIALIZED (SELECT u, v, {pid} AS pid FROM egparts),
+egped AS MATERIALIZED (
+  SELECT l.pid AS src, r.pid AS dst, 1.0 AS weight
+  FROM egper l JOIN egper r ON r.u = l.v AND r.v = l.u WHERE l.u < l.v),
+egsymn AS MATERIALIZED (SELECT src, dst, MAX(weight) AS weight FROM (
+  SELECT src, dst, weight FROM egped
+  UNION ALL SELECT dst, src, weight FROM egped) b
+  WHERE src <> dst GROUP BY src, dst),
+egnodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM egsymn),
+{chain},
+egcanon AS (SELECT label, MIN(id) AS cl FROM egl{plp_iters} GROUP BY label),
+egplab AS (SELECT l.id, c.cl AS label
+  FROM egl{plp_iters} l JOIN egcanon c ON c.label = l.label),
+egown AS (SELECT DISTINCT u, pid FROM egper)
+SELECT DISTINCT o.u AS id, p.label FROM egown o JOIN egplab p ON p.id = o.pid
 """
 
 

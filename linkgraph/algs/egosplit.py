@@ -87,14 +87,23 @@ def ego_splitting(
     graph: Graph,
     max_ego_degree: int | None = 200,
     plp_max_iter: int = 30,
+    portable: bool = False,
 ) -> DataFrame:
     """Cover (id, label) — overlapping communities via persona splitting;
-    labels are canonical persona labels (distinct per overlapping part)."""
+    labels are canonical persona labels (distinct per overlapping part).
+
+    ``portable=True`` swaps the persona-id hash and PLP tie-break to the
+    md5 portable hash so the full pipeline (ego components → personas →
+    PLP → cover) replays as DuckDB SQL (gate_sql.ego_cover_sql)."""
     parts = _ego_components(graph, max_ego_degree)
     # persona id: stable hash of (vertex, part)
-    persona = parts.select(
-        "u", "v", F.xxhash64("u", "part").alias("pid")
-    )
+    if portable:
+        from linkgraph.portable import phash
+
+        pid = phash(F.col("u"), F.col("part"))
+    else:
+        pid = F.xxhash64("u", "part")
+    persona = parts.select("u", "v", pid.alias("pid"))
     # edge (u,v): connect u's persona containing v with v's persona containing u
     left = persona.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("pid").alias("pa"))
     right = persona.select(F.col("v").alias("a"), F.col("u").alias("b"), F.col("pid").alias("pb"))
@@ -104,7 +113,11 @@ def ego_splitting(
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"), F.lit(1.0).alias("weight"))
     )
     pgraph = Graph.from_edges(pedges, directed=False)
-    plab = label_propagation(pgraph, max_iter=plp_max_iter)
+    plab = label_propagation(
+        pgraph,
+        max_iter=plp_max_iter,
+        tie_hash="portable" if portable else "xxhash64",
+    )
     # project back: u inherits the labels of all its personas
     owner = persona.select("u", "pid").distinct()
     cover = (

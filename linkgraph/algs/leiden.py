@@ -37,7 +37,8 @@ from linkgraph.graph import Graph
 
 
 def _refine(
-    graph: Graph, comm: DataFrame, gamma: float, two_w: float, max_rounds: int = 16
+    graph: Graph, comm: DataFrame, gamma: float, two_w: float, max_rounds: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, ref) — refined partition; every refined community is a
     connected subset of one move-phase community.
@@ -111,7 +112,12 @@ def _refine(
             ),
             "ranked",
         )
-        gate = F.pmod(F.xxhash64("id"), F.lit(2))
+        if portable:
+            from linkgraph.portable import phash
+
+            gate = F.pmod(phash(F.col("id")), F.lit(2))
+        else:
+            gate = F.pmod(F.xxhash64("id"), F.lit(2))
         movers = ranked.where(gate == F.lit(t % 2)).select("id", "target")
         if movers.isEmpty():
             # complementary parity: the two halves of one round cover all
@@ -137,8 +143,12 @@ def leiden(
     max_levels: int = 8,
     max_rounds: int = 32,
     refine_rounds: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
-    """(id, label) — canonical (min-member-id) Leiden communities."""
+    """(id, label) — canonical (min-member-id) Leiden communities.
+    ``portable=True`` swaps both parity gates (move + refine) to the md5
+    portable hash so the run replays as unrolled DuckDB SQL
+    (gate_sql.leiden_sql); xxhash64 stays the cheap default."""
     g = Graph(
         graph.symmetric_edges().where(F.col("src") <= F.col("dst")),
         directed=False,
@@ -154,8 +164,8 @@ def leiden(
     mapping = graph.nodes().select("id", F.col("id").alias("v"))
     init = None
     for _level in range(max_levels):
-        comm = _local_move(g, gamma, max_rounds, two_w, init_labels=init)
-        ref = _refine(g, comm, gamma, two_w, max_rounds=refine_rounds)
+        comm = _local_move(g, gamma, max_rounds, two_w, init_labels=init, portable=portable)
+        ref = _refine(g, comm, gamma, two_w, max_rounds=refine_rounds, portable=portable)
         n_before = ref.count()
         n_after = ref.select("ref").distinct().count()
         final = mapping.join(
@@ -180,7 +190,7 @@ def leiden(
             .localCheckpoint(eager=True)
         )
     final = mapping.join(
-        _local_move(g, gamma, max_rounds, two_w, init_labels=init)
+        _local_move(g, gamma, max_rounds, two_w, init_labels=init, portable=portable)
         .withColumnRenamed("id", "v"),
         "v",
     ).select("id", F.col("community").alias("label"))

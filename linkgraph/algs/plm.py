@@ -38,11 +38,14 @@ from linkgraph.graph import Graph
 def _local_move(
     graph: Graph, gamma: float, max_rounds: int, two_w: float,
     init_labels: DataFrame | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """One Louvain move phase on ``graph``; returns (id, community).
     ``init_labels`` (id, community) seeds non-singleton starting labels —
     Leiden's aggregate levels start from the parent community assignment
-    rather than singletons."""
+    rather than singletons. ``portable=True`` swaps the xxhash64 parity
+    gate for the md5 portable hash so the whole phase unrolls to DuckDB
+    SQL (gate_sql.louvain_sql); xxhash64 stays the cheap default."""
     from linkgraph.iterutil import Pin
 
     pin = Pin(graph.edges.sparkSession, "plm_move")
@@ -125,7 +128,12 @@ def _local_move(
         # SAME round when the gated half has no move: the two halves of one
         # round provably cover every vertex, so "both empty" ⇒ converged —
         # no probabilistic stall window.
-        gate = F.pmod(F.xxhash64("id", F.lit(t)), F.lit(2))
+        if portable:
+            from linkgraph.portable import phash
+
+            gate = F.pmod(phash(F.col("id"), F.lit(t)), F.lit(2))
+        else:
+            gate = F.pmod(F.xxhash64("id", F.lit(t)), F.lit(2))
         # materialize the (small) pending-move set ONCE per round — Pin, not
         # localCheckpoint: the window-bearing plan above regrows per round
         # under localCheckpoint on Spark 4 (analysis-time blowup), and the
@@ -158,6 +166,7 @@ def louvain(
     gamma: float = 1.0,
     max_levels: int = 8,
     max_rounds: int = 32,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, label) — canonical (min-member-id) Louvain communities."""
     g = Graph(
@@ -173,7 +182,7 @@ def louvain(
 
     mapping = graph.nodes().select("id", F.col("id").alias("label"))
     for _level in range(max_levels):
-        comm = _local_move(g, gamma, max_rounds, two_w)
+        comm = _local_move(g, gamma, max_rounds, two_w, portable=portable)
         n_before = comm.count()
         n_after = comm.select("community").distinct().count()
         mapping = (
