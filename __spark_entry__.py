@@ -953,9 +953,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_effective_resistance(spark, sf):
         """Effective resistance r_eff(1, 2) on the mod-15 contracted doc
         graph via one distributed-CG Laplacian solve
-        (centrality/SpanningEdgeCentrality.cpp solver parity). Rows-only:
-        the pseudoinverse is not SQL-expressible; exact values are pinned
-        against numpy pinv in pytest."""
+        (centrality/SpanningEdgeCentrality.cpp solver parity). Oracle:
+        the identical linear system solved by unrolled grounded-Jacobi
+        SQL (gate_sql.effective_resistance_sql) — both converge to the
+        same fixed point, so the 6dp-rounded value matches independent
+        of solver trajectory."""
         from linkgraph.algs.electrical import effective_resistance
 
         g = _contracted_graph(spark, sf, 15, directed=False)
@@ -1440,6 +1442,9 @@ SELECT src, dst, ROUND(weight, 6) AS weight FROM last WHERE op <> 'remove_edge'
     )
     sql["doc_ego_cover"] = G.ego_cover_sql(
         EDGES_CTE_MAT, max_ego_degree=100, plp_iters=10
+    )
+    sql["doc_effective_resistance"] = G.effective_resistance_sql(
+        EDGES_CTE_MAT, k=15, u=1, v=2, iters=400
     )
     sql["doc_nibble"] = G.nibble_sql(
         EDGES_CTE_MAT, seed_vertex=0, alpha=0.15, iters=25, round_rank=6
