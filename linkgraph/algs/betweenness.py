@@ -65,6 +65,26 @@ def betweenness(
         src_rows = nodes.orderBy(key, F.asc("id")).limit(n_samples)
         scale = n / n_samples
 
+    delta = _forward_backward(e, src_rows)
+
+    per_source = delta.where(F.col("id") != F.col("source"))
+    bc = per_source.groupBy("id").agg(F.sum("delta").alias("score"))
+    factor = scale * (0.5 if not graph.directed else 1.0)
+    if normalized:
+        denom = (n - 1) * (n - 2)
+        factor *= (2.0 if not graph.directed else 1.0) / max(denom, 1)
+    out = nodes.join(bc, "id", "left").select(
+        "id", (F.coalesce("score", F.lit(0.0)) * F.lit(factor)).alias("score")
+    )
+    e.unpersist()
+    return out
+
+
+def _forward_backward(e: DataFrame, src_rows: DataFrame) -> DataFrame:
+    """Brandes per-source state (source, id, dist, sigma, delta) for every
+    source in ``src_rows`` over edge table ``e`` (src, dst): level-synch
+    forward BFS accumulating path counts, then dependency back-prop by
+    descending level."""
     # ---- forward: per-level BFS with shortest-path counts ---------------
     dist = src_rows.select(
         F.col("id").alias("source"),
@@ -129,17 +149,116 @@ def betweenness(
             .localCheckpoint(eager=True)
         )
 
-    per_source = delta.where(F.col("id") != F.col("source"))
-    bc = per_source.groupBy("id").agg(F.sum("delta").alias("score"))
-    factor = scale * (0.5 if not graph.directed else 1.0)
+    return delta
+
+
+def brandes_state(graph: Graph) -> DataFrame:
+    """(source, id, dist, sigma, delta) — full exact-Brandes per-source
+    state for every vertex, the retained artifact DynBetweenness repairs
+    incrementally (dynamics parity: centrality/DynBetweenness.cpp keeps
+    per-source SSSP DAGs; the distributed twin keeps this one table)."""
+    e = (
+        (graph.edges if graph.directed else graph.symmetric_edges())
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    state = _forward_backward(e, graph.nodes()).localCheckpoint(eager=True)
+    e.unpersist()
+    return state
+
+
+def scores_from_state(graph: Graph, state: DataFrame, normalized: bool = False) -> DataFrame:
+    """(id, score) — exact betweenness aggregated from a brandes_state."""
+    bc = (
+        state.where(F.col("id") != F.col("source"))
+        .groupBy("id")
+        .agg(F.sum("delta").alias("score"))
+    )
+    n = graph.nodes().count()
+    factor = 0.5 if not graph.directed else 1.0
     if normalized:
         denom = (n - 1) * (n - 2)
         factor *= (2.0 if not graph.directed else 1.0) / max(denom, 1)
-    out = nodes.join(bc, "id", "left").select(
+    return graph.nodes().join(bc, "id", "left").select(
         "id", (F.coalesce("score", F.lit(0.0)) * F.lit(factor)).alias("score")
     )
+
+
+def dyn_betweenness_additions(
+    graph: Graph, state: DataFrame, additions: list
+) -> DataFrame:
+    """Incremental exact betweenness under edge ADDITIONS
+    (centrality/DynBetweenness.cpp contract, iCentral-style source
+    pruning): ``graph`` is the post-addition graph, ``state`` the
+    pre-addition brandes_state, ``additions`` the new (u, v) pairs.
+
+    A source s is affected by edge (u, v) only if the new edge lies on
+    some new-or-shorter s-path, i.e. unless d(s,u) == d(s,v) with both
+    finite (a same-level edge is never on a shortest path) or both
+    endpoints are unreachable from s. Only affected sources' forward and
+    backward passes re-run — the distributed work is |S_affected|·m, not
+    n·m; untouched per-source rows carry over.
+
+    Returns the NEW state; aggregate with ``scores_from_state``."""
+    spark = graph.edges.sparkSession
+    e = (
+        (graph.edges if graph.directed else graph.symmetric_edges())
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    add_df = spark.createDataFrame(
+        [(int(u), int(v)) for u, v in additions], "u bigint, v bigint"
+    )
+    du = state.join(
+        add_df, state.id == add_df.u, "inner"
+    ).select("source", "u", "v", F.col("dist").alias("du"))
+    dv = state.join(
+        add_df.withColumnRenamed("u", "u2"), state.id == F.col("v"), "inner"
+    ).select(
+        F.col("source").alias("source2"),
+        F.col("u2").alias("uu"),
+        F.col("v").alias("vv"),
+        F.col("dist").alias("dvv"),
+    )
+    sources = state.select("source").distinct()
+    # per (source, added edge): unaffected iff both reached at equal depth
+    # or both unreached; affected otherwise (full outer on the reach rows)
+    pair = du.join(
+        dv,
+        (F.col("source") == F.col("source2"))
+        & (F.col("u") == F.col("uu"))
+        & (F.col("v") == F.col("vv")),
+        "full",
+    ).select(
+        F.coalesce("source", "source2").alias("source"),
+        "du",
+        "dvv",
+    )
+    affected = (
+        pair.where(
+            F.col("du").isNull()
+            | F.col("dvv").isNull()
+            | (F.col("du") != F.col("dvv"))
+        )
+        .select("source")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    kept = state.join(affected, "source", "left_anti")
+    redo_sources = sources.join(affected, "source", "left_semi").select(
+        F.col("source").alias("id")
+    )
+    if redo_sources.isEmpty():
+        e.unpersist()
+        return state
+    redone = _forward_backward(e, redo_sources)
+    new_state = kept.unionByName(redone).localCheckpoint(eager=True)
     e.unpersist()
-    return out
+    return new_state
 
 
 def approx_betweenness(
