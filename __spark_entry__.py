@@ -205,6 +205,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = modularity(g, labels)
         return spark.createDataFrame([(round(q, 6),)], "modularity double")
 
+    def doc_map_equation_fixed(spark, sf):
+        """Two-level map-equation code length of the FIXED labeling
+        label=id%7 (community/LouvainMapEquation.cpp objective) — exact
+        integer vol/cut sums, transcendental terms only at the end, so
+        the scalar is portable SQL at 6 dp."""
+        from linkgraph.algs.infomap import map_equation
+
+        g = _doc_graph(spark, sf)
+        labels = g.nodes().select("id", (F.col("id") % 7).alias("label"))
+        val = map_equation(g, labels)
+        return spark.createDataFrame([(round(val, 6),)], "map_equation double")
+
     def events_sessions(spark, sf):
         """Gap-based sessionization (30-min inactivity): sessions per
         user — lag + conditional cumulative sum windows."""
@@ -990,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard_lp": doc_jaccard_lp,
         "doc_assortativity": doc_assortativity,
         "doc_modularity_fixed": doc_modularity_fixed,
+        "doc_map_equation_fixed": doc_map_equation_fixed,
         "events_sessions": events_sessions,
         "doc_plp": doc_plp,
         "doc_kcore": doc_kcore,
@@ -1215,6 +1228,46 @@ WITH {EDGES_CTE},
 deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
 SELECT ROUND(CORR(CAST(ds.d AS DOUBLE), CAST(dd.d AS DOUBLE)), 6) AS assortativity
 FROM sym s JOIN deg ds ON ds.id = s.src JOIN deg dd ON dd.id = s.dst
+"""
+
+    sql["doc_map_equation_fixed"] = f"""
+WITH {EDGES_CTE},
+lab AS (SELECT id, id % 7 AS label FROM nodes),
+tw AS (SELECT SUM(weight) AS w FROM sym),
+deg AS (
+  SELECT src AS id, SUM(CASE WHEN src = dst THEN 2.0 * weight
+                             ELSE weight END) AS k
+  FROM sym GROUP BY src),
+vol AS (
+  SELECT l.label, SUM(d.k) AS vol FROM lab l JOIN deg d ON d.id = l.id
+  GROUP BY l.label),
+w2 AS (
+  SELECT ls.label, SUM(s.weight) AS w2 FROM sym s
+  JOIN lab ls ON ls.id = s.src JOIN lab ld ON ld.id = s.dst
+  WHERE s.src <> s.dst AND ls.label = ld.label GROUP BY ls.label),
+sw AS (
+  SELECT ls.label, 2.0 * SUM(s.weight) AS sw FROM sym s
+  JOIN lab ls ON ls.id = s.src WHERE s.src = s.dst GROUP BY ls.label),
+comm AS (
+  SELECT v.label, v.vol / (SELECT w FROM tw) AS p,
+         (v.vol - COALESCE(w2.w2, 0.0) - COALESCE(sw.sw, 0.0))
+           / (SELECT w FROM tw) AS q
+  FROM vol v LEFT JOIN w2 ON w2.label = v.label
+  LEFT JOIN sw ON sw.label = v.label),
+agg AS (
+  SELECT SUM(q) AS qt,
+         SUM(CASE WHEN q > 0 THEN q * log2(q) ELSE 0.0 END) AS sq,
+         SUM(CASE WHEN q + p > 0 THEN (q + p) * log2(q + p)
+                  ELSE 0.0 END) AS sqp
+  FROM comm),
+spi AS (
+  SELECT SUM(CASE WHEN d.k > 0
+             THEN (d.k / (SELECT w FROM tw)) * log2(d.k / (SELECT w FROM tw))
+             ELSE 0.0 END) AS v
+  FROM deg d)
+SELECT ROUND((CASE WHEN a.qt > 0 THEN a.qt * log2(a.qt) ELSE 0.0 END)
+             - 2.0 * a.sq + a.sqp - (SELECT v FROM spi), 6) AS map_equation
+FROM agg a
 """
 
     sql["doc_modularity_fixed"] = f"""

@@ -514,3 +514,97 @@ def group_closeness(
         )
     D.unpersist()
     return spark.createDataFrame([(g,) for g in group] or [], "id bigint")
+
+
+def algebraic_distance(
+    graph: Graph,
+    n_systems: int = 8,
+    n_iters: int = 20,
+    omega: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """(src, dst, dist) — algebraic distance per stored edge
+    (distance/AlgebraicDistance.cpp parity): ``n_systems`` independent
+    hash-initialized test vectors smoothed by Jacobi over-relaxation
+    x ← (1−ω)·x + ω·(weighted neighbor mean); after ``n_iters`` sweeps an
+    edge's distance is the ℓ2 norm of its endpoints' coordinate
+    differences — small inside well-connected regions, large across
+    bottlenecks (the sparsification/coarsening affinity signal).
+
+    Plan shape: state is one (id, n_systems-wide) row per vertex; each
+    sweep is ONE edges⋈state join + ONE hash agg keyed on vertex id for
+    all systems together (columns, not rows — no per-system loop)."""
+    sym = (
+        graph.symmetric_edges()
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", "weight")
+        .persist()
+    )
+    wdeg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.sum("weight").alias("wd")
+    ).persist()
+    cols = [f"a{j}" for j in range(n_systems)]
+    state = wdeg.select(
+        "id",
+        *[
+            (
+                F.pmod(F.xxhash64("id", F.lit(seed + j)), F.lit(1_000_000))
+                / 1_000_000.0
+            ).alias(c)
+            for j, c in enumerate(cols)
+        ],
+    ).localCheckpoint(eager=True)
+    for it in range(n_iters):
+        nb = (
+            sym.join(
+                state.select(
+                    F.col("id").alias("dst"),
+                    *[F.col(c).alias(f"n{c}") for c in cols],
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(
+                *[
+                    F.sum(F.col("weight") * F.col(f"n{c}")).alias(f"s{c}")
+                    for c in cols
+                ]
+            )
+        )
+        state = (
+            state.join(nb, "id", "left")
+            .join(wdeg, "id")
+            .select(
+                "id",
+                *[
+                    (
+                        (1.0 - omega) * F.col(c)
+                        + omega
+                        * F.coalesce(F.col(f"s{c}") / F.col("wd"), F.col(c))
+                    ).alias(c)
+                    for c in cols
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+    half = graph.symmetric_edges().where(F.col("src") < F.col("dst")).select(
+        "src", "dst"
+    )
+    su = state.select(
+        F.col("id").alias("src"), *[F.col(c).alias(f"u{c}") for c in cols]
+    )
+    sv = state.select(
+        F.col("id").alias("dst"), *[F.col(c).alias(f"v{c}") for c in cols]
+    )
+    diff2 = sum(
+        ((F.col(f"u{c}") - F.col(f"v{c}")) * (F.col(f"u{c}") - F.col(f"v{c}")))
+        for c in cols
+    )
+    out = (
+        half.join(su, "src")
+        .join(sv, "dst")
+        .select("src", "dst", F.sqrt(diff2).alias("dist"))
+    )
+    sym.unpersist()
+    wdeg.unpersist()
+    return out

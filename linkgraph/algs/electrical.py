@@ -237,3 +237,15 @@ def electrical_closeness(
     return diag.select(
         "id", ((n - 1) / (n * F.col("lvv") + F.lit(tr))).alias("score")
     )
+
+
+def commute_time_distance(
+    graph: Graph, u: int, v: int, tol: float = 1e-8, max_iter: int = 500
+) -> float:
+    """Commute-time distance C(u, v) = 2W · r_eff(u, v) (expected
+    round-trip steps of the random walk; distance/CommuteTimeDistance.cpp
+    parity — the reference solves the same Laplacian system)."""
+    two_w = float(
+        graph.symmetric_edges().agg(F.sum("weight")).collect()[0][0] or 0.0
+    )
+    return two_w * effective_resistance(graph, u, v, tol=tol, max_iter=max_iter)

@@ -1,0 +1,44 @@
+"""AlgebraicDistance + CommuteTimeDistance parity tests."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from linkgraph.algs.bfs import algebraic_distance
+from linkgraph.algs.electrical import commute_time_distance, effective_resistance
+from tests.conftest import make_graph
+
+
+def test_algebraic_distance_bottleneck(spark):
+    """Bridge edge between two K4s must score larger algebraic distance
+    than every intra-clique edge."""
+    edges = (
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+        + [(3, 4)]
+    )
+    g = make_graph(spark, edges)
+    d = {(r["src"], r["dst"]): r["dist"] for r in algebraic_distance(g).collect()}
+    bridge = d[(3, 4)]
+    intra = [v for k, v in d.items() if k != (3, 4)]
+    assert bridge > max(intra)
+
+
+def test_algebraic_distance_deterministic(two_triangles_bridge):
+    a = {(r["src"], r["dst"]): r["dist"]
+         for r in algebraic_distance(two_triangles_bridge, n_iters=8).collect()}
+    b = {(r["src"], r["dst"]): r["dist"]
+         for r in algebraic_distance(two_triangles_bridge, n_iters=8).collect()}
+    for k in a:
+        assert np.isclose(a[k], b[k], rtol=1e-9)
+
+
+def test_commute_time_path(spark):
+    """On a path, R_eff(u,v) = hops(u,v) so C(u,v) = 2m·hops."""
+    g = make_graph(spark, [(0, 1), (1, 2), (2, 3)])
+    c = commute_time_distance(g, 0, 3, tol=1e-10)
+    # 2W = 6 (3 unit edges, both directions), r_eff = 3
+    assert abs(c - 18.0) < 1e-6
+    r = effective_resistance(g, 0, 3, tol=1e-10)
+    assert abs(c - 6.0 * r) < 1e-9
