@@ -198,3 +198,260 @@ def conductance_of(graph: Graph, members: DataFrame) -> float:
     vol, cut, two_m = row["vol"] or 0.0, row["cut"] or 0.0, row["two_m"] or 0.0
     denom = min(vol, two_m - vol)
     return float(cut / denom) if denom > 0 else 1.0
+
+
+# ---------------------------------------------------------------------------
+# Remaining scd/ seed-set detectors (reference: scd/GCE.cpp, LFMLocal.cpp,
+# TCE.cpp, LocalTightnessExpansion.cpp, CliqueDetect.cpp, CombinedSCD.cpp,
+# RandomBFS.cpp). All are seed-local: the community never exceeds
+# ``max_size`` vertices, so the driver greedy loop is bounded; each step's
+# candidate scoring is ONE distributed join + aggregate over the boundary.
+# ---------------------------------------------------------------------------
+
+
+def random_bfs_community(graph: Graph, seed: int, size: int = 50) -> DataFrame:
+    """(id,) — BFS ball around the seed cut to ``size`` vertices
+    (scd/RandomBFS.cpp intent; deterministic hash order replaces the
+    reference's random neighbor order for N-vs-4N identity)."""
+    from linkgraph.algs.bfs import bfs
+
+    d = bfs(graph, seed)
+    return (
+        d.orderBy(F.asc("dist"), F.xxhash64("id"), F.asc("id"))
+        .limit(size)
+        .select("id")
+    )
+
+
+def clique_detect(graph: Graph, seed: int) -> DataFrame:
+    """(id,) — the largest clique containing the seed (scd/CliqueDetect.cpp):
+    collect the seed's ego-net (bounded by its degree — the reference is
+    likewise ego-local) and run Bron–Kerbosch restricted to the seed."""
+    sym = graph.symmetric_edges().where(F.col("src") != F.col("dst"))
+    nbrs = {
+        r["dst"]
+        for r in sym.where(F.col("src") == seed).select("dst").collect()
+    }
+    if not nbrs:
+        return graph.edges.sparkSession.createDataFrame(
+            [(int(seed),)], "id bigint"
+        )
+    adj_rows = (
+        sym.where(F.col("src").isin(list(nbrs)) & F.col("dst").isin(list(nbrs)))
+        .select("src", "dst")
+        .collect()
+    )
+    adj: dict = {v: set() for v in nbrs}
+    for r in adj_rows:
+        adj[r["src"]].add(r["dst"])
+    best: list = []
+
+    def bk(r: set, p: set, x: set) -> None:
+        nonlocal best
+        if not p and not x:
+            if len(r) > len(best):
+                best = sorted(r)
+            return
+        pivot = max(p | x, key=lambda v: len(adj[v] & p))
+        for v in sorted(p - adj[pivot]):
+            bk(r | {v}, p & adj[v], x & adj[v])
+            p = p - {v}
+            x = x | {v}
+
+    bk(set(), set(nbrs), set())
+    members = [int(seed)] + [int(v) for v in best]
+    return graph.edges.sparkSession.createDataFrame(
+        [(m,) for m in sorted(members)], "id bigint"
+    )
+
+
+def _greedy_expand(
+    graph: Graph,
+    seeds: list,
+    score_mode: str,
+    max_size: int,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Shared greedy seed-set expansion. Per step, boundary candidates are
+    scored distributively; modes:
+
+    - 'conductance' (GCE.cpp): add the candidate minimizing the expanded
+      set's conductance; stop when no candidate improves it;
+    - 'fitness' (LFMLocal.cpp): fitness f(S) = k_in/(k_in+k_out)^alpha;
+      add the best positive-gain candidate;
+    - 'tightness' (LocalTightnessExpansion.cpp): score w(i->S)/k_i
+      (normalized attachment), relative-drop stopping: stop when the
+      best candidate scores under half the previously accepted score —
+      the similarity-ordering cliff the reference's expansion keys on;
+    - 'triangles' (TCE.cpp): score = weight of edges among N(i) inside S
+      (triangles closed with S); stop when the best closes none.
+    """
+    spark = graph.edges.sparkSession
+    sym = graph.symmetric_edges().where(F.col("src") != F.col("dst")).persist()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.sum("weight").alias("k")
+    ).persist()
+    members = {int(s) for s in seeds}
+    two_w = float(sym.agg(F.sum("weight")).collect()[0][0] or 0.0)
+
+    def stats(mset: set):
+        m = spark.createDataFrame([(v,) for v in mset], "id bigint")
+        row = (
+            sym.join(m.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(
+                m.withColumnRenamed("id", "dst").withColumn("_in", F.lit(1)),
+                "dst",
+                "left",
+            )
+            .agg(
+                F.sum("weight").alias("vol"),
+                F.sum(
+                    F.when(F.col("_in").isNull(), F.col("weight")).otherwise(0.0)
+                ).alias("cut"),
+            )
+            .collect()[0]
+        )
+        return float(row["vol"] or 0.0), float(row["cut"] or 0.0)
+
+    vol, cut = stats(members)
+    prev_score = None
+    while len(members) < max_size:
+        m = spark.createDataFrame([(v,) for v in members], "id bigint")
+        w_is = (
+            sym.join(m.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .join(m.withColumnRenamed("id", "src"), "src", "left_anti")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("weight").alias("w"))
+            .join(deg, "id")
+        )
+        if score_mode == "triangles":
+            # weight of S-internal edges among the candidate's neighbors
+            nb = sym.join(m.withColumnRenamed("id", "src"), "src", "left_anti").join(
+                m.withColumnRenamed("id", "dst"), "dst", "left_semi"
+            ).select(F.col("src").alias("id"), F.col("dst").alias("a"))
+            s_edges = sym.join(
+                m.withColumnRenamed("id", "src"), "src", "left_semi"
+            ).join(m.withColumnRenamed("id", "dst"), "dst", "left_semi").select(
+                F.col("src").alias("a"), F.col("dst").alias("b"), "weight"
+            )
+            tri = (
+                nb.join(nb.withColumnRenamed("a", "b"), "id")
+                .join(s_edges, ["a", "b"])
+                .groupBy("id")
+                .agg((F.sum("weight") / 2.0).alias("tw"))
+            )
+            cand = w_is.join(tri, "id", "left").select(
+                "id", F.coalesce("tw", F.lit(0.0)).alias("score"), "w", "k"
+            )
+            best = (
+                cand.orderBy(F.desc("score"), F.asc("id")).limit(1).collect()
+            )
+            if not best:
+                break
+            if best[0]["score"] <= 0:
+                # bootstrap: a singleton seed closes no triangles yet —
+                # take the strongest attachment once, then require
+                # triangle support
+                if len(members) >= 2:
+                    break
+                best = cand.orderBy(F.desc("w"), F.asc("id")).limit(1).collect()
+                if not best:
+                    break
+            pick = best[0]
+        elif score_mode == "tightness":
+            cand = w_is.select(
+                "id", (F.col("w") / F.col("k")).alias("score"), "w", "k"
+            )
+            best = cand.orderBy(F.desc("score"), F.asc("id")).limit(1).collect()
+            if not best or best[0]["score"] <= 0:
+                break
+            if prev_score is not None and best[0]["score"] < 0.5 * prev_score:
+                break
+            prev_score = float(best[0]["score"])
+            pick = best[0]
+        elif score_mode == "fitness":
+            k_in = (vol - cut) / 2.0
+            f_old = (
+                (2.0 * k_in) / ((2.0 * k_in + cut) ** alpha)
+                if (2.0 * k_in + cut) > 0
+                else 0.0
+            )
+            cand = w_is.select(
+                "id",
+                (
+                    (2.0 * (F.lit(k_in) + F.col("w")))
+                    / F.pow(
+                        2.0 * (F.lit(k_in) + F.col("w"))
+                        + (F.lit(cut) + F.col("k") - 2.0 * F.col("w")),
+                        F.lit(alpha),
+                    )
+                    - F.lit(f_old)
+                ).alias("score"),
+                "w",
+                "k",
+            )
+            best = cand.orderBy(F.desc("score"), F.asc("id")).limit(1).collect()
+            if not best or best[0]["score"] <= 0:
+                break
+            pick = best[0]
+        else:  # conductance
+            denom_old = min(vol, two_w - vol)
+            phi_old = cut / denom_old if denom_old > 0 else 1.0
+            nv = F.lit(vol) + F.col("k")
+            nc = F.lit(cut) + F.col("k") - 2.0 * F.col("w")
+            nd = F.least(nv, F.lit(two_w) - nv)
+            cand = w_is.select(
+                "id",
+                F.when(nd > 0, nc / nd).otherwise(F.lit(1.0)).alias("score"),
+                "w",
+                "k",
+            )
+            best = cand.orderBy(F.asc("score"), F.asc("id")).limit(1).collect()
+            if not best or best[0]["score"] >= phi_old:
+                break
+            pick = best[0]
+        members.add(int(pick["id"]))
+        vol = vol + float(pick["k"])
+        cut = cut + float(pick["k"]) - 2.0 * float(pick["w"])
+    sym.unpersist()
+    deg.unpersist()
+    return spark.createDataFrame(
+        [(v,) for v in sorted(members)], "id bigint"
+    )
+
+
+def gce(graph: Graph, seeds: list, max_size: int = 100) -> DataFrame:
+    """Greedy Community Expansion (scd/GCE.cpp)."""
+    return _greedy_expand(graph, seeds, "conductance", max_size)
+
+
+def lfm_local(
+    graph: Graph, seeds: list, alpha: float = 1.0, max_size: int = 100
+) -> DataFrame:
+    """LFM local fitness maximization (scd/LFMLocal.cpp)."""
+    return _greedy_expand(graph, seeds, "fitness", max_size, alpha=alpha)
+
+
+def local_tightness_expansion(
+    graph: Graph, seeds: list, max_size: int = 100
+) -> DataFrame:
+    """Local tightness expansion (scd/LocalTightnessExpansion.cpp)."""
+    return _greedy_expand(graph, seeds, "tightness", max_size)
+
+
+def tce(graph: Graph, seeds: list, max_size: int = 100) -> DataFrame:
+    """Triangle-based community expansion (scd/TCE.cpp)."""
+    return _greedy_expand(graph, seeds, "triangles", max_size)
+
+
+def combined_scd(graph: Graph, seeds: list, max_size: int = 100) -> DataFrame:
+    """(id,) — run GCE, LFMLocal and PageRankNibble, return the lowest-
+    conductance community (scd/CombinedSCD.cpp intent)."""
+    results = [
+        gce(graph, seeds, max_size=max_size),
+        lfm_local(graph, seeds, max_size=max_size),
+        pagerank_nibble(graph, seeds, max_support=max_size * 10),
+    ]
+    scored = [(conductance_of(graph, r), i, r) for i, r in enumerate(results)]
+    scored.sort(key=lambda t: (t[0], t[1]))
+    return scored[0][2]
