@@ -608,3 +608,42 @@ def algebraic_distance(
     sym.unpersist()
     wdeg.unpersist()
     return out
+
+
+def jaccard_distance(graph: Graph) -> DataFrame:
+    """(src, dst, dist) — per-edge neighborhood Jaccard distance
+    1 − |N(u)∩N(v)|/|N(u)∪N(v)| (distance/JaccardDistance.cpp): the
+    triangle-plan family — count common neighbors per edge with one
+    wedge join, union size from the two degrees."""
+    sym = (
+        graph.symmetric_edges()
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    half = sym.where(F.col("src") < F.col("dst"))
+    wedge = (
+        sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        .join(sym.select(F.col("src").alias("w"), F.col("dst").alias("v")), "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        half.join(wedge, ["src", "dst"], "left")
+        .join(deg.withColumnRenamed("id", "src").withColumnRenamed("d", "du"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("d", "dv"), "dst")
+        .select(
+            "src",
+            "dst",
+            (
+                1.0
+                - F.coalesce("common", F.lit(0))
+                / (F.col("du") + F.col("dv") - F.coalesce("common", F.lit(0)))
+            ).alias("dist"),
+        )
+    )
+    sym.unpersist()
+    return out

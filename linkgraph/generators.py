@@ -829,3 +829,37 @@ def hyperbolic(
         .distinct()
         .select("src", "dst", F.lit(1.0).alias("weight"))
     )
+
+
+def powerlaw_degree_sequence(
+    spark: SparkSession,
+    n: int,
+    gamma: float = 2.5,
+    min_deg: int = 1,
+    max_deg: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, degree) — n power-law degrees P(d) ∝ d^(−gamma) on
+    [min_deg, max_deg] via per-id counter-hash inverse-CDF draws
+    (generators/PowerlawDegreeSequence.cpp parity: the reference samples
+    the same truncated law; hash draws keep parallelism identity). Feed
+    into chung_lu (expected degrees) or havel_hakimi (exact realization,
+    fixture scale)."""
+    from pyspark.sql import functions as F
+
+    max_deg = max_deg if max_deg is not None else max(min_deg, int(n ** 0.5))
+    a = 1.0 - float(gamma)
+    lo, hi = float(min_deg) ** a, float(max_deg + 1) ** a
+    u = (
+        F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(1_000_000_007))
+        / 1_000_000_007.0
+    )
+    # inverse CDF of the continuous truncated power law, floored
+    inv = F.pow(F.lit(lo) + u * F.lit(hi - lo), F.lit(1.0 / a))
+    return spark.range(n).select(
+        F.col("id"),
+        F.least(
+            F.greatest(F.floor(inv).cast("int"), F.lit(int(min_deg))),
+            F.lit(int(max_deg)),
+        ).alias("degree"),
+    )

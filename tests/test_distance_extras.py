@@ -42,3 +42,33 @@ def test_commute_time_path(spark):
     assert abs(c - 18.0) < 1e-6
     r = effective_resistance(g, 0, 3, tol=1e-10)
     assert abs(c - 6.0 * r) < 1e-9
+
+
+def test_jaccard_distance_exact(spark):
+    """Triangle + pendant: hand-computed neighbor Jaccard per edge."""
+    from linkgraph.algs.bfs import jaccard_distance
+
+    g = make_graph(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    d = {(r["src"], r["dst"]): r["dist"] for r in jaccard_distance(g).collect()}
+    # N(0)={1,2}, N(1)={0,2}: common={2}, union={0,1,2} -> J=1/3
+    assert abs(d[(0, 1)] - (1 - 1 / 3)) < 1e-9
+    # N(2)={0,1,3}, N(3)={2}: common={}, union size 4 -> dist 1
+    assert abs(d[(2, 3)] - 1.0) < 1e-9
+
+
+def test_powerlaw_degree_sequence(spark):
+    from linkgraph.generators import powerlaw_degree_sequence
+
+    seq = powerlaw_degree_sequence(spark, 2000, gamma=2.5, min_deg=1, max_deg=100)
+    rows = seq.collect()
+    assert len(rows) == 2000
+    degs = [r["degree"] for r in rows]
+    assert min(degs) >= 1 and max(degs) <= 100
+    # heavy head: min degree dominates; some heavy tail exists
+    frac_min = sum(1 for d in degs if d == 1) / len(degs)
+    assert frac_min > 0.4
+    assert max(degs) > 10
+    # deterministic
+    again = [r["degree"] for r in powerlaw_degree_sequence(
+        spark, 2000, gamma=2.5, min_deg=1, max_deg=100).collect()]
+    assert sorted(again) == sorted(degs)
