@@ -1,0 +1,189 @@
+"""KadabraBetweenness — adaptive path-sampling betweenness.
+
+Reference parity: centrality/KadabraBetweenness.cpp (Borassi & Natale,
+ESA'16 "KADABRA is an ADaptive Algorithm for Betweenness via Random
+Approximation"). The estimator: sample random (s, t) pairs, pick ONE
+uniformly-random shortest s→t path, count traversals per internal
+vertex; b̃(v) = traversals(v)/samples is an unbiased estimate of
+NORMALIZED betweenness b(v) = Σ_{s≠t} σ_st(v)/σ_st / (n(n−1)).
+Sampling stops adaptively once an empirical-Bernstein confidence radius
+drops under ``epsilon`` for every vertex (union bound over n), or at the
+ω = O((log n + log(1/δ))/ε²) budget.
+
+Distributed formulation — every batch of B pairs advances TOGETHER:
+
+- forward: pair-keyed level-synchronous BFS with σ path counts (the
+  linkgraph/algs/betweenness.py plan, source column = pair id);
+- path sampling: walk backwards from t; at (pair, w) the predecessor v
+  (edge v→w, depth(v) = depth(w) − 1) is drawn with probability
+  σ_v / Σ σ_pred via a cumulative-σ inversion against a counter-hash
+  uniform — ONE window + join per level, all pairs in parallel, no
+  per-pair loops;
+- per-vertex traversal counts accumulate in a DataFrame; the stopping
+  scalar (max Bernstein radius) is one aggregate per batch.
+
+State is O(pairs·reached) during a batch and O(n) between batches.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from linkgraph.graph import Graph
+
+
+def kadabra_betweenness(
+    graph: Graph,
+    epsilon: float = 0.05,
+    delta: float = 0.1,
+    batch_size: int = 64,
+    max_batches: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, score) — normalized betweenness within ±epsilon with
+    probability ≥ 1−delta (adaptive; stops early when the empirical
+    Bernstein bound allows)."""
+    spark = graph.edges.sparkSession
+    e = (
+        (graph.edges if graph.directed else graph.symmetric_edges())
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    nodes = graph.nodes().persist()
+    n = nodes.count()
+    if n < 3:
+        e.unpersist()
+        return nodes.select("id", F.lit(0.0).alias("score"))
+    # ω: the non-adaptive VC-style budget — the adaptive rule only ever
+    # stops EARLIER than this
+    omega = int(
+        math.ceil((0.5 / epsilon**2) * (math.log2(n) + 1 + math.log(1.0 / delta)))
+    )
+    counts = nodes.select("id", F.lit(0.0).alias("cnt")).localCheckpoint(eager=True)
+    samples = 0
+    log_term = math.log(3.0 * n / delta)
+    for batch in range(max_batches):
+        # --- deterministic random pairs for this batch -------------------
+        h1 = F.pmod(F.xxhash64("pair", F.lit(seed), F.lit(batch)), F.lit(n))
+        h2 = F.pmod(
+            F.xxhash64("pair", F.lit(seed + 7), F.lit(batch)), F.lit(n - 1)
+        )
+        idx = spark.range(batch_size).select(F.col("id").alias("pair"))
+        ranked = nodes.select(
+            "id", (F.row_number().over(Window.orderBy("id")) - 1).alias("rk")
+        )
+        pairs = (
+            idx.select("pair", h1.alias("rs"), h2.alias("rt"))
+            .withColumn("rt", F.when(F.col("rt") >= F.col("rs"), F.col("rt") + 1).otherwise(F.col("rt")))
+            .join(ranked.withColumnRenamed("rk", "rs").withColumnRenamed("id", "s"), "rs")
+            .join(ranked.withColumnRenamed("rk", "rt").withColumnRenamed("id", "t"), "rt")
+            .select("pair", "s", "t")
+            .localCheckpoint(eager=True)
+        )
+        # --- forward BFS with sigma, keyed by pair -----------------------
+        dist = pairs.select(
+            "pair", F.col("s").alias("id"), F.lit(0).alias("dist"), F.lit(1.0).alias("sigma")
+        ).localCheckpoint(eager=True)
+        frontier = dist
+        levels = 0
+        while True:
+            cand = (
+                frontier.join(e, frontier.id == e.src)
+                .groupBy("pair", F.col("dst").alias("id"))
+                .agg(F.sum("sigma").alias("sigma"))
+            )
+            new = (
+                cand.join(dist.select("pair", "id"), ["pair", "id"], "left_anti")
+                .select("pair", "id", F.lit(levels + 1).alias("dist"), "sigma")
+                .localCheckpoint(eager=True)
+            )
+            if new.isEmpty():
+                break
+            dist = dist.unionByName(new).localCheckpoint(eager=True)
+            frontier = new
+            levels += 1
+        # --- backward uniform-shortest-path sampling ---------------------
+        # start at t for pairs where t was reached
+        t_state = (
+            pairs.join(
+                dist.select("pair", F.col("id").alias("t"), F.col("dist").alias("dt")),
+                ["pair", "t"],
+            )
+            .select("pair", F.col("t").alias("cur"), F.col("dt").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        walked = spark.createDataFrame([], "pair bigint, id bigint")
+        lvl = 0
+        while True:
+            active = t_state.where(F.col("d") > 1)
+            if active.isEmpty():
+                break
+            # predecessors of cur at depth d-1
+            preds = (
+                active.join(e.withColumnRenamed("dst", "cur").withColumnRenamed("src", "p"), "cur")
+                .join(
+                    dist.select(
+                        "pair", F.col("id").alias("p"), F.col("dist").alias("dp"),
+                        F.col("sigma").alias("sp"),
+                    ),
+                    ["pair", "p"],
+                )
+                .where(F.col("dp") == F.col("d") - 1)
+            )
+            w = Window.partitionBy("pair", "cur").orderBy("p")
+            tot = Window.partitionBy("pair", "cur")
+            u = (
+                F.pmod(
+                    F.xxhash64("pair", "cur", F.lit(seed + 13), F.lit(batch), F.lit(lvl)),
+                    F.lit(1_000_000_007),
+                )
+                / 1_000_000_007.0
+            )
+            chosen = (
+                preds.select(
+                    "pair",
+                    "cur",
+                    "p",
+                    (F.sum("sp").over(w) / F.sum("sp").over(tot)).alias("cum"),
+                    u.alias("u"),
+                    F.col("d"),
+                )
+                .where(F.col("cum") > F.col("u"))
+                .groupBy("pair", "cur", "d")
+                .agg(F.min_by("p", F.col("cum")).alias("p"))
+            )
+            walked = walked.unionByName(
+                chosen.select("pair", F.col("p").alias("id"))
+            )
+            t_state = chosen.select(
+                "pair", F.col("p").alias("cur"), (F.col("d") - 1).alias("d")
+            ).localCheckpoint(eager=True)
+            walked = walked.localCheckpoint(eager=True)
+            lvl += 1
+        inc = walked.groupBy("id").agg(F.count("*").cast("double").alias("inc"))
+        counts = (
+            counts.join(inc, "id", "left")
+            .select(
+                "id", (F.col("cnt") + F.coalesce("inc", F.lit(0.0))).alias("cnt")
+            )
+            .localCheckpoint(eager=True)
+        )
+        samples += batch_size
+        # --- adaptive stop: empirical Bernstein, union bound over n ------
+        stat = counts.select(
+            (F.col("cnt") / samples).alias("b")
+        ).agg(F.max(
+            F.sqrt(2.0 * F.col("b") * (1.0 - F.col("b")) * log_term / samples)
+            + 7.0 * log_term / (3.0 * (samples - 1))
+        )).collect()[0][0]
+        if stat is not None and stat < epsilon:
+            break
+        if samples >= omega:
+            break
+    e.unpersist()
+    nodes.unpersist()
+    return counts.select("id", (F.col("cnt") / samples).alias("score"))
