@@ -647,3 +647,240 @@ def jaccard_distance(graph: Graph) -> DataFrame:
     )
     sym.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Point-to-point variants — distance/BidirectionalBFS.cpp, AStar.cpp,
+# MultiTargetBFS.cpp, SPSP.cpp. All share the frontier-relaxation plan;
+# what each adds is its PRUNING rule, which is a filter on the frontier.
+# ---------------------------------------------------------------------------
+
+
+def spsp(graph: Graph, source: int, target: int, max_iter: int = 10_000):
+    """Single-pair shortest weighted distance (distance/SPSP.cpp), or
+    None if unreachable. Early exit: once every frontier entry's
+    tentative distance is >= the best known target distance, no shorter
+    path can appear (non-negative weights)."""
+    spark = graph.edges.sparkSession
+    e = (graph.edges if graph.directed else graph.symmetric_edges()).select(
+        "src", "dst", "weight"
+    ).persist()
+    dist = spark.createDataFrame(
+        [(int(source), 0.0)], "id bigint, dist double"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    best = None
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(e, frontier.id == e.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("nd"))
+        )
+        merged = (
+            cand.join(dist, "id", "left")
+            .where(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("id", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if merged.isEmpty():
+            break
+        dist = (
+            dist.join(merged.select("id"), "id", "left_anti")
+            .unionByName(merged)
+            .localCheckpoint(eager=True)
+        )
+        t_row = dist.where(F.col("id") == target).collect()
+        best = float(t_row[0]["dist"]) if t_row else None
+        frontier = merged
+        if best is not None:
+            fmin = frontier.agg(F.min("dist")).collect()[0][0]
+            if fmin is None or fmin >= best:
+                break
+    e.unpersist()
+    return best
+
+
+def multi_target_bfs(
+    graph: Graph, source: int, targets: list, max_iter: int = 10_000
+) -> DataFrame:
+    """(id, dist) hop distances from ``source`` to each reachable target
+    (distance/MultiTargetBFS.cpp); stops as soon as every target is
+    settled rather than exhausting the component."""
+    spark = graph.edges.sparkSession
+    e = (
+        (graph.edges if graph.directed else graph.symmetric_edges())
+        .select("src", "dst")
+        .persist()
+    )
+    tgt = spark.createDataFrame([(int(t),) for t in targets], "id bigint")
+    n_targets = tgt.count()
+    dist = spark.createDataFrame(
+        [(int(source), 0)], "id bigint, dist int"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    lvl = 0
+    while True:
+        found = dist.join(tgt, "id", "left_semi").count()
+        if found >= n_targets:
+            break
+        new = (
+            frontier.join(e, frontier.id == e.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(dist.select("id"), "id", "left_anti")
+            .withColumn("dist", F.lit(lvl + 1))
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+        lvl += 1
+        if lvl > max_iter:
+            break
+    e.unpersist()
+    return dist.join(tgt, "id", "left_semi")
+
+
+def bidirectional_bfs(graph: Graph, source: int, target: int, max_iter: int = 10_000):
+    """Hop distance source→target or None (distance/BidirectionalBFS.cpp):
+    frontiers expand from BOTH endpoints (backward over the transpose on
+    directed graphs), alternating the SMALLER side — each meeting check
+    is a semi-join. Touches O(b^(d/2)) vertices per side instead of
+    O(b^d)."""
+    spark = graph.edges.sparkSession
+    fwd = (
+        (graph.edges if graph.directed else graph.symmetric_edges())
+        .select("src", "dst")
+        .persist()
+    )
+    bwd = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")).persist()
+    if source == target:
+        return 0
+    ds = spark.createDataFrame([(int(source), 0)], "id bigint, dist int")
+    dt = spark.createDataFrame([(int(target), 0)], "id bigint, dist int")
+    fs, ft = ds, dt
+    sz_s = sz_t = 1
+    for _ in range(max_iter):
+        meet = (
+            ds.join(dt.withColumnRenamed("dist", "dt"), "id")
+            .agg(F.min(F.col("dist") + F.col("dt")))
+            .collect()[0][0]
+        )
+        if meet is not None:
+            fwd.unpersist()
+            bwd.unpersist()
+            return int(meet)
+        if fs.isEmpty() and ft.isEmpty():
+            break
+        expand_s = (not fs.isEmpty()) and (ft.isEmpty() or sz_s <= sz_t)
+        if expand_s:
+            new = (
+                fs.join(fwd, fs.id == fwd.src)
+                .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+                .groupBy("id")
+                .agg(F.min("dist").alias("dist"))
+                .join(ds.select("id"), "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            ds = ds.unionByName(new).localCheckpoint(eager=True)
+            fs = new
+            sz_s = new.count()
+        else:
+            new = (
+                ft.join(bwd, ft.id == bwd.src)
+                .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+                .groupBy("id")
+                .agg(F.min("dist").alias("dist"))
+                .join(dt.select("id"), "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            dt = dt.unionByName(new).localCheckpoint(eager=True)
+            ft = new
+            sz_t = new.count()
+    fwd.unpersist()
+    bwd.unpersist()
+    return None
+
+
+def astar_landmarks(
+    graph: Graph,
+    source: int,
+    target: int,
+    n_landmarks: int = 4,
+    seed: int = 42,
+    max_iter: int = 10_000,
+):
+    """Goal-directed point-to-point distance via ALT A* (distance/
+    AStar.cpp contract; the landmark potential replaces the reference's
+    user-supplied heuristic — undirected graphs, where landmark triangle
+    bounds are valid both ways). π(v) = max_l |d(l,t) − d(l,v)| is an
+    admissible lower bound on d(v,t); each relaxation round PRUNES
+    frontier rows with g(v) + π(v) ≥ best-known d(s,t) — the A* cut,
+    expressed as a filter on the frontier DataFrame."""
+    spark = graph.edges.sparkSession
+    nodes = graph.nodes()
+    lms = [
+        r["id"]
+        for r in nodes.orderBy(F.xxhash64("id", F.lit(seed)), F.asc("id"))
+        .limit(n_landmarks)
+        .collect()
+    ]
+    ld = multi_source_bfs(graph, lms).persist()
+    lt = {
+        r["source"]: r["dist"]
+        for r in ld.where(F.col("id") == target).collect()
+    }
+    if not lt:
+        ld.unpersist()
+        return None if source != target else 0
+    # π per vertex: max over landmarks seen by BOTH v and t
+    pi_terms = [
+        F.abs(
+            F.lit(float(dt))
+            - F.max(F.when(F.col("source") == l, F.col("dist"))),
+        )
+        for l, dt in lt.items()
+    ]
+    pot = (
+        ld.groupBy("id")
+        .agg(F.greatest(*pi_terms, F.lit(0.0)).alias("pi"))
+        .persist()
+    )
+    e = graph.symmetric_edges().select("src", "dst", "weight").persist()
+    dist = spark.createDataFrame(
+        [(int(source), 0.0)], "id bigint, dist double"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    best = 0.0 if source == target else None
+    for _ in range(max_iter):
+        if best is not None:
+            frontier = frontier.join(pot, "id", "left").where(
+                F.col("dist") + F.coalesce("pi", F.lit(0.0)) < F.lit(best)
+            ).select("id", "dist")
+        cand = (
+            frontier.join(e, frontier.id == e.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("nd"))
+        )
+        merged = (
+            cand.join(dist, "id", "left")
+            .where(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("id", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if merged.isEmpty():
+            break
+        dist = (
+            dist.join(merged.select("id"), "id", "left_anti")
+            .unionByName(merged)
+            .localCheckpoint(eager=True)
+        )
+        t_row = dist.where(F.col("id") == target).collect()
+        if t_row:
+            best = float(t_row[0]["dist"])
+        frontier = merged
+    e.unpersist()
+    pot.unpersist()
+    ld.unpersist()
+    return best
