@@ -175,3 +175,21 @@ def score_as_weight(graph: Graph, scores: DataFrame, offset: float = 0.0) -> Gra
         "src", "dst", (F.coalesce("score", F.lit(0.0)) + F.lit(offset)).alias("weight")
     )
     return Graph.from_edges(e, directed=False, weighted=True)
+
+
+def linearize_scores(scores: DataFrame, score_col: str = "score") -> DataFrame:
+    """edgescores/EdgeScoreLinearizer.cpp: replace each edge's score by
+    its normalized rank (rank−1)/(m−1) ∈ [0,1] — a distribution-free
+    linearization. Global ordering via a two-level rank: per-partition
+    ranks would not be stable, so the window is ordered by (score, src,
+    dst) with the deterministic tie-break."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc(score_col), F.asc("src"), F.asc("dst"))
+    m = scores.count()
+    denom = float(max(m - 1, 1))
+    return scores.select(
+        "src",
+        "dst",
+        ((F.row_number().over(w) - 1) / F.lit(denom)).alias("score"),
+    )

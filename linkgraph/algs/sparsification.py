@@ -334,3 +334,30 @@ def edge_switching(
     return Graph(
         cur.withColumn("weight", F.lit(1.0)), directed=False, weighted=False
     )
+
+
+def degree_preserving_shuffle(graph: Graph, seed: int = 42) -> DataFrame:
+    """(src, dst, weight) — randomization/DegreePreservingShuffle.cpp:
+    permute vertex IDENTITIES among equal-degree vertices (hash-ordered
+    within each degree class), preserving the exact degree sequence and
+    graph structure while destroying id-attribute correlations. One
+    window per degree class + two relabel joins."""
+    from pyspark.sql import Window
+
+    deg = graph.degrees().select("id", "degree")
+    w_old = Window.partitionBy("degree").orderBy(F.asc("id"))
+    w_new = Window.partitionBy("degree").orderBy(
+        F.xxhash64("id", F.lit(seed)), F.asc("id")
+    )
+    old_rank = deg.select("id", "degree", F.row_number().over(w_old).alias("rk"))
+    new_rank = deg.select(
+        F.col("id").alias("nid"), "degree", F.row_number().over(w_new).alias("rk")
+    )
+    mapping = old_rank.join(new_rank, ["degree", "rk"]).select("id", "nid")
+    e = graph.edges
+    return (
+        e.join(mapping.withColumnRenamed("id", "src"), "src")
+        .select(F.col("nid").alias("src"), "dst", "weight")
+        .join(mapping.withColumnRenamed("id", "dst"), "dst")
+        .select("src", F.col("nid").alias("dst"), "weight")
+    )

@@ -863,3 +863,59 @@ def powerlaw_degree_sequence(
             F.lit(int(max_deg)),
         ).alias("degree"),
     )
+
+
+def pubweb(
+    spark: SparkSession,
+    n: int,
+    neighborhood_radius: float = 0.125,
+    seed: int = 42,
+) -> DataFrame:
+    """(src, dst) — PubWebGenerator parity (generators/PubWebGenerator.cpp
+    intent: points on the unit torus with a dense-center distribution,
+    connected within a radius). Counter-hash coordinates (center-biased
+    via averaging two uniforms), grid-bucket join over the 3×3
+    neighborhood of each cell — the same spatial-bucket plan as the
+    hyperbolic generator, O(n·density) candidate pairs, never all-pairs."""
+    from pyspark.sql import functions as F
+
+    r = float(neighborhood_radius)
+    cell = max(r, 1e-6)
+    n_cells = max(int(1.0 / cell), 1)
+    u = lambda k: (
+        F.pmod(F.xxhash64(F.col("id"), F.lit(seed + k)), F.lit(1_000_003))
+        / 1_000_003.0
+    )
+    pts = spark.range(n).select(
+        "id",
+        ((u(0) + u(1)) / 2.0).alias("x"),  # triangular: denser center
+        ((u(2) + u(3)) / 2.0).alias("y"),
+    ).persist()
+    cells = pts.select(
+        "id", "x", "y",
+        F.floor(F.col("x") * n_cells).cast("int").alias("cx"),
+        F.floor(F.col("y") * n_cells).cast("int").alias("cy"),
+    )
+    # replicate each point into its 3x3 neighborhood (torus wrap)
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    rep = cells.crossJoin(offs).select(
+        F.col("id").alias("rid"), F.col("x").alias("rx"), F.col("y").alias("ry"),
+        F.pmod(F.col("cx") + F.col("dx"), F.lit(n_cells)).alias("cx"),
+        F.pmod(F.col("cy") + F.col("dy"), F.lit(n_cells)).alias("cy"),
+    )
+    # torus distance
+    ddx = F.abs(F.col("x") - F.col("rx"))
+    ddy = F.abs(F.col("y") - F.col("ry"))
+    tx = F.least(ddx, 1.0 - ddx)
+    ty = F.least(ddy, 1.0 - ddy)
+    out = (
+        cells.join(rep, ["cx", "cy"])
+        .where(F.col("id") < F.col("rid"))
+        .where(tx * tx + ty * ty <= F.lit(r * r))
+        .select(F.col("id").alias("src"), F.col("rid").alias("dst"))
+        .distinct()
+    )
+    pts.unpersist()
+    return out

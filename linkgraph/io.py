@@ -363,3 +363,22 @@ def write_metis(graph: Graph, path: str) -> None:
             lines.append(" ".join(str(v + 1) for v, _ in nbrs))
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
+
+
+def read_edgelist_partition(
+    spark: SparkSession, path: str, sep: str = r"\s+"
+) -> DataFrame:
+    """(id, label) from an edge-list-style partition file: each line
+    ``vertex label`` (io/EdgeListPartitionReader.cpp; unlike
+    PartitionReader the vertex id is explicit per line, so ordering and
+    gaps are free). Pure distributed read.csv — no driver-side parse."""
+    df = spark.read.text(path)
+    parts = F.split(F.trim(F.col("value")), sep)
+    return (
+        df.where(F.length(F.trim("value")) > 0)
+        .where(~F.trim("value").startswith("%") & ~F.trim("value").startswith("#"))
+        .select(
+            parts.getItem(0).cast("bigint").alias("id"),
+            parts.getItem(1).cast("bigint").alias("label"),
+        )
+    )
