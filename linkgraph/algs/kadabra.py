@@ -187,3 +187,144 @@ def kadabra_betweenness(
     e.unpersist()
     nodes.unpersist()
     return counts.select("id", (F.col("cnt") / samples).alias("score"))
+
+
+def sample_path_internals(
+    graph: Graph, n_pairs: int = 256, seed: int = 42
+) -> tuple:
+    """((pair, id) DataFrame of internal vertices of one uniform shortest
+    path per sampled (s,t) pair, #pairs sampled) — the Kadabra sampling
+    core exposed for group-coverage estimators."""
+    spark = graph.edges.sparkSession
+    e = (
+        (graph.edges if graph.directed else graph.symmetric_edges())
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    nodes = graph.nodes().persist()
+    n = nodes.count()
+    h1 = F.pmod(F.xxhash64("pair", F.lit(seed)), F.lit(n))
+    h2 = F.pmod(F.xxhash64("pair", F.lit(seed + 7)), F.lit(n - 1))
+    idx = spark.range(n_pairs).select(F.col("id").alias("pair"))
+    ranked = nodes.select(
+        "id", (F.row_number().over(Window.orderBy("id")) - 1).alias("rk")
+    )
+    pairs = (
+        idx.select("pair", h1.alias("rs"), h2.alias("rt"))
+        .withColumn(
+            "rt",
+            F.when(F.col("rt") >= F.col("rs"), F.col("rt") + 1).otherwise(F.col("rt")),
+        )
+        .join(ranked.withColumnRenamed("rk", "rs").withColumnRenamed("id", "s"), "rs")
+        .join(ranked.withColumnRenamed("rk", "rt").withColumnRenamed("id", "t"), "rt")
+        .select("pair", "s", "t")
+        .localCheckpoint(eager=True)
+    )
+    dist = pairs.select(
+        "pair", F.col("s").alias("id"), F.lit(0).alias("dist"), F.lit(1.0).alias("sigma")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    levels = 0
+    while True:
+        cand = (
+            frontier.join(e, frontier.id == e.src)
+            .groupBy("pair", F.col("dst").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        new = (
+            cand.join(dist.select("pair", "id"), ["pair", "id"], "left_anti")
+            .select("pair", "id", F.lit(levels + 1).alias("dist"), "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+        levels += 1
+    t_state = (
+        pairs.join(
+            dist.select("pair", F.col("id").alias("t"), F.col("dist").alias("dt")),
+            ["pair", "t"],
+        )
+        .select("pair", F.col("t").alias("cur"), F.col("dt").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    walked = spark.createDataFrame([], "pair bigint, id bigint")
+    lvl = 0
+    while True:
+        active = t_state.where(F.col("d") > 1)
+        if active.isEmpty():
+            break
+        preds = (
+            active.join(
+                e.withColumnRenamed("dst", "cur").withColumnRenamed("src", "p"), "cur"
+            )
+            .join(
+                dist.select(
+                    "pair", F.col("id").alias("p"), F.col("dist").alias("dp"),
+                    F.col("sigma").alias("sp"),
+                ),
+                ["pair", "p"],
+            )
+            .where(F.col("dp") == F.col("d") - 1)
+        )
+        w = Window.partitionBy("pair", "cur").orderBy("p")
+        tot = Window.partitionBy("pair", "cur")
+        u = (
+            F.pmod(
+                F.xxhash64("pair", "cur", F.lit(seed + 13), F.lit(lvl)),
+                F.lit(1_000_000_007),
+            )
+            / 1_000_000_007.0
+        )
+        chosen = (
+            preds.select(
+                "pair", "cur", "p",
+                (F.sum("sp").over(w) / F.sum("sp").over(tot)).alias("cum"),
+                u.alias("u"), F.col("d"),
+            )
+            .where(F.col("cum") > F.col("u"))
+            .groupBy("pair", "cur", "d")
+            .agg(F.min_by("p", F.col("cum")).alias("p"))
+        )
+        walked = walked.unionByName(chosen.select("pair", F.col("p").alias("id")))
+        t_state = chosen.select(
+            "pair", F.col("p").alias("cur"), (F.col("d") - 1).alias("d")
+        ).localCheckpoint(eager=True)
+        walked = walked.localCheckpoint(eager=True)
+        lvl += 1
+    e.unpersist()
+    nodes.unpersist()
+    return walked, n_pairs
+
+
+def approx_group_betweenness(
+    graph: Graph, k: int = 3, n_pairs: int = 512, seed: int = 42
+) -> list:
+    """[ids] — approximate GROUP betweenness maximization (centrality/
+    ApproxGroupBetweenness.cpp contract): group betweenness of S is the
+    probability a random shortest path meets S, so the (1−1/e) greedy
+    max-coverage over a sampled-path universe solves it within sampling
+    error. One uniform-shortest-path sample per random pair (the Kadabra
+    sampler); each greedy round is ONE aggregate over the remaining
+    (path, vertex) incidence rows — k rounds total."""
+    inc, _n = sample_path_internals(graph, n_pairs=n_pairs, seed=seed)
+    inc = inc.localCheckpoint(eager=True)
+    picked: list = []
+    for _ in range(k):
+        best = (
+            inc.groupBy("id")
+            .agg(F.count_distinct("pair").alias("cov"))
+            .orderBy(F.desc("cov"), F.asc("id"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cov"] == 0:
+            break
+        v = int(best[0]["id"])
+        picked.append(v)
+        covered = inc.where(F.col("id") == v).select("pair").distinct()
+        inc = inc.join(covered, "pair", "left_anti").localCheckpoint(eager=True)
+    return picked

@@ -49,3 +49,30 @@ def test_kadabra_deterministic(spark):
     a = kadabra_betweenness(g, epsilon=0.2, batch_size=32, max_batches=4).collect()
     b = kadabra_betweenness(g, epsilon=0.2, batch_size=32, max_batches=4).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_approx_group_betweenness_barbell(spark):
+    """Two K4s joined by a path through vertex 8: the connector must be
+    picked first (it lies on every cross path)."""
+    from linkgraph.algs.kadabra import approx_group_betweenness
+
+    edges = (
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+        + [(0, 8), (8, 4)]
+    )
+    g = make_graph(spark, edges)
+    picked = approx_group_betweenness(g, k=2, n_pairs=128)
+    # every cross path runs a-0-8-4-b, so 0, 8 and 4 tie for coverage;
+    # the greedy must open with one of the three corridor vertices
+    assert picked[0] in (0, 4, 8)
+    assert set(picked) <= {0, 4, 8}
+
+
+def test_approx_group_betweenness_deterministic(spark):
+    from linkgraph.algs.kadabra import approx_group_betweenness
+
+    g = make_graph(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (1, 3)])
+    a = approx_group_betweenness(g, k=2, n_pairs=64)
+    b = approx_group_betweenness(g, k=2, n_pairs=64)
+    assert a == b
