@@ -177,19 +177,47 @@ def score_as_weight(graph: Graph, scores: DataFrame, offset: float = 0.0) -> Gra
     return Graph.from_edges(e, directed=False, weighted=True)
 
 
-def linearize_scores(scores: DataFrame, score_col: str = "score") -> DataFrame:
+def linearize_scores(
+    scores: DataFrame, score_col: str = "score", n_ranges: int = 64
+) -> DataFrame:
     """edgescores/EdgeScoreLinearizer.cpp: replace each edge's score by
-    its normalized rank (rank−1)/(m−1) ∈ [0,1] — a distribution-free
-    linearization. Global ordering via a two-level rank: per-partition
-    ranks would not be stable, so the window is ordered by (score, src,
-    dst) with the deterministic tie-break."""
+    its normalized global rank (rank−1)/(m−1) ∈ [0,1] — a
+    distribution-free linearization.
+
+    Scale shape: a single global-orderBy window would drag every edge
+    into one partition (the classic rank scale-killer); instead the rows
+    are range-partitioned on (score, src, dst), ranked per partition
+    with a PARTITIONED window, and shifted by the per-partition counts
+    (n_ranges scalars collected to the driver) — exact global ranks, no
+    single-partition exchange."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.asc(score_col), F.asc("src"), F.asc("dst"))
     m = scores.count()
     denom = float(max(m - 1, 1))
-    return scores.select(
-        "src",
-        "dst",
-        ((F.row_number().over(w) - 1) / F.lit(denom)).alias("score"),
+    keyed = scores.repartitionByRange(
+        n_ranges, F.asc(score_col), F.asc("src"), F.asc("dst")
+    ).withColumn("_part", F.spark_partition_id())
+    keyed = keyed.localCheckpoint(eager=True)
+    counts = {
+        r["_part"]: r["c"]
+        for r in keyed.groupBy("_part").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    off_df = keyed.sparkSession.createDataFrame(
+        list(offsets.items()), "_part int, _off bigint"
+    )
+    w = Window.partitionBy("_part").orderBy(
+        F.asc(score_col), F.asc("src"), F.asc("dst")
+    )
+    return (
+        keyed.withColumn("_rk", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_part")
+        .select(
+            "src",
+            "dst",
+            ((F.col("_off") + F.col("_rk") - 1) / F.lit(denom)).alias("score"),
+        )
     )

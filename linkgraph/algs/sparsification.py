@@ -336,24 +336,36 @@ def edge_switching(
     )
 
 
-def degree_preserving_shuffle(graph: Graph, seed: int = 42) -> DataFrame:
+def degree_preserving_shuffle(
+    graph: Graph, seed: int = 42, n_buckets: int = 256
+) -> DataFrame:
     """(src, dst, weight) — randomization/DegreePreservingShuffle.cpp:
     permute vertex IDENTITIES among equal-degree vertices (hash-ordered
-    within each degree class), preserving the exact degree sequence and
-    graph structure while destroying id-attribute correlations. One
-    window per degree class + two relabel joins."""
+    within each class), preserving the exact degree sequence and graph
+    structure while destroying id-attribute correlations.
+
+    Skew shape: low degrees dominate a web graph (the degree-1 class is
+    billions of vertices), so the permutation windows partition on
+    (degree, hash-bucket) rather than bare degree — a bijection within
+    each subgroup is still degree-preserving, and no window partition
+    exceeds ~class/n_buckets rows."""
     from pyspark.sql import Window
 
-    deg = graph.degrees().select("id", "degree")
-    w_old = Window.partitionBy("degree").orderBy(F.asc("id"))
-    w_new = Window.partitionBy("degree").orderBy(
+    deg = graph.degrees().select("id", "degree").withColumn(
+        "bkt", F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(n_buckets))
+    )
+    w_old = Window.partitionBy("degree", "bkt").orderBy(F.asc("id"))
+    w_new = Window.partitionBy("degree", "bkt").orderBy(
         F.xxhash64("id", F.lit(seed)), F.asc("id")
     )
-    old_rank = deg.select("id", "degree", F.row_number().over(w_old).alias("rk"))
-    new_rank = deg.select(
-        F.col("id").alias("nid"), "degree", F.row_number().over(w_new).alias("rk")
+    old_rank = deg.select(
+        "id", "degree", "bkt", F.row_number().over(w_old).alias("rk")
     )
-    mapping = old_rank.join(new_rank, ["degree", "rk"]).select("id", "nid")
+    new_rank = deg.select(
+        F.col("id").alias("nid"), "degree", "bkt",
+        F.row_number().over(w_new).alias("rk"),
+    )
+    mapping = old_rank.join(new_rank, ["degree", "bkt", "rk"]).select("id", "nid")
     e = graph.edges
     return (
         e.join(mapping.withColumnRenamed("id", "src"), "src")

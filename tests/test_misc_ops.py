@@ -61,3 +61,17 @@ def test_read_edgelist_partition(spark, tmp_path):
         map(tuple, read_edgelist_partition(spark, str(p)).collect())
     )
     assert got == [(5, 1), (7, 2), (9, 1)]
+
+
+def test_linearize_no_single_partition_window(spark):
+    """The rank plan must not contain an unpartitioned window exchange."""
+    from linkgraph.algs.edgescores import linearize_scores
+
+    rows = [(i, i + 1, float((i * 37) % 11)) for i in range(200)]
+    scores = spark.createDataFrame(rows, "src bigint, dst bigint, score double")
+    lin = linearize_scores(scores, n_ranges=8)
+    plan = lin._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    vals = sorted(r["score"] for r in lin.collect())
+    assert vals[0] == 0.0 and abs(vals[-1] - 1.0) < 1e-12
+    assert len(set(vals)) == 200  # exact distinct global ranks
