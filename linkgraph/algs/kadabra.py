@@ -34,6 +34,35 @@ from pyspark.sql import DataFrame, Window, functions as F
 from linkgraph.graph import Graph
 
 
+def _dense_index(nodes: DataFrame, n_ranges: int = 64) -> DataFrame:
+    """(id, rk) — dense 0..n-1 index by ascending id WITHOUT a global
+    single-partition window: range-partition on id, rank within each
+    partition under a PARTITIONED window, shift by broadcast per-partition
+    offsets (the same scale-safe exact-rank shape as
+    edgescores.linearize_scores)."""
+    keyed = nodes.select("id").repartitionByRange(n_ranges, F.asc("id")).withColumn(
+        "_part", F.spark_partition_id()
+    )
+    keyed = keyed.localCheckpoint(eager=True)
+    counts = {
+        r["_part"]: r["c"]
+        for r in keyed.groupBy("_part").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    off_df = keyed.sparkSession.createDataFrame(
+        list(offsets.items()), "_part int, _off bigint"
+    )
+    w = Window.partitionBy("_part").orderBy(F.asc("id"))
+    return (
+        keyed.withColumn("_rk", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_part")
+        .select("id", (F.col("_off") + F.col("_rk") - 1).alias("rk"))
+    )
+
+
 def kadabra_betweenness(
     graph: Graph,
     epsilon: float = 0.05,
@@ -73,9 +102,7 @@ def kadabra_betweenness(
             F.xxhash64("pair", F.lit(seed + 7), F.lit(batch)), F.lit(n - 1)
         )
         idx = spark.range(batch_size).select(F.col("id").alias("pair"))
-        ranked = nodes.select(
-            "id", (F.row_number().over(Window.orderBy("id")) - 1).alias("rk")
-        )
+        ranked = _dense_index(nodes)
         pairs = (
             idx.select("pair", h1.alias("rs"), h2.alias("rt"))
             .withColumn("rt", F.when(F.col("rt") >= F.col("rs"), F.col("rt") + 1).otherwise(F.col("rt")))
@@ -208,9 +235,7 @@ def sample_path_internals(
     h1 = F.pmod(F.xxhash64("pair", F.lit(seed)), F.lit(n))
     h2 = F.pmod(F.xxhash64("pair", F.lit(seed + 7)), F.lit(n - 1))
     idx = spark.range(n_pairs).select(F.col("id").alias("pair"))
-    ranked = nodes.select(
-        "id", (F.row_number().over(Window.orderBy("id")) - 1).alias("rk")
-    )
+    ranked = _dense_index(nodes)
     pairs = (
         idx.select("pair", h1.alias("rs"), h2.alias("rt"))
         .withColumn(
