@@ -125,12 +125,27 @@ def _tree_state(graph: Graph, max_iter: int):
         )
         .localCheckpoint(eager=True)
     )
-    lo_hi = _bottom_up(
-        lo_hi, max_depth, "low", F.min, lambda own, up: F.least(own, up)
-    )
-    lo_hi = _bottom_up(
-        lo_hi, max_depth, "high", F.max, lambda own, up: F.greatest(own, up)
-    )
+    # fused fold: low (min) and high (max) ride the SAME per-level
+    # groupBy(parent) aggregate — one materialization per depth level
+    # instead of two (the fold dominates this operator's wall time at
+    # fixture scale; every action is a scheduling round-trip)
+    for d in range(int(max_depth), 0, -1):
+        up = (
+            lo_hi.where(F.col("depth") == d)
+            .groupBy(F.col("parent").alias("id"))
+            .agg(F.min("low").alias("_ulo"), F.max("high").alias("_uhi"))
+        )
+        lo_hi = (
+            lo_hi.join(up, "id", "left")
+            .select(
+                "id",
+                "parent",
+                "depth",
+                F.least("low", F.col("_ulo")).alias("low"),
+                F.greatest("high", F.col("_uhi")).alias("high"),
+            )
+            .localCheckpoint(eager=True)
+        )
     full = state.join(lo_hi.select("id", "low", "high"), "id").localCheckpoint(
         eager=True
     )
