@@ -101,6 +101,48 @@ def multi_source_bfs(graph: Graph, sources: list, max_iter: int = 10_000) -> Dat
     return dist
 
 
+def multi_source_sssp(graph: Graph, sources: list, max_iter: int = 10_000) -> DataFrame:
+    """(source, id, dist) WEIGHTED distances from every source — the
+    weighted analogue of multi_source_bfs (same frontier-relaxation loop,
+    edge weight instead of +1). Used by astar_landmarks so ALT potentials
+    stay admissible on graphs with edge weights < 1 (hop-count potentials
+    overestimate there and the A* cut would discard shorter paths)."""
+    spark = graph.edges.sparkSession
+    e = (
+        (graph.edges if graph.directed else graph.symmetric_edges())
+        .select("src", "dst", "weight")
+        .persist()
+    )
+    dist = spark.createDataFrame(
+        [(int(s), int(s), 0.0) for s in sources], "source bigint, id bigint, dist double"
+    ).persist()
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(e, frontier.id == e.src)
+            .groupBy("source", F.col("dst").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("nd"))
+        )
+        improved = (
+            cand.join(
+                dist.withColumnRenamed("dist", "old"), ["source", "id"], "left"
+            )
+            .where(F.col("old").isNull() | (F.col("nd") < F.col("old")))
+            .select("source", "id", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select("source", "id"), ["source", "id"], "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    e.unpersist()
+    return dist
+
+
 def harmonic_closeness_sampled(
     graph: Graph, n_samples: int = 16, seed: int = 42
 ) -> DataFrame:
@@ -817,7 +859,10 @@ def astar_landmarks(
     bounds are valid both ways). π(v) = max_l |d(l,t) − d(l,v)| is an
     admissible lower bound on d(v,t); each relaxation round PRUNES
     frontier rows with g(v) + π(v) ≥ best-known d(s,t) — the A* cut,
-    expressed as a filter on the frontier DataFrame."""
+    expressed as a filter on the frontier DataFrame. Landmark distances
+    are computed with WEIGHTED relaxation (multi_source_sssp) so the
+    triangle-inequality bound holds for any positive weights — hop-count
+    landmarks are inadmissible when an edge weight is < 1."""
     spark = graph.edges.sparkSession
     nodes = graph.nodes()
     lms = [
@@ -826,7 +871,7 @@ def astar_landmarks(
         .limit(n_landmarks)
         .collect()
     ]
-    ld = multi_source_bfs(graph, lms).persist()
+    ld = multi_source_sssp(graph, lms).persist()
     lt = {
         r["source"]: r["dist"]
         for r in ld.where(F.col("id") == target).collect()

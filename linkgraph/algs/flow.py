@@ -22,8 +22,10 @@ Round = 4 joins + 1 window + 2 aggs, all keyed on vertex/edge ids:
 Loop state (flows, heights, excess) is pinned via iterutil.Pin — the
 window in the discharge makes localCheckpoint regrow plans on Spark 4.
 
-Termination: no active vertices (all excess at s/t or returned); the
-flow value is then t's excess. O(V²·E) pushes worst case, as for every
+Termination: no active vertices AND t residual-unreachable from s — the
+second half certifies optimality (Ford–Fulkerson); if t is still
+reachable when the active set empties, one shortest-path augmentation
+restores progress (see _augment_once). The flow value is then t's excess. O(V²·E) pushes worst case, as for every
 push-relabel — exact parity use is fixture/subgraph scale, same as the
 reference's.
 """
@@ -115,6 +117,53 @@ def _global_relabel(
     )
 
 
+def _augment_once(flows: DataFrame, s: int, t: int, pin: Pin, n: int):
+    """One Edmonds–Karp augmentation along a shortest residual s→t path,
+    or None when t is residual-unreachable from s — which is exactly the
+    max-flow certificate (Ford–Fulkerson). Called when the active set
+    empties: synchronous same-round push+relabel can transiently break
+    the height invariant, so 'no active vertices' alone does not prove
+    optimality; a sub-maximal valid flow has no excess anywhere and the
+    push loop cannot make progress on it, so the recovery step must
+    augment directly. Each call strictly increases the flow value, so the
+    outer loop terminates (EK bound). Rare path — the walk is one small
+    driver-filtered lookup per hop, fine at the documented fixture scale."""
+    spark = flows.sparkSession
+    residual = _residual_of(flows).localCheckpoint(eager=True)
+    d = _residual_dists(residual, t, pin, n).localCheckpoint(eager=True)
+    drow = d.where(F.col("id") == s).collect()
+    if not drow:
+        return None
+    dv = d.select(F.col("id").alias("v"), F.col("dist").alias("dv"))
+    path = []
+    cur, dcur = s, int(drow[0]["dist"])
+    while cur != t:
+        step = (
+            residual.where(F.col("u") == cur)
+            .join(dv, "v")
+            .where(F.col("dv") == dcur - 1)
+            .orderBy("v", "dir")
+            .limit(1)
+            .collect()[0]
+        )
+        path.append((cur, int(step["v"]), int(step["dir"]), float(step["rescap"])))
+        cur, dcur = int(step["v"]), dcur - 1
+    bottleneck = min(p[3] for p in path)
+    delta = spark.createDataFrame(
+        [
+            (u, v, bottleneck) if direc == 1 else (v, u, -bottleneck)
+            for u, v, direc, _ in path
+        ],
+        "src bigint, dst bigint, d double",
+    ).groupBy("src", "dst").agg(F.sum("d").alias("d"))
+    return flows.join(delta, ["src", "dst"], "left").select(
+        "src",
+        "dst",
+        "cap",
+        (F.col("flow") + F.coalesce("d", F.lit(0.0))).alias("flow"),
+    )
+
+
 def max_flow(
     graph: Graph,
     source: int,
@@ -169,7 +218,15 @@ def max_flow(
                 (F.col("e") > 1e-12) & ~F.col("id").isin(s, t)
             )
             if active.isEmpty():
-                break
+                # certify before terminating: if t is still residual-
+                # reachable the flow is valid but sub-maximal (transient
+                # height-invariant breakage) — augment and keep going
+                aug = _augment_once(flows, s, t, pin, n)
+                if aug is None:
+                    break
+                flows = pin(aug, "flows")
+                heights = pin(_global_relabel(flows, nodes, s, t, n, pin), "heights")
+                continue
             residual = _residual_of(flows)
             res_act = residual.join(
                 active.select(F.col("id").alias("u"), "e"), "u"

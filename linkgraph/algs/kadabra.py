@@ -205,7 +205,7 @@ def kadabra_betweenness(
             (F.col("cnt") / samples).alias("b")
         ).agg(F.max(
             F.sqrt(2.0 * F.col("b") * (1.0 - F.col("b")) * log_term / samples)
-            + 7.0 * log_term / (3.0 * (samples - 1))
+            + 7.0 * log_term / (3.0 * max(samples - 1, 1))
         )).collect()[0][0]
         if stat is not None and stat < epsilon:
             break

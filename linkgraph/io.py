@@ -167,7 +167,9 @@ def read_cover(spark: SparkSession, path: str) -> DataFrame:
     several labels — the overlapping-community structure)."""
     raw = spark.read.text(path, wholetext=True).collect()[0]["value"]
     rows = []
-    for i, line in enumerate(x for x in raw.splitlines() if x.strip() != ""):
+    # enumerate ALL lines: line i = node i, a blank line means node i
+    # belongs to no subset (skipping blanks would shift every later id)
+    for i, line in enumerate(raw.splitlines()):
         for lab in line.split():
             rows.append((i, int(lab)))
     return spark.createDataFrame(rows, "id bigint, label bigint")

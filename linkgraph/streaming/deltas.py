@@ -99,12 +99,24 @@ def stream_apply_deltas(
         except Exception:
             current = spark_b.createDataFrame([], "src bigint, dst bigint, weight double")
         merged = apply_deltas(current, batch)
-        # write-to-temp + swap keeps readers consistent (parquet fallback
-        # for Iceberg's atomic snapshot commit)
+        # write-to-staging + directory-rename swap (parquet fallback for
+        # Iceberg's atomic snapshot commit): the merged table is written
+        # ONCE, the live path is replaced by two renames, and the staging
+        # and retired copies are cleaned up afterwards. A crash between
+        # the renames leaves the staging copy intact for recovery; a
+        # crash before cleanup leaves only a recoverable extra copy,
+        # never a partially-deleted live table.
         tmp = table_path + f"._staging_{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        final = spark_b.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(table_path)
+        jvm = spark_b._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        fs = hpath(table_path).getFileSystem(spark_b._jsc.hadoopConfiguration())
+        live, stage = hpath(table_path), hpath(tmp)
+        retired = hpath(table_path + f"._retired_{batch_id}")
+        if fs.exists(live):
+            fs.rename(live, retired)
+        fs.rename(stage, live)
+        fs.delete(retired, True)
 
     stream = read_delta_stream(spark, delta_path, watermark)
     return (

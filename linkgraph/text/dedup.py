@@ -11,11 +11,14 @@ Scale shapes:
   common shingles are dropped via ``max_shingle_freq`` (the same heavy-
   hitter discipline as the link-prediction wedge join).
 - MinHash: H independent min-aggregations over shingle hashes (one
-  hash-agg, H columns); LSH bands of r rows → band-hash bucket join;
-  candidates verified with exact signature similarity.
+  hash-agg, H columns); LSH bands of r rows → band-hash bucket join with
+  a per-bucket size cap (oversized boilerplate buckets degrade to O(d)
+  identical-signature stars); candidates verified with exact signature
+  similarity.
 - SimHash: 64 per-bit weighted sums in one agg; near-dup candidates via
-  16-bit chunk buckets (any pair within Hamming distance 3 shares ≥1 of 4
-  chunks exactly).
+  block-combination buckets (n_blocks=4 → the classic 16-bit chunk
+  tables; n_blocks=6 → C(6,3)=20 tables on ~32-bit keys for ≥10⁹ docs),
+  same per-bucket cap.
 """
 
 from __future__ import annotations
@@ -133,10 +136,22 @@ def minhash_signatures(
 
 def minhash_lsh_candidates(
     signatures: DataFrame, bands: int = 16, rows_per_band: int = 4,
-    portable: bool = False,
+    portable: bool = False, max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """(a, b) candidate near-dup pairs: docs agreeing exactly on at least
-    one LSH band. bands*rows_per_band must equal the signature length."""
+    one LSH band. bands*rows_per_band must equal the signature length.
+
+    ``max_bucket_size`` bounds the bucket-join fan-out — the same heavy-
+    hitter discipline as ``max_shingle_freq``: a (band, band-hash) bucket
+    shared by d docs emits d² pairs, so one boilerplate mega-bucket at
+    corpus scale is a shuffle bomb. Buckets over the cap are routed to
+    full-signature grouping instead: docs there agree on a whole band, so
+    they are overwhelmingly signature-identical boilerplate, and emitting
+    a STAR over each identical-full-signature group (min doc_id → others,
+    O(d) pairs) preserves both the est_jaccard=1.0 pairs and the
+    transitive-closure groups that near_duplicate_groups builds, while
+    dropping only cross-signature pairs inside the capped bucket. Pass
+    ``None`` for the unbounded exact-LSH semantics (fixture scale)."""
     if portable:
         from linkgraph.portable import phash
 
@@ -170,13 +185,42 @@ def minhash_lsh_candidates(
             "band", "bh"
         ),
     )
-    return (
+    if max_bucket_size is not None:
+        bsz = banded.groupBy("band", "bh").agg(F.count("*").alias("_n"))
+        banded = banded.join(bsz, ["band", "bh"])
+        over = banded.where(F.col("_n") > max_bucket_size)
+        banded = banded.where(F.col("_n") <= max_bucket_size).drop("_n")
+        # oversized buckets → full-signature star pairs (O(d) not d²)
+        big_sigs = (
+            over.select("doc_id")
+            .distinct()
+            .join(signatures, "doc_id")
+            .select("doc_id", F.xxhash64("sig").alias("_fk"))
+        )
+        reps = (
+            big_sigs.groupBy("_fk")
+            .agg(F.min("doc_id").alias("_rep"), F.count("*").alias("_cnt"))
+            .where(F.col("_cnt") > 1)
+        )
+        star = (
+            big_sigs.join(reps, "_fk")
+            .where(F.col("doc_id") != F.col("_rep"))
+            .select(
+                F.least("_rep", "doc_id").alias("a"),
+                F.greatest("_rep", "doc_id").alias("b"),
+            )
+        )
+    else:
+        star = None
+    pairs = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bh"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def minhash_dedup_pairs(
@@ -187,10 +231,12 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
     text_col: str = "text",
     portable: bool = False,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Full MinHash near-dup pipeline: signatures → LSH candidates →
     verify candidates by estimated Jaccard (fraction of agreeing hashes).
-    Returns (a, b, est_jaccard ≥ threshold)."""
+    Returns (a, b, est_jaccard ≥ threshold). ``max_bucket_size`` — see
+    minhash_lsh_candidates (mega-bucket fan-out cap)."""
     rows_per_band = num_hashes // bands
     # localCheckpoint (not persist): materialized once for the three uses
     # below, and the blocks are released by the ContextCleaner when the
@@ -199,7 +245,7 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(docs, num_hashes, k, text_col, portable).localCheckpoint(
         eager=True
     )
-    cand = minhash_lsh_candidates(sigs, bands, rows_per_band, portable)
+    cand = minhash_lsh_candidates(sigs, bands, rows_per_band, portable, max_bucket_size)
     est = (
         cand.join(sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sa")), "a")
         .join(sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sb")), "b")
@@ -264,30 +310,80 @@ def simhash_signatures(
 
 def simhash_near_duplicates(
     docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
-    portable: bool = False,
+    portable: bool = False, n_blocks: int | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
-    """(a, b, hamming ≤ max_hamming) — candidates from 16-bit chunk
-    buckets (pigeonhole: hamming ≤ 3 ⇒ one of the 4 chunks matches
-    exactly), verified with bit_count of the XOR."""
+    """(a, b, hamming ≤ max_hamming) — candidates from block-combination
+    buckets (the permuted-table scheme of Manku et al., WWW'07), verified
+    with bit_count of the XOR.
+
+    Pigeonhole: split the 64-bit signature into ``n_blocks`` blocks; a
+    pair within Hamming distance d differs in at most d blocks, so it
+    agrees EXACTLY on some (n_blocks − d)-subset of blocks — one bucket
+    table per subset, keyed on that subset's concatenated block values.
+    ``n_blocks=4`` with d=3 (default) is the classic single-16-bit-chunk
+    scheme: 4 tables × 65k buckets, fine to ~10⁸ docs. ``n_blocks=6``
+    gives C(6,3)=20 tables keyed on ~32 signature bits (≈4·10⁹ buckets
+    per table) — the ≥10⁹-doc corpus variant: identical exact-recall
+    guarantee, wider keys, 5× the explode. ``max_bucket_size`` routes
+    over-full buckets (signature-identical boilerplate) to identical-
+    simhash STAR pairs, the same O(d)-not-d² discipline as the MinHash
+    path — hamming-0 pairs and group closure are preserved.
+
+    ``n_blocks=None`` (default) picks max(4, max_hamming+1) — the
+    smallest exact scheme; pigeonhole needs n_blocks > max_hamming."""
+    from itertools import combinations
+
+    if n_blocks is None:
+        n_blocks = max(4, max_hamming + 1)
+    if n_blocks <= max_hamming:
+        raise ValueError("n_blocks must exceed max_hamming (pigeonhole bound)")
     sigs = simhash_signatures(docs, text_col, portable).localCheckpoint(eager=True)
+    sizes = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
+    offs = [sum(sizes[:i]) for i in range(n_blocks)]
+
+    def block_val(i):
+        mask = (1 << sizes[i]) - 1
+        return F.shiftright(F.col("simhash"), offs[i]).bitwiseAND(F.lit(mask))
+
+    combos = list(combinations(range(n_blocks), n_blocks - max_hamming))
+    keys = [
+        F.concat_ws(",", *[block_val(i).cast("string") for i in combo])
+        for combo in combos
+    ]
     chunks = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
-                ]
-            )
-        ).alias("chunk", "cv"),
+        "doc_id", F.posexplode(F.array(*keys)).alias("tbl", "key")
     )
+    if max_bucket_size is not None:
+        bsz = chunks.groupBy("tbl", "key").agg(F.count("*").alias("_n"))
+        chunks = chunks.join(bsz, ["tbl", "key"])
+        over = chunks.where(F.col("_n") > max_bucket_size)
+        chunks = chunks.where(F.col("_n") <= max_bucket_size).drop("_n")
+        big = over.select("doc_id").distinct().join(sigs, "doc_id")
+        reps = (
+            big.groupBy("simhash")
+            .agg(F.min("doc_id").alias("_rep"), F.count("*").alias("_cnt"))
+            .where(F.col("_cnt") > 1)
+        )
+        star = (
+            big.join(reps, "simhash")
+            .where(F.col("doc_id") != F.col("_rep"))
+            .select(
+                F.least("_rep", "doc_id").alias("a"),
+                F.greatest("_rep", "doc_id").alias("b"),
+            )
+        )
+    else:
+        star = None
     cand = (
         chunks.alias("x")
-        .join(chunks.alias("y"), ["chunk", "cv"])
+        .join(chunks.alias("y"), ["tbl", "key"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
     )
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
     return (
         cand.join(sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha")), "a")
         .join(sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb")), "b")
