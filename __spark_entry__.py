@@ -283,6 +283,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf, directed=False)
         return sssp(g, 0).select("id", F.round("dist", 6).alias("dist"))
 
+    def doc_bfs_path(spark, sf):
+        # Engine pred column (bfs return_pred) + bulk path reconstruction
+        # via level-order prepend joins; the oracle rebuilds pred
+        # independently as min{u : dist(u)=dist(v)-1, (u,v) in sym} and
+        # replays the identical unroll (distance/BFS.cpp::getPath).
+        from linkgraph.algs.bfs import bfs
+
+        g = _doc_graph(spark, sf, directed=False)
+        dp = (
+            bfs(g, 0, return_pred=True)
+            .select("id", F.col("dist").cast("bigint").alias("dist"), "pred")
+            .persist()
+        )
+        lvl = dp.where(F.col("pred").isNull()).select(
+            "id", F.col("id").cast("string").alias("path")
+        )
+        acc = [lvl]
+        for _ in range(12):
+            lvl = (
+                dp.alias("c")
+                .join(lvl.select(F.col("id").alias("pred"), "path"), "pred")
+                .select(
+                    F.col("c.id").alias("id"),
+                    F.concat(
+                        F.col("path"), F.lit("->"), F.col("c.id").cast("string")
+                    ).alias("path"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            if lvl.isEmpty():
+                break
+            acc.append(lvl)
+        paths = acc[0]
+        for extra in acc[1:]:
+            paths = paths.unionByName(extra)
+        return dp.join(paths, "id").select("id", "dist", "pred", "path")
+
     def doc_closeness(spark, sf):
         from linkgraph.algs.bfs import closeness
 
@@ -1009,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_eigenvector": doc_eigenvector,
         "doc_katz": doc_katz,
         "doc_bfs": doc_bfs,
+        "doc_bfs_path": doc_bfs_path,
         "doc_sssp": doc_sssp,
         "doc_closeness": doc_closeness,
         "doc_harmonic": doc_harmonic,
@@ -1413,6 +1451,7 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["doc_eigenvector"] = G.eigenvector_sql(EDGES_CTE_MAT, iters=12)
     sql["doc_katz"] = G.katz_sql(EDGES_CTE_MAT, alpha=0.01, beta=1.0, iters=12)
     sql["doc_bfs"] = G.bfs_sql(EDGES_CTE_MAT, source=0, hops=12)
+    sql["doc_bfs_path"] = G.bfs_path_sql(EDGES_CTE_MAT, source=0, hops=12)
     sql["doc_sssp"] = G.sssp_sql(EDGES_CTE_MAT, source=0, rounds=16)
     sql["doc_sfigality"] = G.sfigality_sql(EDGES_CTE_MAT)
     sql["doc_laplacian"] = G.laplacian_sql(EDGES_CTE_MAT)

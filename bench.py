@@ -9,15 +9,22 @@ Headline set:
   PLP (the north-rule P0 set over the documents-derived edge table).
 - pipeline ops: href extraction throughput, MinHash near-dup, cosine top-k.
 
+Timing protocol: every query gets BENCH_WARMUP warmup runs (default 1)
+then BENCH_REPS measured runs (default 3); `queries` reports the MEDIAN
+and `detail.spread` the raw runs + population stdev, so round-over-round
+deltas are separable from the sandbox's measured run-to-run variance
+(BENCH/BASELINE.md §6 — single-JVM n=1 timings vary 20-50%).
+
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, RMAT_SCALE (default 17 →
 ~2.1 M directed edges; small enough for a per-round bench, skewed enough
-to exercise the heavy-hitter split).
+to exercise the heavy-hitter split), BENCH_REPS, BENCH_WARMUP.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -30,6 +37,8 @@ from linkgraph.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RMAT_SCALE = int(os.environ.get("RMAT_SCALE", "17"))
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+WARMUP = int(os.environ.get("BENCH_WARMUP", "1"))
 
 
 def main() -> None:
@@ -48,12 +57,22 @@ def main() -> None:
     spark = get_spark(cores=CPUS, shuffle_partitions=CPUS * 2, app_name="linkgraph-bench")
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    extras: dict = {}
+    spread: dict = {}
 
     def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        for _ in range(WARMUP):
+            fn()
+        runs, out = [], None
+        for _ in range(max(REPS, 1)):
+            t0 = time.time()
+            out = fn()
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = {
+            "runs": [round(r, 3) for r in runs],
+            "stdev": round(statistics.pstdev(runs), 3),
+        }
         return out
 
     # --- R-MAT PageRank: the driver metric --------------------------------
@@ -61,14 +80,22 @@ def main() -> None:
     m = redges.count()  # materialize generation outside the timed region
     rg = Graph.from_edges(redges, directed=True, weighted=False)
 
-    pr_dir = f"/tmp/lg_bench_pr_{os.getpid()}"
-
     # hub_top_k=0: measured at R-MAT scale 23, the heavy-hitter split costs
     # ~26% (extra joins/broadcast churn) while AQE alone absorbs this skew
     # level; the split stays available for genuinely extreme hubs (see
     # BENCH/BASELINE.md)
+    pr_runs = iter(range(1000))
+
+    pr_dir = None
+
     def run_pr():
-        return pagerank(rg, tol=1e-6, max_iter=60, hub_top_k=0, work_dir=pr_dir)
+        # fresh work_dir per rep — a reused dir would RESUME from the
+        # previous rep's converged checkpoint and time a no-op
+        nonlocal pr_dir
+        pr_dir = f"/tmp/lg_bench_pr_{os.getpid()}_{next(pr_runs)}"
+        out = pagerank(rg, tol=1e-6, max_iter=60, hub_top_k=0, work_dir=pr_dir)
+        out.count()
+        return out
 
     pr = timed("rmat_pagerank", run_pr)
     n_checked = pr.count()
@@ -109,8 +136,7 @@ def main() -> None:
         edges, _ = pages_to_edges(pages)
         return edges.count()
 
-    run_extract()  # warmup (code paths + Arrow init)
-    n_ext = timed("extraction", run_extract)
+    n_ext = timed("extraction", run_extract)  # timed() warms up (Arrow init)
     extras["extraction_pages_per_sec"] = round(n_pages / timings["extraction"], 1)
     extras["extracted_edges"] = n_ext
 
@@ -133,7 +159,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "cpus": CPUS,
-                "detail": extras,
+                "reps": REPS,
+                "warmup": WARMUP,
+                "detail": {**extras, "spread": spread},
             }
         )
     )

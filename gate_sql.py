@@ -59,6 +59,46 @@ def sssp_sql(cte: str, source: int = 0, rounds: int = 16) -> str:
     )
 
 
+def bfs_path_sql(cte: str, source: int = 0, hops: int = 12) -> str:
+    """Independent replay of doc_bfs_path: hop distances (unrolled), then
+    pred(v) = MIN(u) over sym neighbors with dist(u) = dist(v)-1 (exactly
+    the engine's struct-min tie-break — in synchronous BFS the frontier
+    at v's settling round IS the full dist(v)-1 level), then level-order
+    path-string prepends."""
+    parts = [f"b0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS id, 0 AS dist)"]
+    for i in range(1, hops + 1):
+        p = i - 1
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM ("
+            f"SELECT id, dist FROM b{p} UNION ALL "
+            f"SELECT e.dst AS id, b.dist + 1 FROM b{p} b JOIN sym e ON e.src = b.id"
+            f") u GROUP BY id)"
+        )
+    parts.append(
+        f"preds AS MATERIALIZED (SELECT d.id, d.dist, "
+        f"(SELECT MIN(e.src) FROM sym e JOIN b{hops} s ON s.id = e.src "
+        f"AND s.dist = d.dist - 1 WHERE e.dst = d.id) AS pred FROM b{hops} d)"
+    )
+    parts.append(
+        "p0 AS MATERIALIZED (SELECT id, CAST(id AS VARCHAR) AS path "
+        "FROM preds WHERE pred IS NULL)"
+    )
+    for i in range(1, hops + 1):
+        p = i - 1
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT c.id, "
+            f"p.path || '->' || CAST(c.id AS VARCHAR) AS path "
+            f"FROM preds c JOIN p{p} p ON p.id = c.pred)"
+        )
+    pall = " UNION ALL ".join(f"SELECT id, path FROM p{i}" for i in range(hops + 1))
+    return (
+        f"WITH {cte},\n" + ",\n".join(parts) +
+        f",\npall AS MATERIALIZED ({pall})\n"
+        f"SELECT d.id, CAST(d.dist AS BIGINT) AS dist, d.pred, pa.path "
+        f"FROM preds d JOIN pall pa ON pa.id = d.id"
+    )
+
+
 def _all_pairs_cte(hops: int) -> str:
     """CTE chain ap0..ap{hops}: (s, id, dist) hop distances for ALL source
     vertices at once (incl. dist 0 self rows)."""

@@ -19,33 +19,55 @@ from pyspark.sql import DataFrame, functions as F
 from linkgraph.graph import Graph
 
 
-def bfs(graph: Graph, source: int, max_iter: int = 10_000) -> DataFrame:
-    """(id, dist) hop distances from ``source``; unreachable vertices are
-    absent (the reference reports infinity — filter semantics chosen so the
-    result is a compact frontier table)."""
+def bfs(graph: Graph, source: int, max_iter: int = 10_000, return_pred: bool = False) -> DataFrame:
+    """(id, dist[, pred]) hop distances from ``source``; unreachable
+    vertices are absent (the reference reports infinity — filter semantics
+    chosen so the result is a compact frontier table). ``return_pred``
+    adds the shortest-path-tree predecessor column (distance/BFS.cpp
+    getPath/getPredecessors parity; see sssp)."""
     uw = graph.to_unweighted()
-    return sssp(uw, source, max_iter=max_iter)
+    return sssp(uw, source, max_iter=max_iter, return_pred=return_pred)
 
 
-def sssp(graph: Graph, source: int, max_iter: int = 10_000) -> DataFrame:
-    """(id, dist) shortest weighted distances from ``source``; directed
-    graphs follow edge direction, undirected expand both ways."""
+def sssp(graph: Graph, source: int, max_iter: int = 10_000, return_pred: bool = False) -> DataFrame:
+    """(id, dist[, pred]) shortest weighted distances from ``source``;
+    directed graphs follow edge direction, undirected expand both ways.
+
+    ``return_pred=True`` adds the predecessor on one shortest path
+    (distance/Dijkstra.cpp::getPredecessors / BFS.cpp::getPath parity —
+    the reference stores the full pred LIST for path counting; one
+    deterministic pred is what getPath consumes). pred(v) is chosen as
+    the min struct (tentative dist, src) over the relaxation — i.e. the
+    lowest-id neighbor among those achieving the minimal distance in the
+    round v last improved; pred(source) is NULL. Reconstruct with
+    get_path(). The pred column rides the existing relaxation agg (one
+    struct-min instead of a min — no extra shuffle)."""
     spark = graph.edges.sparkSession
     e = (graph.edges if graph.directed else graph.symmetric_edges()).select(
         "src", "dst", "weight"
     ).persist()
-    dist = spark.createDataFrame([(source, 0.0)], "id bigint, dist double").persist()
+    dist = spark.createDataFrame(
+        [(source, 0.0, None)], "id bigint, dist double, pred bigint"
+    ).persist()
     frontier = dist
     for _ in range(max_iter):
         cand = (
             frontier.join(e, frontier.id == e.src)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min(F.col("dist") + F.col("weight")).alias("nd"))
+            .select(
+                F.col("dst").alias("id"),
+                F.struct(
+                    (F.col("dist") + F.col("weight")).alias("nd"),
+                    F.col("src").alias("pred"),
+                ).alias("s"),
+            )
+            .groupBy("id")
+            .agg(F.min("s").alias("s"))
+            .select("id", F.col("s.nd").alias("nd"), F.col("s.pred").alias("np"))
         )
         improved = (
-            cand.join(dist.withColumnRenamed("dist", "old"), "id", "left")
+            cand.join(dist.select("id", F.col("dist").alias("old")), "id", "left")
             .where(F.col("old").isNull() | (F.col("nd") < F.col("old")))
-            .select("id", F.col("nd").alias("dist"))
+            .select("id", F.col("nd").alias("dist"), F.col("np").alias("pred"))
             .localCheckpoint(eager=True)
         )
         if improved.isEmpty():
@@ -57,7 +79,32 @@ def sssp(graph: Graph, source: int, max_iter: int = 10_000) -> DataFrame:
         )
         frontier = improved
     e.unpersist()
-    return dist
+    return dist if return_pred else dist.drop("pred")
+
+
+def get_path(dist_pred: DataFrame, source: int, target: int, max_len: int = 100_000):
+    """Reconstruct one shortest source→target path as [source, …, target]
+    from a (id, dist, pred) table (sssp/bfs with return_pred=True), or
+    None when target is unreachable — distance/BFS.cpp::getPath contract.
+
+    The walk follows pred pointers one hop per lookup against the
+    materialized result (path-length driver round-trips — the
+    interactive-use shape; for per-vertex paths in bulk use the unrolled
+    prepend join the doc_bfs_path gate entry demonstrates)."""
+    rows = dist_pred.where(F.col("id") == int(target)).collect()
+    if not rows:
+        return None
+    path = [int(target)]
+    pred = rows[0]["pred"]
+    while pred is not None and len(path) <= max_len:
+        path.append(int(pred))
+        if path[-1] == int(source):
+            break
+        nxt = dist_pred.where(F.col("id") == int(pred)).collect()
+        pred = nxt[0]["pred"] if nxt else None
+    if path[-1] != int(source):
+        return None
+    return list(reversed(path))
 
 
 def multi_source_bfs(graph: Graph, sources: list, max_iter: int = 10_000) -> DataFrame:
@@ -698,30 +745,41 @@ def jaccard_distance(graph: Graph) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def spsp(graph: Graph, source: int, target: int, max_iter: int = 10_000):
+def spsp(graph: Graph, source: int, target: int, max_iter: int = 10_000,
+         return_path: bool = False):
     """Single-pair shortest weighted distance (distance/SPSP.cpp), or
     None if unreachable. Early exit: once every frontier entry's
     tentative distance is >= the best known target distance, no shorter
-    path can appear (non-negative weights)."""
+    path can appear (non-negative weights). ``return_path=True`` returns
+    (dist, [source, …, target]) instead (getPath parity; preds ride the
+    relaxation agg as a struct-min, no extra shuffle)."""
     spark = graph.edges.sparkSession
     e = (graph.edges if graph.directed else graph.symmetric_edges()).select(
         "src", "dst", "weight"
     ).persist()
     dist = spark.createDataFrame(
-        [(int(source), 0.0)], "id bigint, dist double"
+        [(int(source), 0.0, None)], "id bigint, dist double, pred bigint"
     ).localCheckpoint(eager=True)
     frontier = dist
     best = None
     for _ in range(max_iter):
         cand = (
             frontier.join(e, frontier.id == e.src)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min(F.col("dist") + F.col("weight")).alias("nd"))
+            .select(
+                F.col("dst").alias("id"),
+                F.struct(
+                    (F.col("dist") + F.col("weight")).alias("nd"),
+                    F.col("src").alias("pred"),
+                ).alias("s"),
+            )
+            .groupBy("id")
+            .agg(F.min("s").alias("s"))
+            .select("id", F.col("s.nd").alias("nd"), F.col("s.pred").alias("np"))
         )
         merged = (
-            cand.join(dist, "id", "left")
+            cand.join(dist.select("id", "dist"), "id", "left")
             .where(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
-            .select("id", F.col("nd").alias("dist"))
+            .select("id", F.col("nd").alias("dist"), F.col("np").alias("pred"))
             .localCheckpoint(eager=True)
         )
         if merged.isEmpty():
@@ -739,7 +797,11 @@ def spsp(graph: Graph, source: int, target: int, max_iter: int = 10_000):
             if fmin is None or fmin >= best:
                 break
     e.unpersist()
-    return best
+    if not return_path:
+        return best
+    if best is None:
+        return None, None
+    return best, get_path(dist, source, target)
 
 
 def multi_target_bfs(
@@ -852,6 +914,7 @@ def astar_landmarks(
     n_landmarks: int = 4,
     seed: int = 42,
     max_iter: int = 10_000,
+    return_path: bool = False,
 ):
     """Goal-directed point-to-point distance via ALT A* (distance/
     AStar.cpp contract; the landmark potential replaces the reference's
@@ -878,6 +941,8 @@ def astar_landmarks(
     }
     if not lt:
         ld.unpersist()
+        if return_path:
+            return (None, None) if source != target else (0, [int(source)])
         return None if source != target else 0
     # π per vertex: max over landmarks seen by BOTH v and t
     pi_terms = [
@@ -894,7 +959,7 @@ def astar_landmarks(
     )
     e = graph.symmetric_edges().select("src", "dst", "weight").persist()
     dist = spark.createDataFrame(
-        [(int(source), 0.0)], "id bigint, dist double"
+        [(int(source), 0.0, None)], "id bigint, dist double, pred bigint"
     ).localCheckpoint(eager=True)
     frontier = dist
     best = 0.0 if source == target else None
@@ -905,13 +970,21 @@ def astar_landmarks(
             ).select("id", "dist")
         cand = (
             frontier.join(e, frontier.id == e.src)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min(F.col("dist") + F.col("weight")).alias("nd"))
+            .select(
+                F.col("dst").alias("id"),
+                F.struct(
+                    (F.col("dist") + F.col("weight")).alias("nd"),
+                    F.col("src").alias("pred"),
+                ).alias("s"),
+            )
+            .groupBy("id")
+            .agg(F.min("s").alias("s"))
+            .select("id", F.col("s.nd").alias("nd"), F.col("s.pred").alias("np"))
         )
         merged = (
-            cand.join(dist, "id", "left")
+            cand.join(dist.select("id", "dist"), "id", "left")
             .where(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
-            .select("id", F.col("nd").alias("dist"))
+            .select("id", F.col("nd").alias("dist"), F.col("np").alias("pred"))
             .localCheckpoint(eager=True)
         )
         if merged.isEmpty():
@@ -928,4 +1001,8 @@ def astar_landmarks(
     e.unpersist()
     pot.unpersist()
     ld.unpersist()
-    return best
+    if not return_path:
+        return best
+    if best is None:
+        return None, None
+    return best, get_path(dist, source, target)
