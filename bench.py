@@ -121,7 +121,21 @@ def main() -> None:
     timed("doc_degrees", lambda: g.degrees().count())
     timed("doc_components", lambda: connected_components(g).count())
     timed("doc_triangles", lambda: per_vertex_triangles(g).count())
-    timed("doc_plp", lambda: label_propagation(g, max_iter=20).count())
+    plp_runs = iter(range(1000))
+    plp_dir = None
+
+    def run_plp():
+        nonlocal plp_dir
+        plp_dir = f"/tmp/lg_bench_plp_{os.getpid()}_{next(plp_runs)}"
+        return label_propagation(g, max_iter=20, work_dir=plp_dir).count()
+
+    timed("doc_plp", run_plp)
+    plp_manifest = os.path.join(plp_dir, "plp", "manifest.jsonl")
+    if os.path.exists(plp_manifest):
+        with open(plp_manifest) as f:
+            extras["doc_plp_supersteps"] = sum(
+                1 for line in f if '"metric": null' not in line
+            )
 
     # --- extraction throughput --------------------------------------------
     # 10k pages + a warmup pass: at 2k pages the ~2-3 s fixed job overhead

@@ -134,7 +134,14 @@ def strongly_connected_components(
             (F.col("id") == F.col("pivot")).alias("fwd"),
             (F.col("id") == F.col("pivot")).alias("bwd"),
         ).localCheckpoint(eager=True)
-        # propagate reachability within each color simultaneously
+        # propagate reachability within each color simultaneously; the
+        # grew-probe is ONE sum-aggregate per level against running totals
+        # (was two counts on new + two on state = 4 actions/level)
+        prev = state.agg(
+            F.sum(F.col("fwd").cast("long")).alias("nf"),
+            F.sum(F.col("bwd").cast("long")).alias("nb"),
+        ).collect()[0]
+        prev_nf, prev_nb = prev["nf"] or 0, prev["nb"] or 0
         while True:
             fwd_next = (
                 state.where("fwd").join(e, state.id == e.src)
@@ -157,10 +164,13 @@ def strongly_connected_components(
                 )
                 .localCheckpoint(eager=True)
             )
-            grew = (
-                new.where("fwd").count() > state.where("fwd").count()
-                or new.where("bwd").count() > state.where("bwd").count()
-            )
+            cur = new.agg(
+                F.sum(F.col("fwd").cast("long")).alias("nf"),
+                F.sum(F.col("bwd").cast("long")).alias("nb"),
+            ).collect()[0]
+            nf, nb = cur["nf"] or 0, cur["nb"] or 0
+            grew = nf > prev_nf or nb > prev_nb
+            prev_nf, prev_nb = nf, nb
             state = new
             if not grew:
                 break

@@ -38,13 +38,28 @@ from linkgraph.superstep import Superstep
 def label_propagation(
     graph: Graph,
     max_iter: int = 100,
-    update_threshold: int = 0,
+    update_threshold: int | None = None,
     work_dir: str | None = None,
     resume: bool = False,
     tie_hash: str = "xxhash64",
+    active_frontier_frac: float = 0.25,
 ) -> DataFrame:
     """Return ``(id, label)``; labels are canonicalized to the min member id
     of each community so output is comparable across runs.
+
+    ``update_threshold=None`` applies the reference default θ = n/1e5
+    (community/PLP.cpp::run — below 100k nodes that truncates to 0, i.e.
+    run to stability, exactly the reference's behavior at that size).
+
+    Active-frontier restriction (the reference's ``activeNodes`` set):
+    once fewer than ``active_frontier_frac``·n labels changed in the
+    previous superstep, votes are recomputed ONLY for nodes with a changed
+    in-neighbor — everyone else provably keeps their label, because with
+    an unchanged vote table the previous winner still has maximal weight
+    and the keep-current tie-break re-elects it independent of the
+    per-iteration hash term. Late supersteps therefore join a
+    frontier-sized edge subset (semi-join on the changed set, broadcast
+    when small) instead of all m edges. Set the frac to 0 to disable.
 
     ``tie_hash="portable"`` swaps the xxhash64 tie-break for the md5-based
     portable hash (linkgraph.portable) so the run unrolls to an EXACT
@@ -55,6 +70,10 @@ def label_propagation(
     spark = graph.edges.sparkSession
     work_dir = work_dir or tempfile.mkdtemp(prefix="lg_plp_")
     sym = graph.symmetric_edges().where(F.col("src") != F.col("dst")).persist()
+    n = graph.nodes().count()
+    if update_threshold is None:
+        update_threshold = int(n / 1e5)
+    last_changed: list = [None]  # set by metric(); None until round 1 done
     tie = (
         (lambda k: phash(F.col("label"), F.lit(k)))
         if tie_hash == "portable"
@@ -68,8 +87,20 @@ def label_propagation(
 
     def step(state: DataFrame, k: int) -> DataFrame:
         labels = state.select("id", "label")
+        edges_k = sym
+        if (
+            last_changed[0] is not None
+            and last_changed[0] < active_frontier_frac * n
+        ):
+            chg = state.where(F.col("changed") == 1).select("id")
+            active = (
+                sym.join(chg.withColumnRenamed("id", "src"), "src", "semi")
+                .select("dst")
+                .distinct()
+            )
+            edges_k = sym.join(active, "dst", "semi")
         votes = (
-            labels.join(sym, labels.id == sym.src)
+            labels.join(edges_k, labels.id == edges_k.src)
             .groupBy(F.col("dst").alias("id"), "label")
             .agg(F.sum("weight").alias("w"))
         )
@@ -109,7 +140,9 @@ def label_propagation(
         )
 
     def metric(state: DataFrame) -> float:
-        return float(state.agg(F.sum("changed")).collect()[0][0] or 0)
+        m = float(state.agg(F.sum("changed")).collect()[0][0] or 0)
+        last_changed[0] = m
+        return m
 
     result = Superstep(spark, work_dir, "plp").run(
         init,

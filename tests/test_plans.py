@@ -93,3 +93,22 @@ def test_flow_residual_plan_no_global_window(spark, two_triangles_bridge):
     _, flows = max_flow(two_triangles_bridge, 0, 5)
     plan = flows._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_scc_probe_job_budget(spark):
+    """SCC's per-level grew-probe is ONE sum-aggregate against running
+    totals, not 4 counts (VERDICT r2 #6). Regression bound: the 8-cycle
+    ran 129 driver jobs with the 4-count probe, 111 with the fused one."""
+    from linkgraph.algs.components import strongly_connected_components
+    from linkgraph.graph import Graph
+
+    rows = [(i, (i + 1) % 8, 1.0) for i in range(8)]
+    e = spark.createDataFrame(rows, "src bigint, dst bigint, weight double")
+    g = Graph.from_edges(e, directed=True)
+    sc = spark.sparkContext
+    sc.setJobGroup("scc_probe_budget", "scc job budget")
+    out = strongly_connected_components(g).collect()
+    sc.setJobGroup(None, None)
+    jobs = len(sc.statusTracker().getJobIdsForGroup("scc_probe_budget"))
+    assert len(out) == 8 and len({r["component"] for r in out}) == 1
+    assert jobs <= 120, jobs

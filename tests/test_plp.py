@@ -90,3 +90,39 @@ def test_modularity_one_partition_zero(karate):
 
     q = modularity(karate, one_partition(karate))
     assert abs(q) < 1e-9
+
+
+def test_plp_active_frontier_equivalence(spark, karate):
+    # The activeNodes restriction (community/PLP.cpp) must be label-exact:
+    # frac=1.0 restricts from round 2 on, frac=0.0 never restricts.
+    import random
+
+    full = collect_map(
+        label_propagation(karate, active_frontier_frac=0.0), "id", "label"
+    )
+    restricted = collect_map(
+        label_propagation(karate, active_frontier_frac=1.0), "id", "label"
+    )
+    assert full == restricted
+
+    rng = random.Random(3)
+    pairs = set()
+    for u in range(60):
+        for _ in range(2):
+            v = rng.randrange(60)
+            if u != v:
+                pairs.add((min(u, v), max(u, v)))
+    g = make_graph(spark, sorted(pairs))
+    a = collect_map(label_propagation(g, active_frontier_frac=0.0), "id", "label")
+    b = collect_map(label_propagation(g, active_frontier_frac=1.0), "id", "label")
+    assert a == b
+
+
+def test_plp_update_threshold_default(two_triangles_bridge):
+    # None -> reference theta = n/1e5, which truncates to 0 below 100k
+    # nodes: identical labels to the explicit update_threshold=0 run.
+    base = collect_map(
+        label_propagation(two_triangles_bridge, update_threshold=0), "id", "label"
+    )
+    dflt = collect_map(label_propagation(two_triangles_bridge), "id", "label")
+    assert base == dflt
