@@ -56,13 +56,7 @@ def betweenness(
         src_rows = nodes
         scale = 1.0
     else:
-        if portable:
-            from linkgraph.portable import phash
-
-            key = phash(F.col("id"), F.lit(seed))
-        else:
-            key = F.xxhash64("id", F.lit(seed))
-        src_rows = nodes.orderBy(key, F.asc("id")).limit(n_samples)
+        src_rows = _sampled_sources(nodes, n_samples, seed, portable)
         scale = n / n_samples
 
     delta = _forward_backward(e, src_rows)
@@ -78,6 +72,23 @@ def betweenness(
     )
     e.unpersist()
     return out
+
+
+def _sampled_sources(
+    nodes: DataFrame, n_samples: int, seed: int, portable: bool = False
+) -> DataFrame:
+    """Deterministic sample of ``n_samples`` source vertices: order by a
+    seeded hash of the id (md5 portable hash when an SQL oracle must
+    re-derive the set, xxhash64 otherwise). The set depends only on the
+    NODE SET and seed, so edge additions leave it unchanged — the property
+    DynApproxBetweenness relies on for dyn ≡ fresh-recompute identity."""
+    if portable:
+        from linkgraph.portable import phash
+
+        key = phash(F.col("id"), F.lit(seed))
+    else:
+        key = F.xxhash64("id", F.lit(seed))
+    return nodes.orderBy(key, F.asc("id")).limit(n_samples)
 
 
 def _forward_backward(e: DataFrame, src_rows: DataFrame) -> DataFrame:
@@ -184,6 +195,74 @@ def scores_from_state(graph: Graph, state: DataFrame, normalized: bool = False) 
     return graph.nodes().join(bc, "id", "left").select(
         "id", (F.coalesce("score", F.lit(0.0)) * F.lit(factor)).alias("score")
     )
+
+
+def sampled_brandes_state(
+    graph: Graph, n_samples: int, seed: int = 42, portable: bool = False
+) -> DataFrame:
+    """(source, id, dist, sigma, delta) for a deterministic ``n_samples``
+    source sample — the retained artifact DynApproxBetweenness
+    (centrality/DynApproxBetweenness.cpp) repairs incrementally. Same
+    per-source machinery as ``brandes_state``; the state is |S|·n rows,
+    the form usable at scale (exact n·n state is fixture-only)."""
+    e = (
+        (graph.edges if graph.directed else graph.symmetric_edges())
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    nodes = graph.nodes()
+    n = nodes.count()
+    srcs = (
+        nodes
+        if n_samples >= n
+        else _sampled_sources(nodes, n_samples, seed, portable)
+    )
+    state = _forward_backward(e, srcs).localCheckpoint(eager=True)
+    e.unpersist()
+    return state
+
+
+def scores_from_sampled_state(
+    graph: Graph, state: DataFrame, normalized: bool = False
+) -> DataFrame:
+    """(id, score) — sampled-estimator aggregation of a (possibly repaired)
+    sampled_brandes_state, scaled by n/|S| exactly as ``betweenness`` with
+    ``n_samples`` does (|S| read off the state itself so the same function
+    serves fresh and dyn-repaired states)."""
+    n = graph.nodes().count()
+    n_src = state.select("source").distinct().count()
+    bc = (
+        state.where(F.col("id") != F.col("source"))
+        .groupBy("id")
+        .agg(F.sum("delta").alias("score"))
+    )
+    factor = (n / max(n_src, 1)) * (0.5 if not graph.directed else 1.0)
+    if normalized:
+        denom = (n - 1) * (n - 2)
+        factor *= (2.0 if not graph.directed else 1.0) / max(denom, 1)
+    return graph.nodes().join(bc, "id", "left").select(
+        "id", (F.coalesce("score", F.lit(0.0)) * F.lit(factor)).alias("score")
+    )
+
+
+def dyn_approx_betweenness_additions(
+    graph: Graph, state: DataFrame, additions: list
+) -> DataFrame:
+    """DynApproxBetweenness (centrality/DynApproxBetweenness.cpp contract,
+    adapted to the source-sampled estimator): ``graph`` is the
+    post-addition graph, ``state`` a sampled_brandes_state of the
+    pre-addition graph, ``additions`` the new (u, v) pairs. Only sampled
+    sources whose SSSP DAG the new edges can touch re-run (the same
+    affected-source test as dyn_betweenness_additions — a source is
+    unaffected iff every added edge is same-level or fully unreachable
+    from it); the repaired state feeds ``scores_from_sampled_state``.
+
+    Because the source sample depends only on the node set and seed, the
+    repaired state is IDENTICAL to a fresh ``sampled_brandes_state`` of
+    the post-addition graph — tested as dyn ≡ fresh on random graphs."""
+    return dyn_betweenness_additions(graph, state, additions)
 
 
 def dyn_betweenness_additions(

@@ -129,3 +129,46 @@ def test_pivot_mds_svd_parity_random(spark):
     ref = s[0] * vt[0]
     cos = abs(ours @ ref) / (np.linalg.norm(ours) * np.linalg.norm(ref))
     assert cos > 0.99, cos
+
+
+def test_dyn_approx_betweenness_random_graphs(spark):
+    """DynApproxBetweenness: repaired sampled state ≡ fresh sampled
+    estimator of the post-addition graph (same n_samples/seed — the
+    source set depends only on node set + seed, so scores must match to
+    1e-9, and at least one source must survive un-recomputed so the dyn
+    path is actually exercised)."""
+    from linkgraph.algs.betweenness import (
+        betweenness,
+        dyn_approx_betweenness_additions,
+        sampled_brandes_state,
+        scores_from_sampled_state,
+    )
+
+    for seed in (11, 12, 13):
+        edges = _random_graph(seed)
+        g0 = make_graph(spark, edges)
+        st = sampled_brandes_state(g0, n_samples=6, seed=seed)
+        rng = random.Random(200 + seed)
+        existing = set(edges)
+        adds = []
+        while len(adds) < 2:
+            u, v = rng.randrange(14), rng.randrange(14)
+            if u != v and (min(u, v), max(u, v)) not in existing:
+                adds.append((min(u, v), max(u, v)))
+                existing.add((min(u, v), max(u, v)))
+        extra = spark.createDataFrame(
+            [(u, v, 1.0) for u, v in adds], "src bigint, dst bigint, weight double"
+        )
+        g1 = Graph.from_edges(g0.edges.unionByName(extra), directed=False)
+        st1 = dyn_approx_betweenness_additions(g1, st, adds)
+        dyn = {
+            r["id"]: r["score"]
+            for r in scores_from_sampled_state(g1, st1).collect()
+        }
+        ful = {
+            r["id"]: r["score"]
+            for r in betweenness(g1, n_samples=6, seed=seed).collect()
+        }
+        assert set(dyn) == set(ful)
+        for k in ful:
+            assert abs(dyn[k] - ful[k]) < 1e-9, (seed, k, dyn[k], ful[k])
