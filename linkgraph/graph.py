@@ -285,3 +285,72 @@ def attach_attribute(nodes_or_graph, attrs: DataFrame, name: str) -> DataFrame:
     return base.join(
         attrs.select("id", F.col(attrs.columns[1]).alias(name)), "id", "left"
     )
+
+
+def attach_edge_attribute(graph: Graph, attrs: DataFrame, name: str) -> DataFrame:
+    """Typed edge-attribute attachment (Graph.hpp attachEdgeAttribute
+    analogue): an edge attribute IS a ``(src, dst, value)`` DataFrame whose
+    value column keeps its own Spark type (int/double/string/array — the
+    reference's ``EdgeAttribute<T>``); "attaching" is a left equi-join
+    producing the widened edge table ``(src, dst, weight, <name>)``.
+    Missing edges stay null, as the reference's unset slots do.
+
+    Undirected graphs match the attribute row in EITHER orientation: both
+    sides join on canonical (least, greatest) keys, so an attribute stated
+    as (v, u) reaches the stored row (u, v). Duplicate attribute rows for
+    one edge are reduced by max (the symmetric_edges dedup rule) so the
+    join cannot fan edges out. One shuffle; broadcastable when the
+    attribute table is small."""
+    val = F.col(attrs.columns[2]).alias(name)
+    if graph.directed:
+        a = attrs.select("src", "dst", val).groupBy("src", "dst").agg(
+            F.max(name).alias(name)
+        )
+        return graph.edges.join(a, ["src", "dst"], "left")
+    a = (
+        attrs.select(
+            F.least("src", "dst").alias("_lo"),
+            F.greatest("src", "dst").alias("_hi"),
+            val,
+        )
+        .groupBy("_lo", "_hi")
+        .agg(F.max(name).alias(name))
+    )
+    e = graph.edges.withColumn("_lo", F.least("src", "dst")).withColumn(
+        "_hi", F.greatest("src", "dst")
+    )
+    return e.join(a, ["_lo", "_hi"], "left").select("src", "dst", "weight", name)
+
+
+def symmetric_edges_with_attribute(
+    graph: Graph, attrs: DataFrame, name: str
+) -> DataFrame:
+    """Both-direction edge view widened with a typed edge attribute: each
+    stored edge's value rides BOTH orientations (attribute propagation
+    through symmetrize). Same dedup discipline as Graph.symmetric_edges."""
+    e = attach_edge_attribute(graph, attrs, name)
+    both = e.unionAll(
+        e.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight", name
+        )
+    )
+    return both.groupBy("src", "dst").agg(
+        F.max("weight").alias("weight"), F.max(name).alias(name)
+    )
+
+
+def filter_edge_attribute(graph: Graph, attrs: DataFrame) -> DataFrame:
+    """Attribute propagation through subgraph/sparsification: keep only
+    attribute rows whose edge survives in ``graph`` (orientation-blind for
+    undirected graphs). Left-semi join — no payload widening; the invariant
+    ``attach(subgraph, filter(subgraph, attrs)) == attach(subgraph, attrs)``
+    holds by construction and is pinned by tests/test_edge_attrs.py."""
+    if graph.directed:
+        return attrs.join(graph.edges.select("src", "dst"), ["src", "dst"], "semi")
+    canon = graph.edges.select(
+        F.least("src", "dst").alias("_lo"), F.greatest("src", "dst").alias("_hi")
+    )
+    a = attrs.withColumn("_lo", F.least("src", "dst")).withColumn(
+        "_hi", F.greatest("src", "dst")
+    )
+    return a.join(canon, ["_lo", "_hi"], "semi").drop("_lo", "_hi")
