@@ -823,6 +823,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("degree")
         )
 
+    def gen_clustered_structure(spark, sf):
+        """ClusteredRandomGraph (n=300, k=4, p_in=0.15, p_out=0.01) FULL
+        edge-set + planted-label parity: the DuckDB oracle regenerates
+        the identical graph from the portable md5 hash (same cluster
+        assignment, same per-pair coin) and emits every (src, dst,
+        label_src, label_dst) row."""
+        from linkgraph.generators import clustered_random_graph
+
+        edges, labels = clustered_random_graph(
+            spark, 300, 4, 0.15, 0.01, seed=5, portable=True
+        )
+        ls = labels.withColumnRenamed("id", "src").withColumnRenamed(
+            "label", "label_src"
+        )
+        ld = labels.withColumnRenamed("id", "dst").withColumnRenamed(
+            "label", "label_dst"
+        )
+        return edges.join(ls, "src").join(ld, "dst").select(
+            "src", "dst", "label_src", "label_dst"
+        )
+
+    def gen_mocnik_structure(spark, sf):
+        """Mocnik spatial graph (n=250, dim=2, k=1.5) out-degree
+        histogram, portable md5 coordinates. Oracle: DuckDB regenerates
+        the identical point set and re-derives every edge by brute-force
+        pairwise distance — a full end-to-end check of the grid-cell
+        candidate join."""
+        from linkgraph.generators import mocnik
+
+        e = mocnik(spark, 250, dim=2, k=1.5, seed=7, portable=True)
+        deg = e.groupBy(F.col("src").alias("id")).agg(
+            F.count("*").alias("degree")
+        )
+        return (
+            deg.groupBy("degree").agg(F.count("*").alias("n")).orderBy("degree")
+        )
+
     def doc_betweenness_exact(spark, sf):
         """EXACT Brandes (all sources) — oracle-checked against the
         independent pair-sum-identity SQL (no Brandes back-prop in the
@@ -1100,6 +1137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ppr": doc_ppr,
         "doc_seir_census": doc_seir_census,
         "gen_ba_structure": gen_ba_structure,
+        "gen_clustered_structure": gen_clustered_structure,
+        "gen_mocnik_structure": gen_mocnik_structure,
         "doc_betweenness_exact": doc_betweenness_exact,
         "doc_laplacian": doc_laplacian,
         "doc_bridges": doc_bridges,
@@ -1609,6 +1648,43 @@ deg AS (
     SELECT src AS id FROM pairs UNION ALL SELECT dst FROM pairs
   ) e GROUP BY id
 )
+SELECT degree, COUNT(*) AS n FROM deg GROUP BY degree ORDER BY degree
+"""
+
+    # ClusteredRandomGraph: regenerate assignment + coins from the same
+    # portable hash and emit the full edge set with planted labels
+    _cn, _ck, _cpi, _cpo, _cs = 300, 4, 0.15, 0.01, 5
+    sql["gen_clustered_structure"] = f"""
+WITH lab AS (
+  SELECT i AS id, {_ph("i", str(_cs), "'c'")} % {_ck} AS label
+  FROM range({_cn}) t(i)
+),
+pairs AS (
+  SELECT u.id AS src, v.id AS dst, u.label AS label_src, v.label AS label_dst
+  FROM lab u JOIN lab v ON u.id < v.id
+)
+SELECT src, dst, label_src, label_dst FROM pairs
+WHERE ({_ph("src", "dst", str(_cs), "'e'")} / 1152921504606846976.0)
+    < (CASE WHEN label_src = label_dst THEN {_cpi!r} ELSE {_cpo!r} END)
+"""
+
+    # Mocnik: regenerate the portable point set, brute-force all pairs
+    _mn, _mk, _ms = 250, 1.5, 7
+    _mr = _mk * _mn ** (-1.0 / 2)
+    sql["gen_mocnik_structure"] = f"""
+WITH pts AS (
+  SELECT i AS id,
+         {_ph("i", str(_ms), "0")} / 1152921504606846976.0 AS x0,
+         {_ph("i", str(_ms), "1")} / 1152921504606846976.0 AS x1
+  FROM range({_mn}) t(i)
+),
+ed AS (
+  SELECT u.id AS src FROM pts u JOIN pts v
+  ON u.id <> v.id
+  AND (u.x0 - v.x0) * (u.x0 - v.x0) + (u.x1 - v.x1) * (u.x1 - v.x1)
+      < {_mr * _mr!r}
+),
+deg AS (SELECT src, COUNT(*) AS degree FROM ed GROUP BY src)
 SELECT degree, COUNT(*) AS n FROM deg GROUP BY degree ORDER BY degree
 """
 

@@ -919,3 +919,141 @@ def pubweb(
     )
     pts.unpersist()
     return out
+
+
+def clustered_random_graph(
+    spark: SparkSession,
+    n: int,
+    k: int,
+    p_in: float,
+    p_out: float,
+    seed: int = 42,
+    portable: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """ClusteredRandomGraphGenerator parity (generators/
+    ClusteredRandomGraphGenerator.cpp): each vertex joins one of ``k``
+    clusters uniformly at random; every unordered pair gets an
+    independent edge with probability ``p_in`` (same cluster) or
+    ``p_out`` (different clusters). Returns ``(edges, labels)`` where
+    labels is the planted partition ``(id, label)`` with label = cluster
+    index — the reference's getCommunities().
+
+    Coins and assignments are counter-hash deterministic (same graph at
+    any parallelism). Candidate enumeration streams O(n^2) pairs through
+    a filter — a fixture/oracle-scale generator like erdos_renyi; the
+    sparse scale path is rmat/hyperbolic. ``portable=True`` swaps
+    xxhash64 for the md5 portable hash so the gate's DuckDB oracle
+    regenerates the identical graph (gen_clustered_structure)."""
+    if portable:
+        from linkgraph.portable import phash
+
+        def assign(col):
+            return F.pmod(phash(col, F.lit(seed), F.lit("c")), F.lit(k))
+
+        def coin(a, b):
+            return phash(a, b, F.lit(seed), F.lit("e")) / F.lit(float(1 << 60))
+
+    else:
+
+        def assign(col):
+            return F.pmod(F.xxhash64(col, F.lit(seed), F.lit("c")), F.lit(k))
+
+        def coin(a, b):
+            return F.shiftrightunsigned(
+                F.xxhash64(a, b, F.lit(seed), F.lit("e")), 11
+            ) / F.lit(float(1 << 53))
+
+    labels = spark.range(n).select(
+        "id", assign(F.col("id")).cast("bigint").alias("label")
+    )
+    pairs = (
+        spark.range(n).withColumnRenamed("id", "src")
+        .crossJoin(spark.range(n).withColumnRenamed("id", "dst"))
+        .where(F.col("src") < F.col("dst"))
+    )
+    same = assign(F.col("src")) == assign(F.col("dst"))
+    edges = pairs.where(
+        coin(F.col("src"), F.col("dst"))
+        < F.when(same, F.lit(float(p_in))).otherwise(F.lit(float(p_out)))
+    ).withColumn("weight", F.lit(1.0))
+    return edges, labels
+
+
+def mocnik(
+    spark: SparkSession,
+    n: int,
+    dim: int = 2,
+    k: float = 2.5,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """MocnikGenerator parity (generators/MocnikGenerator.cpp — Mocnik &
+    Fairbairn spatial-network model): ``n`` points uniform in the unit
+    ``dim``-cube; directed edge u->v (both directions, as the reference
+    emits) iff euclidean dist(u, v) < k * n^(-1/dim). Returns
+    (src, dst, weight=1.0).
+
+    Scale shape: NOT the reference's kd-scan — candidate pairs come from
+    a grid-cell equi-join at cell width = radius, so each vertex only
+    meets the 3^dim neighboring cells (expected O(k^dim) candidates per
+    vertex, O(n) total work, one shuffle on cell key); a within-radius
+    pair always lies in adjacent cells, and each ordered pair appears
+    exactly once because the probe side emits each offset cell once.
+    Coordinates are counter-hash deterministic; ``portable=True`` uses
+    the md5 portable hash so the DuckDB oracle regenerates the identical
+    point set and re-derives every edge by brute-force pairwise distance
+    (a full end-to-end check of the bucketed candidate join)."""
+    import itertools
+
+    if portable:
+        from linkgraph.portable import phash
+
+        def draw(j):
+            return phash(F.col("id"), F.lit(seed), F.lit(j)) / F.lit(float(1 << 60))
+
+    else:
+
+        def draw(j):
+            return F.shiftrightunsigned(
+                F.xxhash64("id", F.lit(seed), F.lit(j)), 11
+            ) / F.lit(float(1 << 53))
+
+    radius = float(k) * float(n) ** (-1.0 / dim)
+    pts = spark.range(n).select(
+        "id", *[draw(j).alias(f"x{j}") for j in range(dim)]
+    )
+    cells = pts.select(
+        "id",
+        *[F.col(f"x{j}") for j in range(dim)],
+        *[
+            F.floor(F.col(f"x{j}") / F.lit(radius)).cast("bigint").alias(f"c{j}")
+            for j in range(dim)
+        ],
+    )
+    home = cells.select(
+        F.col("id").alias("src"),
+        *[F.col(f"x{j}").alias(f"sx{j}") for j in range(dim)],
+        F.concat_ws(",", *[F.col(f"c{j}") for j in range(dim)]).alias("cell"),
+    )
+    offsets = spark.createDataFrame(
+        [tuple(o) for o in itertools.product((-1, 0, 1), repeat=dim)],
+        ", ".join(f"o{j} bigint" for j in range(dim)),
+    )
+    probe = cells.crossJoin(F.broadcast(offsets)).select(
+        F.col("id").alias("dst"),
+        *[F.col(f"x{j}").alias(f"dx{j}") for j in range(dim)],
+        F.concat_ws(
+            ",", *[F.col(f"c{j}") + F.col(f"o{j}") for j in range(dim)]
+        ).alias("cell"),
+    )
+    d2 = None
+    for j in range(dim):
+        t = (F.col(f"sx{j}") - F.col(f"dx{j}")) * (
+            F.col(f"sx{j}") - F.col(f"dx{j}")
+        )
+        d2 = t if d2 is None else d2 + t
+    return (
+        home.join(probe, "cell")
+        .where((F.col("src") != F.col("dst")) & (d2 < F.lit(radius * radius)))
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
