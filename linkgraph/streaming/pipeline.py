@@ -1,0 +1,277 @@
+"""End-to-end crawl-ingest pipeline: pages micro-batch stream → vectorized
+href extraction → url dictionary → partition-pruned edge merge →
+incremental connected components → PageRank re-trigger, all inside one
+``foreachBatch`` (the streaming composition the north rule's engine runs
+in production; components from linkgraph.extract + streaming.deltas).
+
+Semantics per micro-batch of pages:
+- a page's out-links are REPLACED by its latest crawl (upsert by src id):
+  stale links of a re-crawled url disappear, new ones appear — the edge
+  table always equals ``pages_to_edges`` over the latest version of every
+  url ever seen (asserted exactly in tests/test_pipeline_stream.py);
+- hrefs to urls the crawl has NOT seen yet park in a pending-links table
+  (src, dst_url, weight) instead of being dropped: when a later batch
+  crawls the target url, the parked links retro-resolve into edges. This
+  is what makes the incremental table converge to the batch result — the
+  batch job's "drop dangling hrefs" inner join is against the FINAL url
+  set, which a stream only discovers over time. Per batch the retro work
+  is one join of pending against the batch's new urls — O(pending ∩ new),
+  never a rescan of the edge table;
+- the edge table is block-partitioned parquet (block = pmod(src, n_blocks),
+  the linkgraph.tables CSR discipline); a batch rewrites ONLY the blocks
+  holding its source ids — O(touched blocks), the parquet analogue of
+  Iceberg MERGE INTO, same as stream_apply_deltas_pruned;
+- labels update incrementally: additions take the O(affected) label-merge
+  path, removals (from re-crawls) the recompute-affected-components path —
+  never a full-graph CC;
+- the url dictionary grows append-only (hash ids are content-derived, so
+  re-crawls keep their vertex id);
+- every ``pagerank_every``-th batch re-triggers PageRank on the merged
+  graph (its own Superstep checkpoint/resume manifests live under
+  ``state_dir``) and writes top ranks;
+- a pipeline manifest (state_dir/pipeline_manifest.jsonl) records one line
+  per batch: counts, components, and whether PageRank ran — the
+  resumability/lineage record; stream restarts resume from the Structured
+  Streaming checkpoint without reprocessing finished batches.
+
+Scale: everything a batch does is bounded by the batch + affected state
+(touched blocks, affected components), not table size — except PageRank,
+which is a deliberate full recompute on its own cadence (resume/warm-start
+manifests make it a handful of supersteps when ranks moved little).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def read_pages_stream(
+    spark: SparkSession, pages_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Micro-batch source of crawl pages (the input_hint table shape)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_path)
+    )
+
+
+def _read_table(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
+def stream_pages_pipeline(
+    spark: SparkSession,
+    pages_path: str,
+    state_dir: str,
+    n_blocks: int = 16,
+    pagerank_every: int = 1,
+    pagerank_iters: int = 20,
+    max_files_per_trigger: int = 1,
+):
+    """Wire the full ingest pipeline over a pages directory; returns the
+    StreamingQuery (availableNow trigger — caller awaits termination).
+    State layout under ``state_dir``: edges/ (block-partitioned table),
+    labels/ (id, label), dictionary/ (url, id), pagerank/ (id, rank),
+    pr_work/ (Superstep manifests), checkpoint/ (stream offsets),
+    pipeline_manifest.jsonl."""
+    from linkgraph.algs.pagerank import pagerank
+    from linkgraph.extract import dictionary_encode, extract_hrefs, normalize_url
+    from linkgraph.graph import Graph
+    from linkgraph.streaming.deltas import (
+        incremental_cc_additions,
+        incremental_cc_removals,
+    )
+
+    edges_path = os.path.join(state_dir, "edges")
+    labels_path = os.path.join(state_dir, "labels")
+    dict_path = os.path.join(state_dir, "dictionary")
+    pending_path = os.path.join(state_dir, "pending_links")
+    pr_path = os.path.join(state_dir, "pagerank")
+    manifest = os.path.join(state_dir, "pipeline_manifest.jsonl")
+    os.makedirs(state_dir, exist_ok=True)
+
+    def ingest_batch(pages: DataFrame, batch_id: int) -> None:
+        sp = pages.sparkSession
+        if pages.isEmpty():
+            return
+        # latest crawl wins when one batch carries a url twice
+        latest = pages.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+            ),
+        ).where(F.col("_rn") == 1).drop("_rn")
+
+        # ---- extraction: (src, dst_url, weight) over the batch ------------
+        batch_dict = dictionary_encode(latest).localCheckpoint(eager=True)
+        links = (
+            latest.select("url", extract_hrefs(F.col("html")).alias("hrefs"))
+            .select("url", F.explode("hrefs").alias("href"))
+            .select(
+                "url", normalize_url(F.col("href"), F.col("url")).alias("dst_url")
+            )
+            .where(F.col("dst_url").isNotNull())
+            .join(batch_dict, "url")
+            .groupBy(F.col("id").alias("src"), "dst_url")
+            .agg(F.count("*").cast("double").alias("weight"))
+            .localCheckpoint(eager=True)
+        )
+
+        # ---- dictionary: append only unseen urls ---------------------------
+        cur_dict = _read_table(sp, dict_path, "url string, id bigint")
+        new_urls = batch_dict.join(cur_dict, "url", "left_anti").localCheckpoint(
+            eager=True
+        )
+        new_urls.write.mode("append").parquet(dict_path)
+        full_dict = sp.read.parquet(dict_path)
+
+        # ---- resolve batch links; park the rest as pending -----------------
+        dst_map = full_dict.select(
+            F.col("url").alias("dst_url"), F.col("id").alias("dst")
+        )
+        resolved = (
+            links.join(dst_map, "dst_url")
+            .groupBy("src", "dst")
+            .agg(F.sum("weight").alias("weight"))
+            .localCheckpoint(eager=True)
+        )
+        unresolved = links.join(dst_map, "dst_url", "left_anti").select(
+            "src", "dst_url", "weight"
+        )
+
+        # ---- retro-resolve old pending links against the new urls ----------
+        pending = _read_table(
+            sp, pending_path, "src bigint, dst_url string, weight double"
+        )
+        batch_src_ids = batch_dict.select(F.col("id").alias("src")).distinct()
+        # a re-crawled page replaces its pending links too
+        pending_kept = pending.join(batch_src_ids, "src", "left_anti")
+        new_dst = new_urls.select(
+            F.col("url").alias("dst_url"), F.col("id").alias("dst")
+        )
+        retro = (
+            pending_kept.join(new_dst, "dst_url")
+            .select("src", "dst", "weight")
+            .localCheckpoint(eager=True)
+        )
+        pending_next = (
+            pending_kept.join(new_dst.select("dst_url"), "dst_url", "left_anti")
+            .select("src", "dst_url", "weight")
+            .unionByName(unresolved)
+            .localCheckpoint(eager=True)
+        )
+        pending_next.write.mode("overwrite").parquet(pending_path)
+
+        # ---- pruned edge merge ---------------------------------------------
+        # replace-by-src for the batch's pages, append for retro edges;
+        # both touch only their own src blocks
+        touched_srcs = batch_src_ids.unionByName(
+            retro.select("src")
+        ).distinct()
+        blocks = [
+            r["b"]
+            for r in touched_srcs.select(
+                F.pmod(F.col("src"), F.lit(n_blocks)).cast("int").alias("b")
+            ).distinct().collect()
+        ]
+        cur = _read_table(sp, edges_path, "src bigint, dst bigint, weight double")
+        if "block" in cur.columns:
+            cur = cur.where(F.col("block").isin(blocks)).select(
+                "src", "dst", "weight"
+            )
+        stale = cur.join(batch_src_ids, "src", "semi").localCheckpoint(eager=True)
+        kept = cur.join(batch_src_ids, "src", "left_anti")
+        merged = kept.unionByName(resolved).unionByName(retro)
+        removed = stale.join(
+            resolved.select("src", "dst"), ["src", "dst"], "left_anti"
+        ).localCheckpoint(eager=True)
+        added = (
+            resolved.join(stale.select("src", "dst"), ["src", "dst"], "left_anti")
+            .unionByName(retro)
+            .localCheckpoint(eager=True)
+        )
+        old_mode = sp.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                merged.withColumn(
+                    "block", F.pmod(F.col("src"), F.lit(n_blocks)).cast("int")
+                )
+                .write.mode("overwrite")
+                .partitionBy("block")
+                .parquet(edges_path)
+            )
+        finally:
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+        # ---- incremental components --------------------------------------
+        full_edges = sp.read.parquet(edges_path).select("src", "dst", "weight")
+        g = Graph.from_edges(full_edges, directed=True)
+        labels = _read_table(sp, labels_path, "id bigint, label bigint")
+        new_nodes = (
+            added.select(F.col("src").alias("id"))
+            .unionByName(added.select(F.col("dst").alias("id")))
+            .distinct()
+            .join(labels, "id", "left_anti")
+            .select("id", F.col("id").alias("label"))
+        )
+        labels = labels.unionByName(new_nodes)
+        if not removed.isEmpty():
+            labels = incremental_cc_removals(labels, g, removed)
+        if not added.isEmpty():
+            labels = incremental_cc_additions(labels, added)
+        # localCheckpoint materializes the rows, so overwriting the table
+        # the plan originally read from is safe
+        labels = labels.localCheckpoint(eager=True)
+        labels.write.mode("overwrite").parquet(labels_path)
+        n_components = labels.select("label").distinct().count()
+
+        # ---- PageRank re-trigger ------------------------------------------
+        ran_pr = False
+        if pagerank_every and batch_id % pagerank_every == 0:
+            pr = pagerank(
+                g,
+                max_iter=pagerank_iters,
+                work_dir=os.path.join(state_dir, f"pr_work_b{batch_id}"),
+            )
+            pr.write.mode("overwrite").parquet(pr_path)
+            ran_pr = True
+
+        with open(manifest, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "batch_id": batch_id,
+                        "ts": time.time(),
+                        "n_pages": latest.count(),
+                        "n_added": added.count(),
+                        "n_removed": removed.count(),
+                        "touched_blocks": sorted(blocks),
+                        "n_components": n_components,
+                        "pagerank_ran": ran_pr,
+                    }
+                )
+                + "\n"
+            )
+
+    stream = read_pages_stream(spark, pages_path, max_files_per_trigger)
+    return (
+        stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", os.path.join(state_dir, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
