@@ -283,13 +283,16 @@ def _plp_chain(px: str, iters: int) -> list[str]:
     """Synchronous-PLP replay chain over pre-existing CTEs ``{px}symn``
     (src, dst, weight — no self-loops) and ``{px}nodes`` (id); emits
     labels {px}l0 .. {px}l{iters} (algs/plp.py::label_propagation with
-    tie_hash='portable', expression by expression)."""
+    tie_hash='portable', expression by expression): per-(id,label)
+    stationary tie hash, parity-gated move application (fresh gate hash
+    per round, complementary half when the gated half is empty)."""
     parts = [
         f"{px}l0 AS MATERIALIZED (SELECT id, id AS label FROM {px}nodes)",
     ]
     for i in range(1, iters + 1):
         p = i - 1
-        tie = phash_sql("v.label", str(i - 1))
+        tie = phash_sql("v.id", "v.label")
+        gate = phash_sql("j.id", str(i - 1))  # step() receives k = i-1
         parts.append(
             f"{px}v{i} AS MATERIALIZED (SELECT e.dst AS id, l.label, SUM(e.weight) AS w "
             f"FROM {px}l{p} l JOIN {px}symn e ON e.src = l.id GROUP BY e.dst, l.label)"
@@ -302,9 +305,21 @@ def _plp_chain(px: str, iters: int) -> list[str]:
             f"FROM {px}v{i} v JOIN {px}l{p} c ON c.id = v.id) z WHERE rn = 1)"
         )
         parts.append(
-            f"{px}l{i} AS MATERIALIZED (SELECT n.id, COALESCE(b.label, c.label) AS label "
+            f"{px}p{i} AS MATERIALIZED (SELECT j.id, j.old, j.win, "
+            f"CASE WHEN j.win <> j.old THEN 1 ELSE 0 END AS pend, "
+            f"{gate} % 2 AS g FROM ("
+            f"SELECT n.id, c.label AS old, COALESCE(b.label, c.label) AS win "
             f"FROM {px}nodes n JOIN {px}l{p} c ON c.id = n.id"
-            f" LEFT JOIN {px}b{i} b ON b.id = n.id)"
+            f" LEFT JOIN {px}b{i} b ON b.id = n.id) j)"
+        )
+        parts.append(
+            f"{px}h{i} AS MATERIALIZED (SELECT MAX(CASE WHEN pend = 1 AND g = 0 "
+            f"THEN 1 ELSE 0 END) AS h0 FROM {px}p{i})"
+        )
+        parts.append(
+            f"{px}l{i} AS MATERIALIZED (SELECT p.id, "
+            f"CASE WHEN p.pend = 1 AND (p.g = 0 OR h.h0 = 0) THEN p.win "
+            f"ELSE p.old END AS label FROM {px}p{i} p CROSS JOIN {px}h{i} h)"
         )
     return parts
 

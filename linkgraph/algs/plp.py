@@ -13,12 +13,14 @@ Determinism rules (N-vs-4N result identity, BASELINE.json:14):
 - tie-break = highest neighbor-label weight, then current-label preference
   (a node KEEPS its label whenever tied for the max — the synchronous
   stand-in for async "no change if already dominant" and the oscillation
-  damper), then ``xxhash64(label, iteration)``, then label id. The hash
-  term replaces the reference's random tie-breaking with a seeded,
-  partition-independent pseudo-random pick: a plain smallest-label rule
-  would flood minimum ids through the graph and collapse every component
-  into one community (observed on karate); hashing breaks that bias while
-  keeping the order total and deterministic.
+  damper), then ``xxhash64(id, label)``, then label id. The hash term
+  replaces the reference's random tie-breaking with a partition-independent
+  pseudo-random pick: a plain smallest-label rule would flood minimum ids
+  through the graph and collapse every component into one community
+  (observed on karate); a per-NODE hash order breaks that bias with no
+  globally preferred label, and being STATIONARY across iterations it
+  cannot re-roll settled ties (a per-iteration hash term churned ~100% of
+  tie-boundary nodes every superstep without converging).
 
 Plan per superstep: labels ⋈ sym_edges → groupBy(dst,label).sum(weight)
 (partial agg soaks hub skew) → window row_number over (dst) ordered by
@@ -53,13 +55,14 @@ def label_propagation(
 
     Active-frontier restriction (the reference's ``activeNodes`` set):
     once fewer than ``active_frontier_frac``·n labels changed in the
-    previous superstep, votes are recomputed ONLY for nodes with a changed
-    in-neighbor — everyone else provably keeps their label, because with
-    an unchanged vote table the previous winner still has maximal weight
-    and the keep-current tie-break re-elects it independent of the
-    per-iteration hash term. Late supersteps therefore join a
-    frontier-sized edge subset (semi-join on the changed set, broadcast
-    when small) instead of all m edges. Set the frac to 0 to disable.
+    previous superstep, votes are recomputed ONLY for nodes with a moved
+    in-neighbor plus nodes whose pending move the parity gate blocked —
+    everyone else provably keeps their label, because with an unchanged
+    vote table the previous winner still has maximal weight and the
+    stationary keep-current/hash tie-break re-elects it. Late supersteps
+    therefore join a frontier-sized edge subset (semi-join on the changed
+    set, broadcast when small) instead of all m edges. Set the frac to 0
+    to disable.
 
     ``tie_hash="portable"`` swaps the xxhash64 tie-break for the md5-based
     portable hash (linkgraph.portable) so the run unrolls to an EXACT
@@ -74,15 +77,35 @@ def label_propagation(
     if update_threshold is None:
         update_threshold = int(n / 1e5)
     last_changed: list = [None]  # set by metric(); None until round 1 done
+    # STATIONARY per-node tie order: hash(id, label), NOT hash(label,
+    # iteration). A per-iteration hash re-rolls every tied vote each
+    # superstep — on tie-dense graphs (boundary nodes with equal-weight
+    # neighbor communities) that re-roll churned thousands of labels per
+    # round forever (observed: 4992/5000 nodes changing at iteration 20 on
+    # the sf0.1 doc graph). With a fixed per-(node,label) order, a node
+    # that adopts its tie-winner re-elects it next round via the
+    # keep-current term (same vote table → same max), so tie churn is
+    # impossible; and because the order is node-local, no label is
+    # globally tie-preferred — the min-id/global-permutation flooding
+    # bias the hash was introduced to prevent stays prevented.
     tie = (
-        (lambda k: phash(F.col("label"), F.lit(k)))
+        (lambda: phash(F.col("id"), F.col("label")))
         if tie_hash == "portable"
-        else (lambda k: F.xxhash64(F.col("label"), F.lit(k)))
+        else (lambda: F.xxhash64("id", "label"))
+    )
+
+    gate_hash = (
+        (lambda k: F.pmod(phash(F.col("id"), F.lit(k)), F.lit(2)))
+        if tie_hash == "portable"
+        else (lambda k: F.pmod(F.xxhash64("id", F.lit(k)), F.lit(2)))
     )
 
     def init() -> DataFrame:
         return graph.nodes().select(
-            "id", F.col("id").alias("label"), F.lit(1).alias("changed")
+            "id",
+            F.col("id").alias("label"),
+            F.lit(1).alias("changed"),
+            F.lit(0).alias("blocked"),
         )
 
     def step(state: DataFrame, k: int) -> DataFrame:
@@ -92,10 +115,16 @@ def label_propagation(
             last_changed[0] is not None
             and last_changed[0] < active_frontier_frac * n
         ):
+            # recompute votes for: nodes with a moved in-neighbor, plus
+            # nodes whose pending move the parity gate blocked last round
             chg = state.where(F.col("changed") == 1).select("id")
+            blocked = state.where(F.col("blocked") == 1).select(
+                F.col("id").alias("dst")
+            )
             active = (
                 sym.join(chg.withColumnRenamed("id", "src"), "src", "semi")
                 .select("dst")
+                .unionByName(blocked)
                 .distinct()
             )
             edges_k = sym.join(active, "dst", "semi")
@@ -123,20 +152,49 @@ def label_propagation(
                 F.struct(
                     F.col("w"),
                     F.col("is_cur"),
-                    F.bitwise_not(tie(k)),
+                    F.bitwise_not(tie()),
                     F.bitwise_not(F.col("label")),
                 ),
             ).alias("best")
         )
-        # isolated nodes (no votes) keep their label
-        return (
+        # parity dampening (the PLM discipline, plm.py:124): only the
+        # gate==0 pseudo-random half applies its pending move per round —
+        # synchronous all-at-once application 2-cycles on symmetric
+        # structures (an isolated edge swaps labels forever; observed as
+        # 100% churn on the doc graph). The gate hash is FRESH per round
+        # (a fixed split can sustain A<->B oscillation), and when the
+        # gated half has no pending move the COMPLEMENTARY half moves in
+        # the same round (broadcast has-g0 aggregate — no extra driver
+        # action), so metric==0 provably means BOTH halves are stable.
+        pre = (
             state.select("id", F.col("label").alias("old"))
             .join(best, "id", "left")
             .select(
                 "id",
-                F.coalesce("best", "old").alias("label"),
-                (F.coalesce("best", "old") != F.col("old")).cast("int").alias("changed"),
+                "old",
+                F.coalesce("best", "old").alias("win"),
+                gate_hash(k).alias("g"),
             )
+            .withColumn("pend", (F.col("win") != F.col("old")).cast("int"))
+            # materialize once: has0 aggregates over pre AND the state
+            # projection reads it — without this the vote join runs twice
+            # per superstep (Superstep checkpoints state each round, so
+            # lineage cannot grow across rounds)
+            .localCheckpoint(eager=True)
+        )
+        has0 = pre.agg(
+            F.max(
+                F.when((F.col("pend") == 1) & (F.col("g") == 0), 1).otherwise(0)
+            ).alias("h0")
+        )
+        moved = (F.col("pend") == 1) & (
+            (F.col("g") == 0) | (F.col("h0") == 0)
+        )
+        return pre.crossJoin(F.broadcast(has0)).select(
+            "id",
+            F.when(moved, F.col("win")).otherwise(F.col("old")).alias("label"),
+            F.when(moved, 1).otherwise(0).alias("changed"),
+            F.when((F.col("pend") == 1) & ~moved, 1).otherwise(0).alias("blocked"),
         )
 
     def metric(state: DataFrame) -> float:
