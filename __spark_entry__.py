@@ -340,6 +340,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf, directed=False)
         return eccentricities(g)
 
+    def doc_diameter(spark, sf):
+        """EXACT hop diameter via iFub (distance/Diameter.cpp exact mode).
+        Oracle: max pairwise hop distance from the all-pairs CTE (the doc
+        graph is connected at the gate SFs; eccentricity's hop-12 horizon
+        covers it)."""
+        from linkgraph.algs.bfs import diameter_exact
+
+        g = _doc_graph(spark, sf, directed=False)
+        return spark.createDataFrame(
+            [(int(diameter_exact(g)),)], "diameter bigint"
+        )
+
     def doc_scc(spark, sf):
         from linkgraph.algs.components import strongly_connected_components
 
@@ -1088,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_closeness": doc_closeness,
         "doc_harmonic": doc_harmonic,
         "doc_eccentricity": doc_eccentricity,
+        "doc_diameter": doc_diameter,
         "doc_scc": doc_scc,
         "doc_betweenness": doc_betweenness,
         "doc_spanning_stats": doc_spanning_stats,
@@ -1513,6 +1526,7 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["doc_closeness"] = G.closeness_sql(EDGES_CTE_MAT, harmonic=False, hops=12)
     sql["doc_harmonic"] = G.closeness_sql(EDGES_CTE_MAT, harmonic=True, hops=12)
     sql["doc_eccentricity"] = G.eccentricity_sql(EDGES_CTE_MAT, hops=12)
+    sql["doc_diameter"] = G.diameter_sql(EDGES_CTE_MAT, hops=12)
     sql["doc_scc"] = G.scc_sql(EDGES_CTE_MAT)
     sql["doc_spanning_stats"] = G.spanning_stats_sql(EDGES_CTE_MAT)
     sql["doc_neighborhood_2hop"] = G.anf_sql(EDGES_CTE_MAT, hops=2, registers=8)

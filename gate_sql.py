@@ -141,6 +141,17 @@ FROM nodes n LEFT JOIN ec ON ec.s = n.id
 """
 
 
+def diameter_sql(cte: str, hops: int = 12) -> str:
+    """Exact hop diameter = max pairwise finite distance (the oracle for
+    the iFub implementation; valid when the graph is connected and its
+    diameter ≤ hops — both hold for the doc graph at the gate SFs)."""
+    return f"""
+WITH {cte},
+{_all_pairs_cte(hops)}
+SELECT CAST(MAX(dist) AS BIGINT) AS diameter FROM ap{hops}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Power-iteration family — unrolled supersteps (directed weighted edges)
 # ---------------------------------------------------------------------------

@@ -72,3 +72,32 @@ def test_powerlaw_degree_sequence(spark):
     again = [r["degree"] for r in powerlaw_degree_sequence(
         spark, 2000, gamma=2.5, min_deg=1, max_deg=100).collect()]
     assert sorted(again) == sorted(degs)
+
+
+def test_diameter_exact_vs_networkx(spark):
+    import networkx as nx
+    import random
+
+    from linkgraph.algs.bfs import diameter_exact, diameter_lower_bound
+    from tests.conftest import make_graph
+
+    cases = {
+        "path": [(i, i + 1) for i in range(9)],
+        "cycle": [(i, (i + 1) % 11) for i in range(11)],
+        "star": [(0, i) for i in range(1, 9)],
+    }
+    for seed in (21, 22, 23):
+        rng = random.Random(seed)
+        edges = {(i, i + 1) for i in range(13)}
+        for _ in range(12):
+            u, v = rng.randrange(14), rng.randrange(14)
+            if u != v:
+                edges.add((min(u, v), max(u, v)))
+        cases[f"rand{seed}"] = sorted(edges)
+    for name, edges in cases.items():
+        g = make_graph(spark, edges)
+        want = nx.diameter(nx.Graph(edges))
+        got = diameter_exact(g)
+        assert got == want, (name, got, want)
+        # the double-sweep estimate must lower-bound the exact value
+        assert diameter_lower_bound(g) <= want, name
