@@ -752,7 +752,15 @@ def hyperbolic(
         )
     R = float(radius)
     pts = hyperbolic_points(spark, n, a, R, seed, portable=portable).localCheckpoint(eager=True)
+    return _hyperbolic_pairs(pts, R, portable=portable)
 
+
+def _hyperbolic_pairs(pts: DataFrame, R: float, portable: bool = False) -> DataFrame:
+    """Canonical (src, dst, weight) within-distance-R pairs for a point
+    table (id, theta, r) — the core/periphery banded candidate plan of
+    ``hyperbolic``, reusable against MOVED point sets (the dynamic
+    generator recomputes it per time step)."""
+    spark = pts.sparkSession
     # portable mode spells cosh/sinh via exp — the exact expressions the
     # DuckDB oracle computes (no cosh/sinh builtins there; JVM ulps differ)
     if portable:
@@ -891,6 +899,18 @@ def pubweb(
         ((u(0) + u(1)) / 2.0).alias("x"),  # triangular: denser center
         ((u(2) + u(3)) / 2.0).alias("y"),
     ).persist()
+    out = _pubweb_pairs(pts, r)
+    pts.unpersist()
+    return out
+
+
+def _pubweb_pairs(pts: DataFrame, r: float) -> DataFrame:
+    """Canonical (src, dst) within-torus-radius pairs for a point table
+    (id, x, y) — pubweb's 3×3 grid-bucket plan, reusable against MOVED
+    point sets (the dynamic generator recomputes it per time step)."""
+    spark = pts.sparkSession
+    cell = max(float(r), 1e-6)
+    n_cells = max(int(1.0 / cell), 1)
     cells = pts.select(
         "id", "x", "y",
         F.floor(F.col("x") * n_cells).cast("int").alias("cx"),
@@ -917,7 +937,6 @@ def pubweb(
         .select(F.col("id").alias("src"), F.col("rid").alias("dst"))
         .distinct()
     )
-    pts.unpersist()
     return out
 
 
@@ -1056,4 +1075,177 @@ def mocnik(
         home.join(probe, "cell")
         .where((F.col("src") != F.col("dst")) & (d2 < F.lit(radius * radius)))
         .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+
+
+def _snapshot_events(snapshots: list) -> DataFrame:
+    """GraphEvent table (ts, op, src, dst, weight) from a list of
+    (t, edge_df) snapshots: per consecutive pair, additions = E_t \\ E_{t-1}
+    and removals = E_{t-1} \\ E_t, each a pair of anti-joins — the
+    distributed diff that turns any deterministic position model into a
+    Dynamic*Generator event stream."""
+    prev_t, prev = snapshots[0]
+    out = prev.select(
+        F.lit(float(prev_t)).alias("ts"),
+        F.lit("add_edge").alias("op"),
+        "src",
+        "dst",
+        F.lit(1.0).alias("weight"),
+    )
+    for t, cur in snapshots[1:]:
+        adds = cur.join(prev, ["src", "dst"], "left_anti").select(
+            F.lit(float(t)).alias("ts"),
+            F.lit("add_edge").alias("op"),
+            "src",
+            "dst",
+            F.lit(1.0).alias("weight"),
+        )
+        rems = prev.join(cur, ["src", "dst"], "left_anti").select(
+            F.lit(float(t)).alias("ts"),
+            F.lit("remove_edge").alias("op"),
+            "src",
+            "dst",
+            F.lit(0.0).alias("weight"),
+        )
+        out = out.unionByName(adds).unionByName(rems)
+        prev = cur
+    return out.orderBy("ts", "op", "src", "dst")
+
+
+def dynamic_hyperbolic_events(
+    spark: SparkSession,
+    n: int,
+    steps: int,
+    avg_degree: float = 8.0,
+    gamma: float = 2.5,
+    omega: float = 0.2,
+    seed: int = 42,
+) -> DataFrame:
+    """DynamicHyperbolicGenerator parity (generators/
+    DynamicHyperbolicGenerator.cpp intent: nodes MOVE in the hyperbolic
+    disk; edges appear/disappear as pairwise distances cross R). Each node
+    gets a fixed counter-hash angular velocity in [-omega/2, omega/2]
+    rad/step (radial coordinate fixed); the step-t snapshot is the
+    threshold graph over the rotated point set, computed with the SAME
+    banded core/periphery candidate plan as the static generator, and
+    events are the distributed diff of consecutive snapshots. Everything
+    is a deterministic function of (id, t) — no sequential RNG state, so
+    any step's snapshot is reproducible in isolation."""
+    a = (gamma - 1.0) / 2.0
+    R = 2.0 * math.log(
+        (2.0 * a * a * n) / (math.pi * avg_degree * (a - 0.5) ** 2)
+    )
+    pts0 = hyperbolic_points(spark, n, a, R, seed).localCheckpoint(eager=True)
+    vel = (
+        F.shiftrightunsigned(F.xxhash64("id", F.lit(seed), F.lit("w")), 11)
+        / F.lit(float(1 << 53))
+        - 0.5
+    ) * F.lit(float(omega))
+    snaps = []
+    two_pi = 2.0 * math.pi
+    for t in range(steps + 1):
+        pts_t = pts0.select(
+            "id",
+            F.pmod(F.col("theta") + F.lit(float(t)) * vel, F.lit(two_pi)).alias(
+                "theta"
+            ),
+            "r",
+        )
+        snaps.append(
+            (t, _hyperbolic_pairs(pts_t, R).select("src", "dst").localCheckpoint(eager=True))
+        )
+    return _snapshot_events(snaps)
+
+
+def dynamic_pubweb_events(
+    spark: SparkSession,
+    n: int,
+    steps: int,
+    neighborhood_radius: float = 0.125,
+    velocity: float = 0.02,
+    seed: int = 42,
+) -> DataFrame:
+    """DynamicPubWebGenerator parity (generators/DynamicPubWebGenerator.cpp
+    intent: peers drift on the unit torus; links hold while within the
+    neighborhood radius). Per-node constant drift vector from counter
+    hashes (|v| ≤ velocity/2 per axis per step, torus wrap); snapshots via
+    the static generator's 3×3 grid-bucket plan; events = distributed
+    snapshot diff. Deterministic function of (id, t)."""
+    u = lambda k: (  # noqa: E731
+        F.pmod(F.xxhash64(F.col("id"), F.lit(seed + k)), F.lit(1_000_003))
+        / 1_000_003.0
+    )
+    pts0 = spark.range(n).select(
+        "id",
+        ((u(0) + u(1)) / 2.0).alias("x"),
+        ((u(2) + u(3)) / 2.0).alias("y"),
+        ((u(4) - 0.5) * velocity).alias("vx"),
+        ((u(5) - 0.5) * velocity).alias("vy"),
+    ).localCheckpoint(eager=True)
+    snaps = []
+    for t in range(steps + 1):
+        pts_t = pts0.select(
+            "id",
+            F.pmod(F.col("x") + F.lit(float(t)) * F.col("vx"), F.lit(1.0)).alias("x"),
+            F.pmod(F.col("y") + F.lit(float(t)) * F.col("vy"), F.lit(1.0)).alias("y"),
+        )
+        snaps.append(
+            (
+                t,
+                _pubweb_pairs(pts_t, neighborhood_radius)
+                .select("src", "dst")
+                .localCheckpoint(eager=True),
+            )
+        )
+    return _snapshot_events(snaps)
+
+
+def dynamic_forest_fire_events(
+    spark: SparkSession,
+    steps: int,
+    p: float = 0.3,
+    r_back: float = 0.3,
+    seed: int = 42,
+) -> DataFrame:
+    """DynamicForestFireGenerator parity (generators/
+    DynamicForestFireGenerator.cpp; Leskovec et al. forest-fire model):
+    each time step a new node arrives, picks a uniform ambassador among
+    existing nodes, and "burns" outward — every untried neighbor of a
+    burning node catches fire independently with probability ``p``
+    (``r_back·p`` across reverse edges) — the new node linking to every
+    burned node. Events are (ts, add_edge, new_node, burned) rows.
+
+    Scale note: event GENERATION here is inherently sequential (step t's
+    burn walks edges added by steps < t — the reference generator is the
+    same single-threaded loop), so this runs as a seeded numpy loop on
+    the driver and parallelizes only the OUTPUT; it is a fixture/stream-
+    source generator feeding linkgraph.streaming.deltas, not a corpus-
+    scale op. Deterministic for a given seed."""
+    rng = np.random.default_rng(seed)
+    fwd: dict[int, list] = {0: []}
+    rev: dict[int, list] = {0: []}
+    rows = []
+    for v in range(1, steps + 1):
+        amb = int(rng.integers(0, v))
+        burned = {amb}
+        frontier = [amb]
+        while frontier:
+            nxt = []
+            for w in frontier:
+                for x in fwd.get(w, ()):
+                    if x not in burned and rng.random() < p:
+                        burned.add(x)
+                        nxt.append(x)
+                for x in rev.get(w, ()):
+                    if x not in burned and rng.random() < r_back * p:
+                        burned.add(x)
+                        nxt.append(x)
+            frontier = nxt
+        fwd[v] = sorted(burned)
+        rev[v] = []
+        for w in burned:
+            rev[w].append(v)
+            rows.append((float(v), "add_edge", v, int(w), 1.0))
+    return spark.createDataFrame(
+        rows, "ts double, op string, src bigint, dst bigint, weight double"
     )

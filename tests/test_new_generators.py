@@ -102,3 +102,100 @@ def test_mocnik_density_scales_with_k(spark):
     lo = mocnik(spark, 120, dim=2, k=1.0, seed=5).count()
     hi = mocnik(spark, 120, dim=2, k=2.0, seed=5).count()
     assert hi > lo  # ~4x expected in 2d; monotonicity is the contract
+
+
+def _replay_final(events):
+    """Edge set after applying all events in ts order (last op per pair)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src", "dst").orderBy(F.desc("ts"))
+    last = (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .where(F.col("op") == "add_edge")
+    )
+    return sorted((r["src"], r["dst"]) for r in last.collect())
+
+
+def test_dynamic_hyperbolic_events_replay(spark):
+    from linkgraph.generators import (
+        _hyperbolic_pairs,
+        dynamic_hyperbolic_events,
+        hyperbolic_points,
+    )
+    import math
+
+    n, steps, avg_k, gamma, omega, seed = 120, 4, 6.0, 2.5, 0.6, 3
+    ev = dynamic_hyperbolic_events(
+        spark, n, steps, avg_degree=avg_k, gamma=gamma, omega=omega, seed=seed
+    ).cache()
+    ops = {r["op"] for r in ev.select("op").distinct().collect()}
+    assert ops == {"add_edge", "remove_edge"}  # movement creates both
+    # replaying the stream reproduces the step-`steps` snapshot exactly
+    a = (gamma - 1.0) / 2.0
+    R = 2.0 * math.log((2 * a * a * n) / (math.pi * avg_k * (a - 0.5) ** 2))
+    pts0 = hyperbolic_points(spark, n, a, R, seed)
+    vel = (
+        F.shiftrightunsigned(F.xxhash64("id", F.lit(seed), F.lit("w")), 11)
+        / F.lit(float(1 << 53))
+        - 0.5
+    ) * F.lit(omega)
+    pts_T = pts0.select(
+        "id",
+        F.pmod(
+            F.col("theta") + F.lit(float(steps)) * vel, F.lit(2 * math.pi)
+        ).alias("theta"),
+        "r",
+    )
+    want = sorted(
+        (r["src"], r["dst"])
+        for r in _hyperbolic_pairs(pts_T, R).select("src", "dst").collect()
+    )
+    assert _replay_final(ev) == want and len(want) > 0
+
+
+def test_dynamic_pubweb_events_replay(spark):
+    from linkgraph.generators import _pubweb_pairs, dynamic_pubweb_events
+
+    n, steps, rad, v, seed = 150, 4, 0.15, 0.2, 9
+    ev = dynamic_pubweb_events(
+        spark, n, steps, neighborhood_radius=rad, velocity=v, seed=seed
+    ).cache()
+    ops = {r["op"] for r in ev.select("op").distinct().collect()}
+    assert ops == {"add_edge", "remove_edge"}
+    u = lambda k: (
+        F.pmod(F.xxhash64(F.col("id"), F.lit(seed + k)), F.lit(1_000_003))
+        / 1_000_003.0
+    )
+    pts_T = spark.range(n).select(
+        "id",
+        F.pmod((u(0) + u(1)) / 2.0 + float(steps) * (u(4) - 0.5) * v, F.lit(1.0)).alias("x"),
+        F.pmod((u(2) + u(3)) / 2.0 + float(steps) * (u(5) - 0.5) * v, F.lit(1.0)).alias("y"),
+    )
+    want = sorted(
+        (r["src"], r["dst"])
+        for r in _pubweb_pairs(pts_T, rad).select("src", "dst").collect()
+    )
+    assert _replay_final(ev) == want and len(want) > 0
+
+
+def test_dynamic_forest_fire_structure(spark):
+    from linkgraph.generators import dynamic_forest_fire_events
+
+    ev = dynamic_forest_fire_events(spark, steps=60, p=0.35, seed=5)
+    rows = sorted(
+        (r["ts"], r["src"], r["dst"]) for r in ev.collect()
+    )
+    # every arriving node burns at least its ambassador
+    srcs = {s for _, s, _ in rows}
+    assert srcs == set(range(1, 61))
+    # edges always point from the arriving node to an EARLIER node
+    assert all(d < s for _, s, d in rows)
+    # deterministic
+    again = sorted(
+        (r["ts"], r["src"], r["dst"])
+        for r in dynamic_forest_fire_events(spark, steps=60, p=0.35, seed=5).collect()
+    )
+    assert rows == again
+    # burning spreads: densification beyond one edge per node
+    assert len(rows) > 90
