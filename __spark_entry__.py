@@ -835,6 +835,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("degree")
         )
 
+    def doc_curveball_degrees(spark, sf):
+        """Degrees AFTER 5 global curveball trade rounds. Oracle: the
+        original graph's degrees — the exact degree-preservation contract
+        (gate_sql.degree_invariant_sql), same discipline as
+        doc_switch_degrees."""
+        from linkgraph.algs.sparsification import global_curveball
+
+        g = _doc_graph(spark, sf, directed=False)
+        shuffled = global_curveball(g, rounds=5, seed=42)
+        return shuffled.degrees().select("id", "degree")
+
     def gen_clustered_structure(spark, sf):
         """ClusteredRandomGraph (n=300, k=4, p_in=0.15, p_out=0.01) FULL
         edge-set + planted-label parity: the DuckDB oracle regenerates
@@ -1073,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_clique_hist": doc_clique_hist,
         "doc_group_degree": doc_group_degree,
         "doc_switch_degrees": doc_switch_degrees,
+        "doc_curveball_degrees": doc_curveball_degrees,
         "doc_group_closeness": doc_group_closeness,
         "gen_hyperbolic_structure": gen_hyperbolic_structure,
         "doc_degrees": doc_degrees,
@@ -1575,6 +1587,7 @@ SELECT src, dst, ROUND(weight, 6) AS weight FROM last WHERE op <> 'remove_edge'
     sql["doc_group_degree"] = G.group_degree_sql(EDGES_CTE_MAT, k=3)
     sql["doc_group_closeness"] = G.group_closeness_sql(EDGES_CTE_MAT, k=3, hops=12)
     sql["doc_switch_degrees"] = G.degree_invariant_sql(EDGES_CTE_MAT)
+    sql["doc_curveball_degrees"] = G.degree_invariant_sql(EDGES_CTE_MAT)
     sql["gen_ba_structure"] = G.ba_structure_sql(n=500, k=3, seed=42)
     sql["node2vec_walks"] = G.node2vec_walks_sql(
         EDGES_CTE_MAT, walk_length=5, seed=7

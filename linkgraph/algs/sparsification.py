@@ -373,3 +373,118 @@ def degree_preserving_shuffle(
         .join(mapping.withColumnRenamed("id", "dst"), "dst")
         .select("src", F.col("nid").alias("dst"), "weight")
     )
+
+
+def global_curveball(graph: Graph, rounds: int = 5, seed: int = 42) -> Graph:
+    """Degree-preserving randomization — GLOBAL CURVEBALL trades
+    (randomization/GlobalCurveball.cpp; Carstens et al. "Parallel and I/O-
+    efficient randomisation of massive networks using Global Curveball
+    trades"). Per round: vertices are hash-paired, and each pair (u, v)
+    randomly redistributes its tradeable neighbors between u and v,
+    preserving every degree by construction.
+
+    Parallel-safe formulation: each undirected edge gets a per-round
+    hash-flipped ORIENTATION, so it lives in exactly ONE vertex's trade
+    list (no two pairs can trade the same edge — global rounds are
+    conflict-free with no reject/retry path, unlike edge_switching's
+    collision checks); the flip alternates which endpoint gets to trade
+    the edge across rounds. A pair's tradeable set excludes the partner's
+    full neighborhood and the partner itself (the reference's
+    disjoint-set rule, adapted to one-owner orientation), which also
+    makes every reassignment duplicate- and self-loop-free. Pool
+    shuffling = one window per pair bucket (bounded by deg(u)+deg(v)),
+    everything else hash joins/aggs — deterministic under any
+    partitioning."""
+    cur = (
+        graph.symmetric_edges()
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = graph.nodes().localCheckpoint(eager=True)
+    n = nodes.count()
+    n_pairs = max(n // 2, 1)
+    for t in range(rounds):
+        # per-round orientation: owner trades the edge this round
+        flip = F.pmod(F.xxhash64("src", "dst", F.lit(seed + t), F.lit("o")), F.lit(2))
+        adj = cur.select(
+            F.when(flip == 0, F.col("src")).otherwise(F.col("dst")).alias("owner"),
+            F.when(flip == 0, F.col("dst")).otherwise(F.col("src")).alias("target"),
+        )
+        # hash-pair the vertices (extras in buckets of size != 2 sit out)
+        ph = F.xxhash64("id", F.lit(seed + t), F.lit("p"))
+        w = Window.partitionBy("bucket").orderBy("h", "id")
+        tagged = (
+            nodes.withColumn("h", ph)
+            .withColumn("bucket", F.pmod(F.col("h"), F.lit(n_pairs)))
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("sz", F.count("*").over(Window.partitionBy("bucket")))
+        )
+        pairs = (
+            tagged.where((F.col("rn") == 1) & (F.col("sz") == 2))
+            .select("bucket", F.col("id").alias("u"))
+            .join(
+                tagged.where((F.col("rn") == 2) & (F.col("sz") == 2)).select(
+                    "bucket", F.col("id").alias("v")
+                ),
+                "bucket",
+            )
+        )
+        members = pairs.select(
+            "bucket", F.col("u").alias("owner"), F.col("v").alias("partner")
+        ).unionByName(
+            pairs.select(
+                "bucket", F.col("v").alias("owner"), F.col("u").alias("partner")
+            )
+        )
+        owned = adj.join(members, "owner")
+        # tradeable = owned targets not the partner and not in the
+        # partner's neighborhood (either orientation)
+        nbr = cur.select(F.col("src").alias("partner"), F.col("dst").alias("target")).unionByName(
+            cur.select(F.col("dst").alias("partner"), F.col("src").alias("target"))
+        )
+        tradeable = (
+            owned.where(F.col("target") != F.col("partner"))
+            .join(nbr, ["partner", "target"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        fixed = adj.join(
+            tradeable.select("owner", "target"), ["owner", "target"], "left_anti"
+        )
+        # shuffle each pair's pool; the first |tradeable_u| go to u
+        quota = (
+            tradeable.join(pairs.select("bucket", "u"), "bucket")
+            .where(F.col("owner") == F.col("u"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("qu"))
+        )
+        sw = Window.partitionBy("bucket").orderBy(
+            F.xxhash64("target", F.lit(seed + t), F.lit("s")), "target"
+        )
+        reassigned = (
+            tradeable.withColumn("pos", F.row_number().over(sw))
+            .join(pairs.select("bucket", "u", "v"), "bucket")
+            .join(quota, "bucket", "left")
+            .select(
+                F.when(
+                    F.col("pos") <= F.coalesce("qu", F.lit(0)), F.col("u")
+                ).otherwise(F.col("v")).alias("owner"),
+                "target",
+            )
+        )
+        cur = (
+            fixed.select("owner", "target")
+            .unionByName(reassigned)
+            .select(
+                F.least("owner", "target").alias("src"),
+                F.greatest("owner", "target").alias("dst"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return Graph(
+        cur.withColumn("weight", F.lit(1.0)), directed=False, weighted=False
+    )

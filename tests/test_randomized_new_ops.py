@@ -172,3 +172,31 @@ def test_dyn_approx_betweenness_random_graphs(spark):
         assert set(dyn) == set(ful)
         for k in ful:
             assert abs(dyn[k] - ful[k]) < 1e-9, (seed, k, dyn[k], ful[k])
+
+
+def test_global_curveball_invariants(spark):
+    """Degree sequence EXACTLY preserved, edge count preserved, no
+    self-loops/duplicates, deterministic, and the chain actually mixes."""
+    from linkgraph.algs.sparsification import global_curveball
+
+    for seed in (31, 32):
+        edges = _random_graph(seed, n=20, p=0.3)
+        g = make_graph(spark, edges)
+        before = {
+            r["id"]: r["degree"] for r in g.degrees().collect()
+        }
+        out = global_curveball(g, rounds=6, seed=seed)
+        rows = [(r["src"], r["dst"]) for r in out.edges.collect()]
+        assert len(rows) == len(edges)                     # |E| preserved
+        assert len(set(rows)) == len(rows)                 # no duplicates
+        assert all(s < d for s, d in rows)                 # canonical, no loops
+        after = {r["id"]: r["degree"] for r in out.degrees().collect()}
+        assert after == before                             # exact degrees
+        # mixing: at least one edge moved
+        assert set(rows) != set(edges)
+        # determinism across partitioning
+        again = sorted(
+            (r["src"], r["dst"])
+            for r in global_curveball(g, rounds=6, seed=seed).edges.collect()
+        )
+        assert sorted(rows) == again
