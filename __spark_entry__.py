@@ -584,6 +584,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges, _ = pages_to_edges(pages, dense_ids=True)
         return edges.select("src", "dst", "weight")
 
+    def pipeline_edges(spark, sf):
+        """END-TO-END STREAM gate: the gate_pages fixture is split into
+        two parquet files and driven through stream_pages_pipeline (a
+        REAL availableNow Structured Streaming query: extraction →
+        dictionary → pending-link retro-resolution → pruned block merge →
+        incremental CC), then the final edge table is mapped back to
+        urls. Oracle: the independent DuckDB regexp extraction replay
+        keyed by url — the stream must converge to the batch result."""
+        import os as _os
+        import tempfile as _tf
+
+        from pyspark.sql import functions as _F
+
+        from linkgraph.streaming.pipeline import stream_pages_pipeline
+
+        pages = spark.read.parquet("/root/repo/tests/fixtures/gate_pages")
+        base = _tf.mkdtemp(prefix="lg_gate_pipe_")
+        pdir = _os.path.join(base, "pages")
+        _os.makedirs(pdir)
+        half = _F.pmod(_F.xxhash64("url"), _F.lit(2))
+        pages.where(half == 0).coalesce(1).write.parquet(pdir + "/f1")
+        pages.where(half == 1).coalesce(1).write.parquet(pdir + "/f2")
+        q = stream_pages_pipeline(
+            spark, pdir + "/*", _os.path.join(base, "state"),
+            n_blocks=8, pagerank_every=0,
+        )
+        q.awaitTermination(600)
+        edges = spark.read.parquet(_os.path.join(base, "state", "edges"))
+        d = spark.read.parquet(_os.path.join(base, "state", "dictionary"))
+        return (
+            edges.join(
+                d.withColumnRenamed("url", "src_url").withColumnRenamed("id", "src"),
+                "src",
+            )
+            .join(
+                d.withColumnRenamed("url", "dst_url").withColumnRenamed("id", "dst"),
+                "dst",
+            )
+            .select("src_url", "dst_url", "weight")
+        )
+
     # --- events table: window/agg relational surface ---------------------
     def events_top_value_per_user(spark, sf):
         from pyspark.sql import Window
@@ -1141,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_groups": minhash_dup_groups,
         "simhash_dups": simhash_dups,
         "extraction_edges": extraction_edges,
+        "pipeline_edges": pipeline_edges,
         "events_rollup": events_rollup,
         "events_stream_replay": events_stream_replay,
         "node2vec_walks": node2vec_walks,
@@ -1546,6 +1588,9 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["minhash_dup_groups"] = G.minhash_groups_sql(64, 16, 0.7)
     sql["simhash_dups"] = G.simhash_sql(max_hamming=3)
     sql["extraction_edges"] = G.extraction_edges_sql(
+        "/root/repo/tests/fixtures/gate_pages/*.parquet"
+    )
+    sql["pipeline_edges"] = G.extraction_edges_url_sql(
         "/root/repo/tests/fixtures/gate_pages/*.parquet"
     )
     sql["events_rollup"] = """

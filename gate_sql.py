@@ -490,8 +490,37 @@ def extraction_edges_sql(pages_glob: str) -> str:
     (src, dst, weight) aggregation, written INDEPENDENTLY in DuckDB SQL
     (regexp ops) against the committed deterministic pages fixture — an
     end-to-end extraction parity check with no shared code."""
-    return f"""
-WITH pages AS MATERIALIZED (
+    return (
+        "WITH "
+        + _extraction_cte(pages_glob)
+        + """
+SELECT ds.id AS src, dd.id AS dst, CAST(count(*) AS DOUBLE) AS weight
+FROM trimmed t
+JOIN dict dd ON dd.url = t.dst_url
+JOIN dict ds ON ds.url = t.url
+GROUP BY ds.id, dd.id
+"""
+    )
+
+
+def extraction_edges_url_sql(pages_glob: str) -> str:
+    """Same independent extraction replay, keyed by URL instead of dense
+    id — the oracle for the end-to-end STREAMING pipeline (whose edge ids
+    are hash-based; urls are the stable cross-engine key)."""
+    return (
+        "WITH "
+        + _extraction_cte(pages_glob)
+        + """
+SELECT t.url AS src_url, t.dst_url, CAST(count(*) AS DOUBLE) AS weight
+FROM trimmed t
+JOIN dict dd ON dd.url = t.dst_url
+GROUP BY t.url, t.dst_url
+"""
+    )
+
+
+def _extraction_cte(pages_glob: str) -> str:
+    return f"""pages AS MATERIALIZED (
   SELECT url, decode(html) AS html FROM read_parquet('{pages_glob}')
 ),
 hrefs AS MATERIALIZED (
@@ -522,13 +551,7 @@ trimmed AS (
 dict AS MATERIALIZED (
   SELECT url, ROW_NUMBER() OVER (ORDER BY url) - 1 AS id
   FROM (SELECT DISTINCT url FROM pages) d
-)
-SELECT ds.id AS src, dd.id AS dst, CAST(count(*) AS DOUBLE) AS weight
-FROM trimmed t
-JOIN dict dd ON dd.url = t.dst_url
-JOIN dict ds ON ds.url = t.url
-GROUP BY ds.id, dd.id
-"""
+)"""
 
 
 # ---------------------------------------------------------------------------
