@@ -127,7 +127,9 @@ def stream_apply_deltas(
     )
 
 
-def incremental_cc_additions(labels: DataFrame, added_edges: DataFrame) -> DataFrame:
+def incremental_cc_additions(
+    labels: DataFrame, added_edges: DataFrame, with_changed: bool = False
+):
     """Incremental connected components under edge ADDITIONS (monotone:
     labels only merge — DynConnectedComponents.cpp's cheap path).
 
@@ -135,6 +137,11 @@ def incremental_cc_additions(labels: DataFrame, added_edges: DataFrame) -> DataF
     over the (tiny) component-adjacency induced by the additions, then
     broadcast-join the relabeling back onto the full label table. Cost is
     O(|additions| + #affected components), not O(n).
+
+    ``with_changed=True`` additionally returns the (id) DataFrame of rows
+    whose label actually changed (a broadcast semi-join against the tiny
+    remap — no extra shuffle), so callers persisting labels in a
+    block-partitioned table can rewrite only the touched blocks.
     """
     if "component" in labels.columns and "label" not in labels.columns:
         labels = labels.withColumnRenamed("component", "label")
@@ -162,20 +169,26 @@ def incremental_cc_additions(labels: DataFrame, added_edges: DataFrame) -> DataF
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    mapping = [(old, find(old)) for old in parent]
+    mapping = [(old, find(old)) for old in parent if find(old) != old]
     if not mapping:
+        if with_changed:
+            return labels, labels.sparkSession.createDataFrame([], "id bigint")
         return labels
     spark = labels.sparkSession
     remap = spark.createDataFrame(mapping, "label bigint, new_label bigint")
-    return (
+    out = (
         lab.join(F.broadcast(remap), "label", "left")
         .select("id", F.coalesce("new_label", "label").alias("label"))
     )
+    if with_changed:
+        changed = lab.join(F.broadcast(remap), "label", "semi").select("id")
+        return out, changed
+    return out
 
 
 def incremental_cc_removals(
-    labels: DataFrame, graph, removed_edges: DataFrame
-) -> DataFrame:
+    labels: DataFrame, graph, removed_edges: DataFrame, with_changed: bool = False
+):
     """Incremental connected components under edge REMOVALS
     (DynConnectedComponents.cpp's expensive path): a removal can SPLIT a
     component, so affected components are recomputed — but ONLY those.
@@ -216,7 +229,13 @@ def incremental_cc_removals(
         .select("id", F.coalesce("component", F.col("id")).alias("label"))
     )
     untouched = lab.join(touched, "label", "left_anti")
-    return untouched.unionByName(new_labels)
+    out = untouched.unionByName(new_labels)
+    if with_changed:
+        # conservative changed set = every vertex of a touched component
+        # (their labels were recomputed; most keep their value, but the
+        # block write must cover all rows that MAY have moved)
+        return out, affected_nodes
+    return out
 
 
 def write_blocked_edges(edges: DataFrame, table_path: str, n_blocks: int = 16) -> None:

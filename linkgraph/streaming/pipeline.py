@@ -221,23 +221,60 @@ def stream_pages_pipeline(
         # ---- incremental components --------------------------------------
         full_edges = sp.read.parquet(edges_path).select("src", "dst", "weight")
         g = Graph.from_edges(full_edges, directed=True)
-        labels = _read_table(sp, labels_path, "id bigint, label bigint")
+        had_labels = True
+        cur_labels = _read_table(sp, labels_path, "id bigint, label bigint")
+        if "lblock" in cur_labels.columns:
+            cur_labels = cur_labels.select("id", "label")
+        else:
+            had_labels = False
         new_nodes = (
             added.select(F.col("src").alias("id"))
             .unionByName(added.select(F.col("dst").alias("id")))
             .distinct()
-            .join(labels, "id", "left_anti")
+            .join(cur_labels, "id", "left_anti")
             .select("id", F.col("id").alias("label"))
+            .localCheckpoint(eager=True)
         )
-        labels = labels.unionByName(new_nodes)
+        labels = cur_labels.unionByName(new_nodes)
+        changed_ids = new_nodes.select("id")
         if not removed.isEmpty():
-            labels = incremental_cc_removals(labels, g, removed)
+            labels, chg = incremental_cc_removals(
+                labels, g, removed, with_changed=True
+            )
+            changed_ids = changed_ids.unionByName(chg)
         if not added.isEmpty():
-            labels = incremental_cc_additions(labels, added)
+            labels, chg = incremental_cc_additions(
+                labels, added, with_changed=True
+            )
+            changed_ids = changed_ids.unionByName(chg)
         # localCheckpoint materializes the rows, so overwriting the table
         # the plan originally read from is safe
         labels = labels.localCheckpoint(eager=True)
-        labels.write.mode("overwrite").parquet(labels_path)
+        # labels persist block-partitioned like the edge table, and only
+        # blocks holding a row that MAY have moved (new nodes, remap hits,
+        # members of removal-affected components) are rewritten —
+        # per-batch label IO is O(touched blocks), not O(n)
+        lblock = F.pmod(F.col("id"), F.lit(n_blocks)).cast("int")
+        lblocks = [
+            r["b"]
+            for r in changed_ids.select(lblock.alias("b")).distinct().collect()
+        ]
+        to_write = labels if not had_labels else labels.where(
+            lblock.isin(lblocks) if lblocks else F.lit(False)
+        )
+        if not had_labels or lblocks:
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (
+                    to_write.withColumn("lblock", lblock)
+                    .write.mode("overwrite")
+                    .partitionBy("lblock")
+                    .parquet(labels_path)
+                )
+            finally:
+                sp.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", old_mode
+                )
         n_components = labels.select("label").distinct().count()
 
         # ---- PageRank re-trigger ------------------------------------------
@@ -261,6 +298,7 @@ def stream_pages_pipeline(
                         "n_added": added.count(),
                         "n_removed": removed.count(),
                         "touched_blocks": sorted(blocks),
+                        "touched_label_blocks": sorted(lblocks),
                         "n_components": n_components,
                         "pagerank_ran": ran_pr,
                     }
