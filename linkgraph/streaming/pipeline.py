@@ -193,7 +193,10 @@ def stream_pages_pipeline(
             )
         stale = cur.join(batch_src_ids, "src", "semi").localCheckpoint(eager=True)
         kept = cur.join(batch_src_ids, "src", "left_anti")
-        merged = kept.unionByName(resolved).unionByName(retro)
+        merged = (
+            kept.unionByName(resolved).unionByName(retro)
+            .localCheckpoint(eager=True)
+        )
         removed = stale.join(
             resolved.select("src", "dst"), ["src", "dst"], "left_anti"
         ).localCheckpoint(eager=True)
@@ -205,6 +208,22 @@ def stream_pages_pipeline(
         old_mode = sp.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
         )
+        # dynamic overwrite only rewrites partitions PRESENT in the new
+        # data: a touched block whose rows are all stale (a re-crawl
+        # emptied the block's only source) must be deleted explicitly or
+        # its old file survives the merge
+        present = {
+            r["b"]
+            for r in merged.select(
+                F.pmod(F.col("src"), F.lit(n_blocks)).cast("int").alias("b")
+            ).distinct().collect()
+        }
+        emptied = set(blocks) - present
+        if emptied:
+            hpath = sp._jvm.org.apache.hadoop.fs.Path
+            fs = hpath(edges_path).getFileSystem(sp._jsc.hadoopConfiguration())
+            for b in emptied:
+                fs.delete(hpath(os.path.join(edges_path, f"block={b}")), True)
         sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             (
@@ -219,7 +238,10 @@ def stream_pages_pipeline(
             sp.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
 
         # ---- incremental components --------------------------------------
-        full_edges = sp.read.parquet(edges_path).select("src", "dst", "weight")
+        # guarded read: a re-crawl can legitimately empty the whole table
+        full_edges = _read_table(
+            sp, edges_path, "src bigint, dst bigint, weight double"
+        ).select("src", "dst", "weight")
         g = Graph.from_edges(full_edges, directed=True)
         had_labels = True
         cur_labels = _read_table(sp, labels_path, "id bigint, label bigint")

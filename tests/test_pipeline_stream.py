@@ -151,3 +151,41 @@ def test_pipeline_untouched_blocks_not_rewritten(spark, state):
         and not any(f"block={b}" in p for b in touched)
     ]
     assert untouched_survivors  # untouched block files were not rewritten
+
+
+def test_pipeline_recrawl_empties_block(spark, state):
+    """A re-crawl that removes the ONLY source in an edge block must
+    empty that block (dynamic overwrite alone would leave the stale file
+    behind — the pipeline deletes emptied touched partitions)."""
+    pages_dir, state_dir = state
+    page = spark.createDataFrame(
+        [
+            (
+                "https://d0.example.org/solo",
+                dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc),
+                b'<html><body><a href="https://x.example.org/a">a</a>'
+                b'<a href="https://d0.example.org/solo">self</a></body></html>',
+                "t",
+                "en",
+            )
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    page.coalesce(1).write.parquet(pages_dir + "/f1")
+    _await(stream_pages_pipeline(spark, pages_dir + "/*", state_dir,
+                                 n_blocks=4, pagerank_every=0))
+    assert spark.read.parquet(os.path.join(state_dir, "edges")).count() == 1
+
+    recrawl = page.select(
+        "url",
+        (F.col("warc_ts") + F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+        F.lit(b"<html><body>no links</body></html>").alias("html"),
+        F.lit("no links").alias("text"),
+        "lang",
+    )
+    recrawl.coalesce(1).write.parquet(pages_dir + "/f2")
+    _await(stream_pages_pipeline(spark, pages_dir + "/*", state_dir,
+                                 n_blocks=4, pagerank_every=0))
+    edges_dir = os.path.join(state_dir, "edges")
+    block_dirs = [p for p in os.listdir(edges_dir) if p.startswith("block=")]
+    assert block_dirs == []  # the stale block file is gone, table is empty
