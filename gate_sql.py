@@ -296,7 +296,7 @@ def _plp_chain(px: str, iters: int) -> list[str]:
     labels {px}l0 .. {px}l{iters} (algs/plp.py::label_propagation with
     tie_hash='portable', expression by expression): per-(id,label)
     stationary tie hash, parity-gated move application (fresh gate hash
-    per round, complementary half when the gated half is empty)."""
+    per round; blocked moves defer to a later round's gate)."""
     parts = [
         f"{px}l0 AS MATERIALIZED (SELECT id, id AS label FROM {px}nodes)",
     ]
@@ -316,21 +316,12 @@ def _plp_chain(px: str, iters: int) -> list[str]:
             f"FROM {px}v{i} v JOIN {px}l{p} c ON c.id = v.id) z WHERE rn = 1)"
         )
         parts.append(
-            f"{px}p{i} AS MATERIALIZED (SELECT j.id, j.old, j.win, "
-            f"CASE WHEN j.win <> j.old THEN 1 ELSE 0 END AS pend, "
-            f"{gate} % 2 AS g FROM ("
+            f"{px}l{i} AS MATERIALIZED (SELECT j.id, "
+            f"CASE WHEN j.win <> j.old AND {gate} % 2 = 0 THEN j.win "
+            f"ELSE j.old END AS label FROM ("
             f"SELECT n.id, c.label AS old, COALESCE(b.label, c.label) AS win "
             f"FROM {px}nodes n JOIN {px}l{p} c ON c.id = n.id"
             f" LEFT JOIN {px}b{i} b ON b.id = n.id) j)"
-        )
-        parts.append(
-            f"{px}h{i} AS MATERIALIZED (SELECT MAX(CASE WHEN pend = 1 AND g = 0 "
-            f"THEN 1 ELSE 0 END) AS h0 FROM {px}p{i})"
-        )
-        parts.append(
-            f"{px}l{i} AS MATERIALIZED (SELECT p.id, "
-            f"CASE WHEN p.pend = 1 AND (p.g = 0 OR h.h0 = 0) THEN p.win "
-            f"ELSE p.old END AS label FROM {px}p{i} p CROSS JOIN {px}h{i} h)"
         )
     return parts
 

@@ -45,6 +45,7 @@ def label_propagation(
     resume: bool = False,
     tie_hash: str = "xxhash64",
     active_frontier_frac: float = 0.25,
+    min_frontier_edges: int = 1_000_000,
 ) -> DataFrame:
     """Return ``(id, label)``; labels are canonicalized to the min member id
     of each community so output is comparable across runs.
@@ -62,7 +63,10 @@ def label_propagation(
     stationary keep-current/hash tie-break re-elects it. Late supersteps
     therefore join a frontier-sized edge subset (semi-join on the changed
     set, broadcast when small) instead of all m edges. Set the frac to 0
-    to disable.
+    to disable. The restriction only engages above ``min_frontier_edges``
+    stored edges: below that the two extra semi-join stages cost more
+    than the row reduction saves (measured 2.2× slower on a 15k-edge
+    fixture), while at scale the frontier join is the whole point.
 
     ``tie_hash="portable"`` swaps the xxhash64 tie-break for the md5-based
     portable hash (linkgraph.portable) so the run unrolls to an EXACT
@@ -74,6 +78,8 @@ def label_propagation(
     work_dir = work_dir or tempfile.mkdtemp(prefix="lg_plp_")
     sym = graph.symmetric_edges().where(F.col("src") != F.col("dst")).persist()
     n = graph.nodes().count()
+    if active_frontier_frac > 0 and graph.edges.count() < min_frontier_edges:
+        active_frontier_frac = 0.0
     if update_threshold is None:
         update_threshold = int(n / 1e5)
     last_changed: list = [None]  # set by metric(); None until round 1 done
@@ -121,11 +127,12 @@ def label_propagation(
             blocked = state.where(F.col("blocked") == 1).select(
                 F.col("id").alias("dst")
             )
+            # no distinct: a left-semi probe side needs no dedup, and
+            # skipping it saves one shuffle per superstep
             active = (
                 sym.join(chg.withColumnRenamed("id", "src"), "src", "semi")
                 .select("dst")
                 .unionByName(blocked)
-                .distinct()
             )
             edges_k = sym.join(active, "dst", "semi")
         votes = (
@@ -162,10 +169,11 @@ def label_propagation(
         # synchronous all-at-once application 2-cycles on symmetric
         # structures (an isolated edge swaps labels forever; observed as
         # 100% churn on the doc graph). The gate hash is FRESH per round
-        # (a fixed split can sustain A<->B oscillation), and when the
-        # gated half has no pending move the COMPLEMENTARY half moves in
-        # the same round (broadcast has-g0 aggregate — no extra driver
-        # action), so metric==0 provably means BOTH halves are stable.
+        # (a fixed split can sustain A<->B oscillation); gate-BLOCKED
+        # pending moves are counted in the convergence metric alongside
+        # applied moves, so metric==0 provably means no node anywhere
+        # wants to move — no same-round complementary pass, no extra
+        # aggregate, single-scan superstep plan.
         pre = (
             state.select("id", F.col("label").alias("old"))
             .join(best, "id", "left")
@@ -176,21 +184,9 @@ def label_propagation(
                 gate_hash(k).alias("g"),
             )
             .withColumn("pend", (F.col("win") != F.col("old")).cast("int"))
-            # materialize once: has0 aggregates over pre AND the state
-            # projection reads it — without this the vote join runs twice
-            # per superstep (Superstep checkpoints state each round, so
-            # lineage cannot grow across rounds)
-            .localCheckpoint(eager=True)
         )
-        has0 = pre.agg(
-            F.max(
-                F.when((F.col("pend") == 1) & (F.col("g") == 0), 1).otherwise(0)
-            ).alias("h0")
-        )
-        moved = (F.col("pend") == 1) & (
-            (F.col("g") == 0) | (F.col("h0") == 0)
-        )
-        return pre.crossJoin(F.broadcast(has0)).select(
+        moved = (F.col("pend") == 1) & (F.col("g") == 0)
+        return pre.select(
             "id",
             F.when(moved, F.col("win")).otherwise(F.col("old")).alias("label"),
             F.when(moved, 1).otherwise(0).alias("changed"),
@@ -198,7 +194,13 @@ def label_propagation(
         )
 
     def metric(state: DataFrame) -> float:
-        m = float(state.agg(F.sum("changed")).collect()[0][0] or 0)
+        # applied moves + gate-deferred pending moves: 0 ⇔ fully stable
+        # (every pending node gets gate==0 with fresh hashes within a
+        # couple of rounds, so deferral cannot stall convergence)
+        row = state.agg(
+            F.sum("changed").alias("c"), F.sum("blocked").alias("b")
+        ).collect()[0]
+        m = float((row["c"] or 0) + (row["b"] or 0))
         last_changed[0] = m
         return m
 

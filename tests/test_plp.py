@@ -101,7 +101,11 @@ def test_plp_active_frontier_equivalence(spark, karate):
         label_propagation(karate, active_frontier_frac=0.0), "id", "label"
     )
     restricted = collect_map(
-        label_propagation(karate, active_frontier_frac=1.0), "id", "label"
+        label_propagation(
+            karate, active_frontier_frac=1.0, min_frontier_edges=0
+        ),
+        "id",
+        "label",
     )
     assert full == restricted
 
@@ -114,7 +118,11 @@ def test_plp_active_frontier_equivalence(spark, karate):
                 pairs.add((min(u, v), max(u, v)))
     g = make_graph(spark, sorted(pairs))
     a = collect_map(label_propagation(g, active_frontier_frac=0.0), "id", "label")
-    b = collect_map(label_propagation(g, active_frontier_frac=1.0), "id", "label")
+    b = collect_map(
+        label_propagation(g, active_frontier_frac=1.0, min_frontier_edges=0),
+        "id",
+        "label",
+    )
     assert a == b
 
 
