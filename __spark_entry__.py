@@ -550,6 +550,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         return suitor_matching(g)
 
+    def doc_pathgrow_matching(spark, sf):
+        """Drake-Hougardy path-growing ½-approx matching (deterministic
+        locally-dominant rounds, no hash draws). Oracle: the same
+        propose/select/advance rounds unrolled to SQL
+        (gate_sql.pathgrow_sql)."""
+        from linkgraph.algs.matching import path_growing_matching
+
+        g = _doc_graph(spark, sf, directed=False)
+        return path_growing_matching(g)
+
+    def doc_pll_dist(spark, sf):
+        """Pruned landmark labeling (full hub set, multi-batch so the
+        prune path is exercised) queried on a fixed pair grid. Oracle:
+        plain multi-source BFS — full-PLL answers are exact distances, so
+        the oracle is independent of the pruning machinery."""
+        from linkgraph.algs.labeling import pll_query, pruned_landmark_labeling
+
+        g = _doc_graph(spark, sf, directed=False)
+        fwd, bwd = pruned_landmark_labeling(g, batch_size=100)
+        nodes = g.nodes()
+        pairs = (
+            nodes.where(F.col("id") < 10)
+            .select(F.col("id").alias("u"))
+            .crossJoin(nodes.where(F.col("id") % 50 == 0).select(F.col("id").alias("v")))
+            .where(F.col("u") != F.col("v"))
+        )
+        return pll_query(fwd, bwd, pairs).select(
+            "u", "v", F.col("dist").cast("bigint").alias("dist")
+        )
+
     def doc_ego_cover(spark, sf):
         """EgoSplitting overlapping cover, portable persona hash + PLP
         tie-break. Oracle: ego components via reachability closure,
@@ -1169,6 +1199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_prefix_jaccard": doc_prefix_jaccard,
         "doc_simmelian": doc_simmelian,
         "doc_suitor_matching": doc_suitor_matching,
+        "doc_pathgrow_matching": doc_pathgrow_matching,
+        "doc_pll_dist": doc_pll_dist,
         "doc_ego_cover": doc_ego_cover,
         "embed_lsh_banded_top5": embed_lsh_banded_top5,
         "doc_neighborhood_2hop": doc_neighborhood_2hop,
@@ -1638,6 +1670,8 @@ SELECT src, dst, ROUND(weight, 6) AS weight FROM last WHERE op <> 'remove_edge'
         EDGES_CTE_MAT, walk_length=5, seed=7
     )
     sql["doc_suitor_matching"] = G.suitor_sql(EDGES_CTE_MAT, rounds=24)
+    sql["doc_pathgrow_matching"] = G.pathgrow_sql(EDGES_CTE_MAT, rounds=10)
+    sql["doc_pll_dist"] = G.pll_dist_sql(EDGES_CTE_MAT, u_below=10, v_mod=50, hops=12)
     sql["doc_ppr"] = G.ppr_sql(EDGES_CTE_MAT, seed_vertex=0, alpha=0.15, iters=25)
     sql["doc_louvain"] = G.louvain_sql(EDGES_CTE_MAT, gamma=1.0, rounds=6)
     sql["doc_leiden"] = G.leiden_sql(

@@ -1751,3 +1751,98 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
   FROM scored) t WHERE rn <= {k}
 """
+
+
+def pathgrow_sql(cte: str, rounds: int = 10) -> str:
+    """Path-growing matching replay (algs/matching.path_growing_matching)
+    — round-unrolled: every active path head proposes its heaviest edge
+    to a still-free vertex (weight DESC, target ASC per walker); a
+    proposal is selected iff it is the top-priority proposal (weight
+    DESC, src ASC, dst ASC — a global total order) at BOTH endpoints;
+    selected edges 2-color alternately per path; return the heavier
+    color class with canonical (least, greatest) endpoints. Fully
+    deterministic (no hash draws), so a fixed unroll with margin is
+    exact: once no head has a free neighbor the state is a fixpoint."""
+    parts = [
+        "wk0 AS MATERIALIZED (SELECT id AS wid, id AS cur, 0 AS parity FROM nodes)",
+        "fr0 AS MATERIALIZED (SELECT id FROM nodes)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"pr{r} AS MATERIALIZED (SELECT wid, parity, u, t, weight FROM ("
+            f"SELECT w.wid, w.parity, w.cur AS u, e.dst AS t, e.weight,"
+            f" ROW_NUMBER() OVER (PARTITION BY w.wid"
+            f" ORDER BY e.weight DESC, e.dst ASC) AS rn"
+            f" FROM wk{p} w JOIN sym e ON e.src = w.cur AND e.src <> e.dst"
+            f" JOIN fr{p} f ON f.id = e.dst) q WHERE rn = 1)"
+        )
+        parts.append(
+            f"win{r} AS MATERIALIZED (SELECT vertex, u, t FROM ("
+            f"SELECT vertex, u, t, ROW_NUMBER() OVER (PARTITION BY vertex"
+            f" ORDER BY weight DESC, u ASC, t ASC) AS rn FROM ("
+            f"SELECT u AS vertex, u, t, weight FROM pr{r}"
+            f" UNION ALL SELECT t AS vertex, u, t, weight FROM pr{r}"
+            f") i) q WHERE rn = 1)"
+        )
+        parts.append(
+            f"se{r} AS MATERIALIZED (SELECT p.wid, p.parity, p.u, p.t,"
+            f" p.weight FROM pr{r} p"
+            f" JOIN win{r} a ON a.vertex = p.u AND a.u = p.u AND a.t = p.t"
+            f" JOIN win{r} b ON b.vertex = p.t AND b.u = p.u AND b.t = p.t)"
+        )
+        parts.append(
+            f"wk{r} AS MATERIALIZED ("
+            f"SELECT w.wid, w.cur, w.parity FROM wk{p} w"
+            f" WHERE w.wid IN (SELECT wid FROM pr{r})"
+            f" AND w.wid NOT IN (SELECT wid FROM se{r})"
+            f" AND w.cur NOT IN (SELECT t FROM se{r})"
+            f" UNION ALL SELECT wid, t AS cur, 1 - parity FROM se{r})"
+        )
+        parts.append(
+            f"fr{r} AS MATERIALIZED (SELECT id FROM fr{p}"
+            f" WHERE id NOT IN (SELECT u FROM se{r})"
+            f" AND id NOT IN (SELECT t FROM se{r}))"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT u, t, weight, parity FROM se{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        f"WITH {cte},\n" + ",\n".join(parts)
+        + f",\nallm AS MATERIALIZED ({union}),\n"
+        "tot AS (SELECT COALESCE(SUM(CASE WHEN parity = 0 THEN weight END), 0)"
+        " AS w1, COALESCE(SUM(CASE WHEN parity = 1 THEN weight END), 0) AS w2"
+        " FROM allm)\n"
+        "SELECT LEAST(u, t) AS u, GREATEST(u, t) AS v,"
+        " CAST(weight AS DOUBLE) AS weight FROM allm, tot"
+        " WHERE parity = (CASE WHEN w1 >= w2 THEN 0 ELSE 1 END)"
+    )
+
+
+def pll_dist_sql(
+    cte: str, u_below: int = 10, v_mod: int = 50, hops: int = 12
+) -> str:
+    """Oracle for doc_pll_dist: full pruned-landmark-labeling queries are
+    EXACT hop distances (every vertex is a hub), so the independent replay
+    is a plain multi-source BFS from the pair sources — none of the
+    engine's pruning machinery is mirrored, which is the point: the index
+    construction is validated purely through its query answers."""
+    parts = [
+        f"m0 AS MATERIALIZED (SELECT id AS u, id AS v, 0 AS dist"
+        f" FROM nodes WHERE id < {u_below})"
+    ]
+    for i in range(1, hops + 1):
+        p = i - 1
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT u, v, MIN(dist) AS dist FROM ("
+            f"SELECT u, v, dist FROM m{p} UNION ALL "
+            f"SELECT m.u, e.dst AS v, m.dist + 1 FROM m{p} m"
+            f" JOIN sym e ON e.src = m.v) q GROUP BY u, v)"
+        )
+    return (
+        f"WITH {cte},\n" + ",\n".join(parts) + ",\n"
+        f"pairs AS (SELECT s.id AS u, t.id AS v FROM nodes s, nodes t"
+        f" WHERE s.id < {u_below} AND t.id % {v_mod} = 0 AND s.id <> t.id)\n"
+        f"SELECT p.u, p.v, CAST(m.dist AS BIGINT) AS dist FROM pairs p"
+        f" LEFT JOIN m{hops} m ON m.u = p.u AND m.v = p.v"
+    )

@@ -97,3 +97,22 @@ def test_pll_disconnected_null(spark):
         fwd, bwd, g.edges.sparkSession.createDataFrame([(0, 3)], "u bigint, v bigint")
     ).collect()
     assert rows[0]["dist"] is None
+
+
+def test_pll_k_capped_multi_batch_pruning(spark):
+    """k-capped AND multi-batch (batch_size < k): the prune path runs
+    against earlier-batch labels, and the through-hub min must be
+    unaffected (the min-rank-minimizer cover argument)."""
+    nxg = nx.gnp_random_graph(26, 0.11, seed=9)
+    g = make_graph(spark, list(nxg.edges()))
+    fwd, bwd = pruned_landmark_labeling(g, k=6, batch_size=2)
+    hubs = sorted({r["hub"] for r in fwd.select("hub").distinct().collect()})
+    truth = dict(nx.all_pairs_shortest_path_length(nxg))
+    got = _query_map(fwd, bwd, _all_pairs_df(spark, sorted(nxg.nodes())))
+    for (u, v), d in got.items():
+        best = min(
+            (truth[u].get(h, 10**9) + truth[h].get(v, 10**9) for h in hubs),
+            default=10**9,
+        )
+        want = best if best < 10**9 else None
+        assert d == want, (u, v, d, want)
