@@ -560,6 +560,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf, directed=False)
         return path_growing_matching(g)
 
+    def doc_gedwalk(spark, sf):
+        """GedWalk greedy group (k=3, fixed alpha, portable 6-dp gain
+        rounding before the argmax). Oracle: the full greedy replay —
+        residual walk-count chains, exact-term-order gains, rounded
+        argmax, truncated group score (gate_sql.gedwalk_sql)."""
+        from linkgraph.algs.gedwalk import ged_walk
+
+        g = _doc_graph(spark, sf, directed=False)
+        out = ged_walk(g, k=3, alpha=0.1, max_len=4, round_to=6)
+        return out.select("ord", "id", "gain", F.round("ged_score", 6).alias("ged_score"))
+
     def doc_pll_dist(spark, sf):
         """Pruned landmark labeling (full hub set, multi-batch so the
         prune path is exercised) queried on a fixed pair grid. Oracle:
@@ -1201,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_suitor_matching": doc_suitor_matching,
         "doc_pathgrow_matching": doc_pathgrow_matching,
         "doc_pll_dist": doc_pll_dist,
+        "doc_gedwalk": doc_gedwalk,
         "doc_ego_cover": doc_ego_cover,
         "embed_lsh_banded_top5": embed_lsh_banded_top5,
         "doc_neighborhood_2hop": doc_neighborhood_2hop,
@@ -1672,6 +1684,7 @@ SELECT src, dst, ROUND(weight, 6) AS weight FROM last WHERE op <> 'remove_edge'
     sql["doc_suitor_matching"] = G.suitor_sql(EDGES_CTE_MAT, rounds=24)
     sql["doc_pathgrow_matching"] = G.pathgrow_sql(EDGES_CTE_MAT, rounds=10)
     sql["doc_pll_dist"] = G.pll_dist_sql(EDGES_CTE_MAT, u_below=10, v_mod=50, hops=12)
+    sql["doc_gedwalk"] = G.gedwalk_sql(EDGES_CTE_MAT, k=3, alpha=0.1, max_len=4, round_to=6)
     sql["doc_ppr"] = G.ppr_sql(EDGES_CTE_MAT, seed_vertex=0, alpha=0.15, iters=25)
     sql["doc_louvain"] = G.louvain_sql(EDGES_CTE_MAT, gamma=1.0, rounds=6)
     sql["doc_leiden"] = G.leiden_sql(

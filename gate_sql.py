@@ -1846,3 +1846,100 @@ def pll_dist_sql(
         f"SELECT p.u, p.v, CAST(m.dist AS BIGINT) AS dist FROM pairs p"
         f" LEFT JOIN m{hops} m ON m.u = p.u AND m.v = p.v"
     )
+
+
+def gedwalk_sql(
+    cte: str, k: int = 3, alpha: float = 0.1, max_len: int = 4,
+    round_to: int = 6,
+) -> str:
+    """GedWalk greedy replay (algs/gedwalk.ged_walk with fixed alpha and
+    round_to) — per round: in/out walk-count chains over the residual
+    graph, through-walk gain in the engine's exact term order (alpha
+    powers inlined as repr'd Python doubles so both engines combine
+    bit-identical IEEE constants), rounded argmax pick, then the exact
+    truncated group score from total-walk chains."""
+    L = max_len
+    parts = [
+        "hn1 AS MATERIALIZED (SELECT id FROM nodes)",
+        "h1 AS MATERIALIZED (SELECT src, dst FROM sym WHERE src <> dst)",
+        "tg0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS cnt FROM nodes)",
+    ]
+    for j in range(1, L + 1):
+        parts.append(
+            f"tg{j} AS MATERIALIZED (SELECT e.src AS id, SUM(c.cnt) AS cnt"
+            f" FROM sym e JOIN tg{j-1} c ON c.id = e.dst WHERE e.src <> e.dst"
+            f" GROUP BY e.src)"
+        )
+    selects = []
+    for r in range(1, k + 1):
+        if r > 1:
+            parts.append(
+                f"hn{r} AS MATERIALIZED (SELECT id FROM hn{r-1}"
+                f" WHERE id NOT IN (SELECT id FROM pk{r-1}))"
+            )
+            parts.append(
+                f"h{r} AS MATERIALIZED (SELECT src, dst FROM h{r-1}"
+                f" WHERE src NOT IN (SELECT id FROM pk{r-1})"
+                f" AND dst NOT IN (SELECT id FROM pk{r-1}))"
+            )
+        parts.append(f"i{r}_0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS cnt FROM hn{r})")
+        parts.append(f"o{r}_0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS cnt FROM hn{r})")
+        for a in range(1, L):
+            parts.append(
+                f"i{r}_{a} AS MATERIALIZED (SELECT e.dst AS id, SUM(c.cnt) AS"
+                f" cnt FROM h{r} e JOIN i{r}_{a-1} c ON c.id = e.src"
+                f" GROUP BY e.dst)"
+            )
+            parts.append(
+                f"o{r}_{a} AS MATERIALIZED (SELECT e.src AS id, SUM(c.cnt) AS"
+                f" cnt FROM h{r} e JOIN o{r}_{a-1} c ON c.id = e.dst"
+                f" GROUP BY e.src)"
+            )
+        gain = "CAST(0.0 AS DOUBLE)"
+        for a in range(L):
+            for b in range(L - a):
+                gain += (
+                    f" + CAST({alpha ** (a + b + 1)!r} AS DOUBLE) *"
+                    f" COALESCE(ia{a}.cnt, CAST(0.0 AS DOUBLE)) * COALESCE(ob{b}.cnt, CAST(0.0 AS DOUBLE))"
+                )
+        joins = "".join(
+            f" LEFT JOIN i{r}_{a} ia{a} ON ia{a}.id = n.id" for a in range(L)
+        ) + "".join(
+            f" LEFT JOIN o{r}_{b} ob{b} ON ob{b}.id = n.id" for b in range(L)
+        )
+        parts.append(
+            f"gn{r} AS MATERIALIZED (SELECT n.id,"
+            f" ROUND({gain}, {round_to}) AS gain FROM hn{r} n{joins})"
+        )
+        parts.append(
+            f"pk{r} AS MATERIALIZED (SELECT id, gain FROM ("
+            f"SELECT id, gain, ROW_NUMBER() OVER (ORDER BY gain DESC,"
+            f" id ASC) AS rn FROM gn{r}) q WHERE rn = 1)"
+        )
+        parts.append(
+            f"hh{r} AS MATERIALIZED (SELECT src, dst FROM h{r}"
+            f" WHERE src NOT IN (SELECT id FROM pk{r})"
+            f" AND dst NOT IN (SELECT id FROM pk{r}))"
+        )
+        parts.append(
+            f"tc{r}_0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS cnt FROM hn{r}"
+            f" WHERE id NOT IN (SELECT id FROM pk{r}))"
+        )
+        for j in range(1, L + 1):
+            parts.append(
+                f"tc{r}_{j} AS MATERIALIZED (SELECT e.src AS id, SUM(c.cnt)"
+                f" AS cnt FROM hh{r} e JOIN tc{r}_{j-1} c ON c.id = e.dst"
+                f" GROUP BY e.src)"
+            )
+        phi = "CAST(0.0 AS DOUBLE)"
+        for j in range(1, L + 1):
+            phi += (
+                f" + CAST({alpha ** j!r} AS DOUBLE) * ("
+                f"COALESCE((SELECT SUM(cnt) FROM tg{j}), CAST(0.0 AS DOUBLE)) -"
+                f" COALESCE((SELECT SUM(cnt) FROM tc{r}_{j}), CAST(0.0 AS DOUBLE)))"
+            )
+        selects.append(
+            f"SELECT CAST({r - 1} AS INT) AS ord, id, gain,"
+            f" ROUND({phi}, {round_to}) AS ged_score FROM pk{r}"
+        )
+    return f"WITH {cte},\n" + ",\n".join(parts) + "\n" + " UNION ALL ".join(selects)
