@@ -571,6 +571,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = ged_walk(g, k=3, alpha=0.1, max_len=4, round_to=6)
         return out.select("ord", "id", "gain", F.round("ged_score", 6).alias("ged_score"))
 
+    def doc_maxent_layout(spark, sf):
+        """MaxentStress coordinates after 5 fixed iterations (portable md5
+        init + per-iteration anchor draws; squares as IEEE products so
+        both engines run the identical float chain). Oracle: the full
+        local iteration unrolled (gate_sql.maxent_sql)."""
+        from linkgraph.algs.maxent import maxent_stress
+
+        g = _doc_graph(spark, sf, directed=False)
+        pos = maxent_stress(g, dims=2, iters=5, alpha=0.02, n_anchors=8, seed=7)
+        return pos.select(
+            "id", F.round("x0", 6).alias("x0"), F.round("x1", 6).alias("x1")
+        )
+
     def doc_pll_dist(spark, sf):
         """Pruned landmark labeling (full hub set, multi-batch so the
         prune path is exercised) queried on a fixed pair grid. Oracle:
@@ -1213,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pathgrow_matching": doc_pathgrow_matching,
         "doc_pll_dist": doc_pll_dist,
         "doc_gedwalk": doc_gedwalk,
+        "doc_maxent_layout": doc_maxent_layout,
         "doc_ego_cover": doc_ego_cover,
         "embed_lsh_banded_top5": embed_lsh_banded_top5,
         "doc_neighborhood_2hop": doc_neighborhood_2hop,
@@ -1685,6 +1699,9 @@ SELECT src, dst, ROUND(weight, 6) AS weight FROM last WHERE op <> 'remove_edge'
     sql["doc_pathgrow_matching"] = G.pathgrow_sql(EDGES_CTE_MAT, rounds=10)
     sql["doc_pll_dist"] = G.pll_dist_sql(EDGES_CTE_MAT, u_below=10, v_mod=50, hops=12)
     sql["doc_gedwalk"] = G.gedwalk_sql(EDGES_CTE_MAT, k=3, alpha=0.1, max_len=4, round_to=6)
+    sql["doc_maxent_layout"] = G.maxent_sql(
+        EDGES_CTE_MAT, iters=5, alpha=0.02, n_anchors=8, seed=7, round_to=6
+    )
     sql["doc_ppr"] = G.ppr_sql(EDGES_CTE_MAT, seed_vertex=0, alpha=0.15, iters=25)
     sql["doc_louvain"] = G.louvain_sql(EDGES_CTE_MAT, gamma=1.0, rounds=6)
     sql["doc_leiden"] = G.leiden_sql(

@@ -1943,3 +1943,70 @@ def gedwalk_sql(
             f" ROUND({phi}, {round_to}) AS ged_score FROM pk{r}"
         )
     return f"WITH {cte},\n" + ",\n".join(parts) + "\n" + " UNION ALL ".join(selects)
+
+
+def maxent_sql(
+    cte: str,
+    iters: int = 5,
+    alpha: float = 0.02,
+    n_anchors: int = 8,
+    seed: int = 7,
+    round_to: int = 6,
+) -> str:
+    """MaxentStress replay (algs/maxent.maxent_stress, dims=2, q=2.0) —
+    portable md5 init + per-iteration anchor draws, then the exact local
+    iteration: per-vertex attraction aggregate over sym (squares as IEEE
+    products, sqrt, GREATEST eps clamp) plus the broadcast anchor
+    repulsion sample, combined in the engine's term order."""
+    eps = repr(1e-9)
+    a = repr(alpha)
+    init0 = f"(({phash_sql('id', str(seed), '0')}) % 1000000) / 1000000.0"
+    init1 = f"(({phash_sql('id', str(seed), '1')}) % 1000000) / 1000000.0"
+    parts = [
+        f"p0 AS MATERIALIZED (SELECT id, {init0} AS x0, {init1} AS x1 FROM nodes)"
+    ]
+    for it in range(iters):
+        h = phash_sql("id", str(seed), str(1000 + it))
+        parts.append(
+            f"an{it} AS MATERIALIZED (SELECT id FROM nodes"
+            f" ORDER BY {h}, id LIMIT {n_anchors})"
+        )
+        parts.append(
+            f"ap{it} AS MATERIALIZED (SELECT p.id AS aid, p.x0 AS a0,"
+            f" p.x1 AS a1 FROM p{it} p JOIN an{it} a ON a.id = p.id)"
+        )
+        parts.append(
+            f"at{it} AS MATERIALIZED (SELECT id, SUM(w) AS wsum,"
+            f" SUM(w * (vx0 + w * (ux0 - vx0) / g)) AS s0,"
+            f" SUM(w * (vx1 + w * (ux1 - vx1) / g)) AS s1 FROM ("
+            f"SELECT e.dst AS id, e.weight AS w, v.x0 AS vx0, v.x1 AS vx1,"
+            f" u.x0 AS ux0, u.x1 AS ux1,"
+            f" GREATEST(sqrt((u.x0 - v.x0) * (u.x0 - v.x0)"
+            f" + (u.x1 - v.x1) * (u.x1 - v.x1)), {eps}) AS g"
+            f" FROM sym e JOIN p{it} v ON v.id = e.src"
+            f" JOIN p{it} u ON u.id = e.dst WHERE e.src <> e.dst"
+            f") t GROUP BY id)"
+        )
+        parts.append(
+            f"rp{it} AS MATERIALIZED (SELECT id, SUM(d0 / (g * g)) AS r0,"
+            f" SUM(d1 / (g * g)) AS r1 FROM ("
+            f"SELECT p.id, p.x0 - a.a0 AS d0, p.x1 - a.a1 AS d1,"
+            f" GREATEST(sqrt((p.x0 - a.a0) * (p.x0 - a.a0)"
+            f" + (p.x1 - a.a1) * (p.x1 - a.a1)), {eps}) AS g"
+            f" FROM p{it} p, ap{it} a WHERE p.id <> a.aid"
+            f") t GROUP BY id)"
+        )
+        parts.append(
+            f"p{it + 1} AS MATERIALIZED (SELECT p.id,"
+            f" CASE WHEN t.wsum IS NOT NULL THEN"
+            f" (t.s0 + {a} * COALESCE(r.r0, 0.0)) / t.wsum ELSE p.x0 END AS x0,"
+            f" CASE WHEN t.wsum IS NOT NULL THEN"
+            f" (t.s1 + {a} * COALESCE(r.r1, 0.0)) / t.wsum ELSE p.x1 END AS x1"
+            f" FROM p{it} p LEFT JOIN at{it} t ON t.id = p.id"
+            f" LEFT JOIN rp{it} r ON r.id = p.id)"
+        )
+    return (
+        f"WITH {cte},\n" + ",\n".join(parts)
+        + f"\nSELECT id, ROUND(x0, {round_to}) AS x0,"
+        f" ROUND(x1, {round_to}) AS x1 FROM p{iters}"
+    )

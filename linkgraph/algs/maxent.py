@@ -91,8 +91,13 @@ def maxent_stress(
             pu = pos.select(F.col("id").alias("dst"), *[F.col(c).alias(f"u{c}") for c in xs])
             pv = pos.select(F.col("id").alias("src"), *[F.col(c).alias(f"v{c}") for c in xs])
             ed = sym.join(pv, "src").join(pu, "dst")
+            # squares as products (not pow): bit-portable vs the SQL oracle
             norm = F.sqrt(
-                sum((F.col(f"u{c}") - F.col(f"v{c}")) ** 2 for c in xs) + F.lit(0.0)
+                sum(
+                    (F.col(f"u{c}") - F.col(f"v{c}")) * (F.col(f"u{c}") - F.col(f"v{c}"))
+                    for c in xs
+                )
+                + F.lit(0.0)
             )
             norm = F.greatest(norm, F.lit(EPS))
             attr = ed.groupBy(F.col("dst").alias("id")).agg(
@@ -111,12 +116,19 @@ def maxent_stress(
             # repulsion: anchors push u away (maxent gradient sample)
             rj = pos.crossJoin(adf).where(F.col("id") != F.col("aid"))
             rnorm = F.sqrt(
-                sum((F.col(c) - F.col(f"a{c}")) ** 2 for c in xs) + F.lit(0.0)
+                sum(
+                    (F.col(c) - F.col(f"a{c}")) * (F.col(c) - F.col(f"a{c}"))
+                    for c in xs
+                )
+                + F.lit(0.0)
             )
             rnorm = F.greatest(rnorm, F.lit(EPS))
+            # q=2 as a product, not pow: Math.pow and C pow may differ in
+            # the last ulp, and the gate oracle replays this arithmetic
+            rdenom = rnorm * rnorm if q == 2.0 else rnorm ** q
             rep = rj.groupBy("id").agg(
                 *[
-                    F.sum((F.col(c) - F.col(f"a{c}")) / rnorm ** q).alias(f"r{c}")
+                    F.sum((F.col(c) - F.col(f"a{c}")) / rdenom).alias(f"r{c}")
                     for c in xs
                 ]
             )
