@@ -307,14 +307,29 @@ def diameter_exact(
     stopping as soon as lb > 2·(i−1) — on small-world graphs that is
     typically after one or two shallow fringe levels, which is what makes
     iFub practical where exact all-pairs is not."""
+    return diameter_range(graph, error=0.0, seed_vertex=seed_vertex,
+                          fringe_batch=fringe_batch)[0]
+
+
+def diameter_range(
+    graph: Graph,
+    error: float = 0.1,
+    seed_vertex: int | None = None,
+    fringe_batch: int = 1024,
+) -> tuple[int, int]:
+    """(lb, ub) hop-diameter bounds via iFub with early stop
+    (distance/Diameter.cpp estimatedRange): the sweep halts once
+    ub − lb ≤ error·lb, where ub = 2·i after every level deeper than i
+    has been processed. ``error=0.0`` runs to the exact answer
+    (lb == ub == diameter); this is :func:`diameter_exact`'s loop."""
     deg = graph.degrees().orderBy(F.desc("degree"), F.asc("id")).limit(1).collect()
     if not deg:
-        return 0
+        return 0, 0
     root = int(deg[0]["id"]) if seed_vertex is None else int(seed_vertex)
     levels = bfs(graph, root).localCheckpoint(eager=True)
     ecc_u = int(levels.agg(F.max("dist")).collect()[0][0] or 0)
     lb, i = ecc_u, ecc_u
-    while i > 0 and lb < 2 * i:
+    while i > 0 and (2 * i - lb) > error * lb:
         fringe = [
             r["id"]
             for r in levels.where(F.col("dist") == i).select("id").collect()
@@ -328,11 +343,11 @@ def diameter_exact(
             )
             lb = max(lb, int(m or 0))
             if lb > 2 * (i - 1):
-                return lb
+                return lb, lb
         if lb > 2 * (i - 1):
-            return lb
+            return lb, lb
         i -= 1
-    return lb
+    return lb, max(lb, 2 * i)
 
 
 def top_closeness(graph: Graph, k: int = 10, harmonic: bool = False) -> DataFrame:

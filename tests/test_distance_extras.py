@@ -101,3 +101,27 @@ def test_diameter_exact_vs_networkx(spark):
         assert got == want, (name, got, want)
         # the double-sweep estimate must lower-bound the exact value
         assert diameter_lower_bound(g) <= want, name
+
+
+def test_diameter_range_brackets_exact(spark):
+    import networkx as nx
+    import random
+
+    from linkgraph.algs.bfs import diameter_range
+    from tests.conftest import make_graph
+
+    for seed in (31, 32):
+        rng = random.Random(seed)
+        edges = {(i, i + 1) for i in range(17)}
+        for _ in range(10):
+            u, v = rng.randrange(18), rng.randrange(18)
+            if u != v:
+                edges.add((min(u, v), max(u, v)))
+        g = make_graph(spark, sorted(edges))
+        want = nx.diameter(nx.Graph(sorted(edges)))
+        for err in (0.0, 0.25, 1.0):
+            lb, ub = diameter_range(g, error=err)
+            assert lb <= want <= ub, (seed, err, lb, want, ub)
+            assert ub - lb <= err * lb + 1e-9, (seed, err, lb, ub)
+        lb0, ub0 = diameter_range(g, error=0.0)
+        assert lb0 == ub0 == want, (seed, lb0, ub0, want)
