@@ -787,6 +787,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "neighbor_id", F.round("cos", 4).alias("cos")
         )
 
+    def _embed_with_clones(spark, sf, n_clones=40, id_offset=100_000, delta=0.15):
+        """embeddings ∪ planted near-dup clones (first coordinate shifted
+        by delta, id offset) — the raw table has no natural pairs above
+        cosine ~0.51, so the dedup gates plant deterministic ground truth
+        both engines construct identically (gate_sql._embed_union_cte);
+        delta=0.15 on unit vectors ⇒ every clone at cosine ≥ 0.988."""
+        _register(spark, sf)
+        emb = spark.table("embeddings")
+        base = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        clones = emb.where(F.col("vec_id") < n_clones).select(
+            (F.col("vec_id") + id_offset).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, x.cast("double") + delta).otherwise(
+                    x.cast("double")
+                ),
+            ).alias("embedding"),
+        )
+        return base.unionByName(clones)
+
+    def embed_near_dups(spark, sf):
+        """Embedding-cosine near-dup pairs: banded hyperplane LSH
+        candidates, exact cosine verify ≥ 0.9. Oracle: full replay
+        (portable planes → signatures → band join → verify)."""
+        from linkgraph.text.similarity import embedding_near_duplicate_pairs
+
+        docs = _embed_with_clones(spark, sf)
+        return embedding_near_duplicate_pairs(
+            docs, threshold=0.9, n_planes=16, bands=8, portable=True
+        ).select("a", "b", F.round("cos", 4).alias("cos"))
+
+    def embed_near_dup_groups(spark, sf):
+        """Near-dup pairs closed into dedup groups (group_id = min
+        reachable id, keep = canonical representative) — the
+        embedding-space twin of minhash_dup_groups."""
+        from linkgraph.text.similarity import (
+            embedding_near_duplicate_groups,
+            embedding_near_duplicate_pairs,
+        )
+
+        docs = _embed_with_clones(spark, sf)
+        pairs = embedding_near_duplicate_pairs(
+            docs, threshold=0.9, n_planes=16, bands=8, portable=True
+        )
+        return embedding_near_duplicate_groups(docs, pairs).select(
+            "vec_id", "group_id", "keep"
+        )
+
+    def embed_ivf_top5(spark, sf):
+        """IVF ANN top-5: hash-seeded coarse quantizer (n_list=8), one
+        Lloyd refinement round, probe the 3 best cells per query, exact
+        scoring. Oracle: full SQL replay incl. the Lloyd mean recentre."""
+        from linkgraph.text.similarity import ivf_cosine_topk
+
+        _register(spark, sf)
+        emb = spark.table("embeddings")
+        qs = emb.where(F.col("vec_id") < 10)
+        return ivf_cosine_topk(
+            emb, qs, k=5, n_list=8, n_probe=3, refine_rounds=1, portable=True
+        ).select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
+
     # --- round-2b/2c operators ------------------------------------------
     def doc_sfigality(spark, sf):
         from linkgraph.algs.centrality import sfigality
@@ -1249,6 +1313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_stats": events_type_stats,
         "embed_cosine_top5": embed_cosine_top5,
         "embed_lsh_top5": embed_lsh_top5,
+        "embed_near_dups": embed_near_dups,
+        "embed_near_dup_groups": embed_near_dup_groups,
+        "embed_ivf_top5": embed_ivf_top5,
         "doc_sfigality": doc_sfigality,
         "doc_local_similarity": doc_local_similarity,
         "doc_scan_similarity": doc_scan_similarity,
@@ -1719,6 +1786,15 @@ SELECT src, dst, ROUND(weight, 6) AS weight FROM last WHERE op <> 'remove_edge'
     sql["embed_lsh_top5"] = G.lsh_topk_sql(n_planes=8, k=5, seed=42, dim=64)
     sql["embed_lsh_banded_top5"] = G.lsh_banded_topk_sql(
         n_planes=16, bands=8, k=5, seed=42, dim=64
+    )
+    sql["embed_near_dups"] = G.embed_near_dup_sql(
+        threshold=0.9, n_planes=16, bands=8, seed=42, dim=64, n_clones=40
+    )
+    sql["embed_near_dup_groups"] = G.embed_near_dup_groups_sql(
+        threshold=0.9, n_planes=16, bands=8, seed=42, dim=64, n_clones=40
+    )
+    sql["embed_ivf_top5"] = G.embed_ivf_sql(
+        n_list=8, n_probe=3, k=5, seed=42, dim=64, q_max=10
     )
     sql["doc_seir_census"] = G.seir_sql(
         EDGES_CTE_MAT, zero=0, p_transmit=0.05, ticks=8, seed=42

@@ -1753,6 +1753,136 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
 """
 
 
+def _embed_union_cte(
+    n_clones: int = 40, id_offset: int = 100_000, delta: float = 0.15
+) -> str:
+    """Base embeddings ∪ deterministic near-dup clones: for vec_id <
+    n_clones, a copy at vec_id+id_offset whose first coordinate is shifted
+    by ``delta`` — the table's vectors are unit-norm, so delta=0.15 puts
+    every clone at cosine ≥ 0.988 to its source, far above the natural
+    max pair cosine (~0.51): the planted pairs are exactly the near-dup
+    ground truth on both engines."""
+    return (
+        f"emb AS MATERIALIZED ("
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+        f" UNION ALL "
+        f"SELECT vec_id + {id_offset},"
+        f" list_concat([CAST(embedding AS DOUBLE[])[1] + {delta}],"
+        f" CAST(embedding AS DOUBLE[])[2:])"
+        f" FROM embeddings WHERE vec_id < {n_clones})"
+    )
+
+
+def _embed_near_dup_cte(
+    threshold: float = 0.9, n_planes: int = 16, bands: int = 8,
+    seed: int = 42, dim: int = 64, n_clones: int = 40,
+) -> str:
+    """Shared replay of embedding_near_duplicate_pairs (portable planes →
+    banded sign-bit signatures → any-band candidate join → exact cosine
+    verify ≥ threshold) ending in a ``hits(a, b, cos)`` CTE."""
+    rpb = n_planes // bands
+    return f"""{_lsh_planes_cte(dim, n_planes, seed)},
+{_embed_union_cte(n_clones)},
+sigb AS MATERIALIZED (
+  SELECT e.vec_id AS id, pl.j // {rpb} AS band,
+         SUM(CASE WHEN list_inner_product(e.v, pl.pv) > 0
+             THEN (CAST(1 AS BIGINT) << (pl.j % {rpb})) ELSE 0 END) AS bucket
+  FROM emb e, pl GROUP BY e.vec_id, pl.j // {rpb}),
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM sigb x JOIN sigb y ON x.band = y.band AND x.bucket = y.bucket
+                          AND x.id < y.id),
+hits AS MATERIALIZED (
+  SELECT c.a, c.b, list_cosine_similarity(ea.v, eb.v) AS cos
+  FROM cand c JOIN emb ea ON ea.vec_id = c.a JOIN emb eb ON eb.vec_id = c.b
+  WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold})"""
+
+
+def embed_near_dup_sql(
+    threshold: float = 0.9, n_planes: int = 16, bands: int = 8,
+    seed: int = 42, dim: int = 64, n_clones: int = 40,
+) -> str:
+    return f"""
+WITH {_embed_near_dup_cte(threshold, n_planes, bands, seed, dim, n_clones)}
+SELECT a, b, ROUND(cos, 4) AS cos FROM hits
+"""
+
+
+def embed_near_dup_groups_sql(
+    threshold: float = 0.9, n_planes: int = 16, bands: int = 8,
+    seed: int = 42, dim: int = 64, n_clones: int = 40,
+) -> str:
+    """Near-dup pairs closed into dedup groups: recursive label-min
+    propagation over the verified pairs (same closure as
+    minhash_groups_sql), keep = canonical min-id representative."""
+    return f"""
+WITH RECURSIVE {_embed_near_dup_cte(threshold, n_planes, bands, seed, dim, n_clones)},
+pe AS MATERIALIZED (SELECT a AS src, b AS dst FROM hits UNION SELECT b, a FROM hits),
+gr(id, label) AS (
+  SELECT vec_id, vec_id FROM emb
+  UNION
+  SELECT p.dst, g.label FROM gr g JOIN pe p ON p.src = g.id WHERE g.label < p.dst
+)
+SELECT e.vec_id, MIN(g.label) AS group_id,
+       CAST(CASE WHEN MIN(g.label) = e.vec_id THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM emb e JOIN gr g ON g.id = e.vec_id GROUP BY e.vec_id
+"""
+
+
+def embed_ivf_sql(
+    n_list: int = 8, n_probe: int = 3, k: int = 5, seed: int = 42,
+    dim: int = 64, q_max: int = 10,
+) -> str:
+    """IVF top-k replay (text/similarity.ivf_cosine_topk, refine_rounds=1):
+    seed centroids = the n_list vectors of smallest portable hash; one
+    Lloyd round (argmax-cosine assignment, element-wise mean recentre);
+    per query probe the n_probe best cells, exact-score their members,
+    top-k. Tie-breaks (cell ASC, neighbor ASC) mirror the engine's
+    max_by(struct(cos, -cell)) / window orderings."""
+    ph = phash_sql("vec_id", str(seed))
+    assign = (
+        "SELECT vec_id, cell FROM ("
+        "SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id"
+        " ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)"
+        " DESC, c.cell ASC) AS rn"
+        " FROM embeddings e, {src} c) t WHERE rn = 1"
+    )
+    return f"""
+WITH sel AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, sid) - 1 AS cell, cv FROM (
+    SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS cv, {ph} AS h
+    FROM embeddings ORDER BY h, sid LIMIT {n_list}) s),
+a0 AS MATERIALIZED ({assign.format(src='sel')}),
+m AS MATERIALIZED (
+  SELECT a0.cell, r.range AS pos,
+         AVG(CAST(e.embedding[r.range + 1] AS DOUBLE)) AS mv
+  FROM a0 JOIN embeddings e USING (vec_id), range({dim}) r
+  GROUP BY a0.cell, r.range),
+c1 AS MATERIALIZED (SELECT cell, LIST(mv ORDER BY pos) AS cv FROM m GROUP BY cell),
+a1 AS MATERIALIZED ({assign.format(src='c1')}),
+pr AS (
+  SELECT query_id, cell FROM (
+    SELECT e.vec_id AS query_id, c.cell, ROW_NUMBER() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)
+        DESC, c.cell ASC) AS rn
+    FROM embeddings e, c1 c WHERE e.vec_id < {q_max}) t WHERE rn <= {n_probe}),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM pr p JOIN a1 a USING (cell) WHERE a.vec_id <> p.query_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                CAST(en.embedding AS DOUBLE[])) AS cos
+  FROM cand c JOIN embeddings eq ON eq.vec_id = c.query_id
+              JOIN embeddings en ON en.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
+  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM scored) t WHERE rn <= {k}
+"""
+
+
 def pathgrow_sql(cte: str, rounds: int = 10) -> str:
     """Path-growing matching replay (algs/matching.path_growing_matching)
     — round-unrolled: every active path head proposes its heaviest edge

@@ -155,6 +155,87 @@ def lsh_cosine_topk(
     )
 
 
+def embedding_near_duplicate_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """(a, b, cos) embedding-cosine near-duplicate pairs with a < b and
+    cos ≥ threshold — the embedding-space member of the dedup family
+    (exact / n-gram Jaccard / MinHash / SimHash live in text.dedup).
+
+    Candidates come from OR-banded hyperplane LSH (any band's sign-bit
+    group matching), then every candidate is EXACTLY cosine-verified, so
+    precision is 1.0 by construction; recall is the banding curve
+    1 − (1 − (1−θ/π)^{n/b})^b. ``max_bucket_size`` applies the same
+    mega-bucket discipline as minhash_lsh_candidates: a (band, bucket)
+    cell shared by d vectors emits d² pairs, so buckets over the cap
+    degrade to a STAR around the bucket's min id (O(d) pairs). Star pairs
+    are still exactly verified; within a boilerplate bucket of
+    near-identical vectors the verified star plus the transitive closure
+    in :func:`embedding_near_duplicate_groups` recovers the same dedup
+    groups, and only cross-signature pairs inside the capped bucket can
+    be missed. Pass ``None`` for unbounded exact-LSH semantics."""
+    sig = banded_hyperplane_signatures(
+        embeddings, n_planes, bands, dim, seed, id_col, vec_col, portable
+    )
+    if max_bucket_size is not None:
+        bsz = sig.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
+        sig = sig.join(bsz, ["band", "bucket"])
+        over = sig.where(F.col("_n") > max_bucket_size)
+        sig = sig.where(F.col("_n") <= max_bucket_size).drop("_n")
+        rep = over.groupBy("band", "bucket").agg(F.min("id").alias("_rep"))
+        star = (
+            over.join(rep, ["band", "bucket"])
+            .where(F.col("id") != F.col("_rep"))
+            .select(
+                F.least("_rep", "id").alias("a"),
+                F.greatest("_rep", "id").alias("b"),
+            )
+        )
+    else:
+        star = None
+    cand = (
+        sig.alias("x")
+        .join(sig.alias("y"), ["band", "bucket"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+    )
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
+    va = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", cosine_similarity_col(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def embedding_near_duplicate_groups(
+    embeddings: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, group_id, keep) — transitive closure of embedding near-dup
+    pairs into dedup groups (group_id = min reachable id, keep flags the
+    canonical representative); delegates to the connected-components
+    machinery shared with the text dedup family."""
+    from linkgraph.text.dedup import near_duplicate_groups
+
+    docs = embeddings.select(F.col(id_col).alias("doc_id"))
+    return near_duplicate_groups(docs, pairs).withColumnRenamed("doc_id", id_col)
+
+
 def banded_hyperplane_signatures(
     embeddings: DataFrame,
     n_planes: int = 16,
@@ -223,6 +304,155 @@ def lsh_cosine_topk_banded(
     )
     e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (
+        cand.join(e, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity_col(F.col("qv"), F.col("nv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate nearest neighbor
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_list: int = 16,
+    refine_rounds: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+) -> DataFrame:
+    """(cell, cv: array<double>) — coarse-quantizer centroids for an IVF
+    index: ``n_list`` seed vectors chosen deterministically (the rows with
+    the smallest seeded hash of id — a uniform sample both engines can
+    replay), optionally refined by ``refine_rounds`` Lloyd iterations
+    (assign every vector to its max-cosine cell, recentre each cell at the
+    element-wise mean of its members).
+
+    Scale shape: seed selection is a TakeOrdered of n_list rows (no global
+    sort materialization); each Lloyd round is one broadcast-join
+    assignment pass over the corpus plus one (cell, coordinate) hash
+    aggregation — all map-side combinable. The only window runs over the
+    ≤ n_list selected seed rows (documented-tiny). Cells that lose all
+    members during refinement drop out (n_list is an upper bound)."""
+    if portable:
+        from linkgraph.portable import phash
+
+        h = phash(F.col(id_col), F.lit(seed))
+    else:
+        h = F.xxhash64(F.col(id_col), F.lit(seed))
+    seeds = (
+        embeddings.select(
+            F.col(id_col).alias("sid"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("cv"),
+            h.alias("_h"),
+        )
+        .orderBy("_h", "sid")
+        .limit(n_list)
+    )
+    cents = seeds.withColumn(
+        "cell", F.row_number().over(Window.orderBy("_h", "sid")) - 1
+    ).select("cell", "cv")
+    for _ in range(refine_rounds):
+        cents = F.broadcast(cents.localCheckpoint(eager=True))
+        assign = ivf_assign(embeddings, cents, id_col, vec_col)
+        cents = (
+            embeddings.join(
+                assign.withColumnRenamed("id", id_col), id_col
+            )
+            .select("cell", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+    return cents
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) — each vector's max-cosine centroid. One broadcast join
+    (centroids are tiny by construction) + one max_by hash aggregation:
+    map-side combinable, no window, ties broken toward the lower cell."""
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    scored = e.crossJoin(F.broadcast(centroids)).select(
+        "id",
+        "cell",
+        cosine_similarity_col(F.col("v"), F.col("cv")).alias("cos"),
+    )
+    return scored.groupBy("id").agg(
+        F.max_by("cell", F.struct(F.col("cos"), -F.col("cell"))).alias("cell")
+    )
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_list: int = 16,
+    n_probe: int = 4,
+    refine_rounds: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+) -> DataFrame:
+    """IVF approximate top-k: (query_id, neighbor_id, cos) scanning only
+    the ``n_probe`` cells whose centroids are most cosine-similar to each
+    query — the inverted-file alternative to hyperplane LSH (recall dial =
+    n_probe/n_list; n_probe == n_list degenerates to exact brute force).
+
+    At corpus scale the cost is one assignment pass at index-build time,
+    then per query a centroid scan (n_list rows, broadcast) plus an exact
+    scan of ~n_probe/n_list of the corpus, shuffled once on the cell key
+    — no all-pairs product. Cell skew (a hub cell holding a large corpus
+    share) is bounded by refinement and, at the extreme, by raising
+    n_list; candidates are exactly scored so precision is 1.0."""
+    cents = F.broadcast(
+        ivf_centroids(
+            embeddings, n_list, refine_rounds, seed, id_col, vec_col, portable
+        ).localCheckpoint(eager=True)
+    )
+    assign = ivf_assign(embeddings, cents, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qscore = q.crossJoin(cents).select(
+        "query_id",
+        "cell",
+        cosine_similarity_col(F.col("qv"), F.col("cv")).alias("ccos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    probes = (
+        qscore.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", "cell")
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .where(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+    )
+    e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
     scored = (
         cand.join(e, "neighbor_id")
         .join(F.broadcast(q), "query_id")
