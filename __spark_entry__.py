@@ -457,6 +457,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.table("documents"), max_hamming=3, portable=True
         ).select("a", "b", F.col("hamming").cast("bigint").alias("hamming"))
 
+    # --- training-data pipeline ops (text/pipeline.py) --------------------
+    def doc_normalize(spark, sf):
+        from linkgraph.text.pipeline import normalize_text
+
+        _register(spark, sf)
+        # the synthetic corpus is already lowercase/single-spaced, so make
+        # the op observable: uppercase + inject a whitespace-run suffix
+        docs = spark.table("documents").select(
+            "doc_id",
+            F.concat(F.lit("  "), F.upper("text"), F.lit(" \t x  Y ")).alias("text"),
+        )
+        return normalize_text(docs)
+
+    def doc_redact_pii(spark, sf):
+        from linkgraph.text.pipeline import redact_pii
+
+        _register(spark, sf)
+        # corpus has no PII by construction — append deterministic
+        # doc_id-derived PII so redaction counts are non-trivial
+        docs = spark.table("documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ip 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".17 tel 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-1234"),
+            ).alias("text"),
+        )
+        return redact_pii(docs)
+
+    def eval_contamination(spark, sf):
+        from linkgraph.text.pipeline import ngram_contamination
+
+        _register(spark, sf)
+        docs = spark.table("documents")
+        train = docs.where(F.col("doc_id") % 10 != 7)
+        ev = docs.where(F.col("doc_id") % 10 == 7)
+        return ngram_contamination(train, ev, k=3).select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round("contamination", 6).alias("contamination"),
+        )
+
+    def doc_pack_sequences(spark, sf):
+        from linkgraph.text.pipeline import pack_sequences
+
+        _register(spark, sf)
+        return pack_sequences(
+            spark.table("documents"), budget=50, n_buckets=8, portable=True
+        )
+
+    def doc_stratified_sample(spark, sf):
+        from linkgraph.text.pipeline import stratified_sample
+
+        _register(spark, sf)
+        return stratified_sample(
+            spark.table("documents"),
+            "lang",
+            {"en": 0.5, "de": 1.0, "zh": 0.25},
+            seed=42,
+            portable=True,
+        ).select("doc_id", "lang")
+
     # --- partition quality metrics over the fixed labeling id % 7 --------
     def doc_hub_dominance(spark, sf):
         from linkgraph.algs.community import hub_dominance
@@ -1300,6 +1368,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": doc_quality,
         "ngram_dups": ngram_dups,
         "doc_lang_id": doc_lang_id,
+        "doc_normalize": doc_normalize,
+        "doc_redact_pii": doc_redact_pii,
+        "eval_contamination": eval_contamination,
+        "doc_pack_sequences": doc_pack_sequences,
+        "doc_stratified_sample": doc_stratified_sample,
         "minhash_dups": minhash_dups,
         "minhash_dup_groups": minhash_dup_groups,
         "simhash_dups": simhash_dups,
@@ -1619,6 +1692,74 @@ inter AS (
 SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
 WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+"""
+
+    # --- training-data pipeline ops: same augmentation, same regex subset
+    from linkgraph.portable import phash_sql as _pph
+    from linkgraph.text.pipeline import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    sql["doc_normalize"] = (
+        "SELECT doc_id, trim(regexp_replace(lower('  ' || upper(text) || ' \t x  Y '), "
+        "'\\s+', ' ', 'g')) AS text_norm FROM documents"
+    )
+
+    sql["doc_redact_pii"] = f"""
+WITH aug AS (
+  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.17 tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         || '-1234' AS text
+  FROM documents
+),
+s1 AS (SELECT doc_id, len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_email,
+              regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t FROM aug),
+s2 AS (SELECT doc_id, n_email, len(regexp_extract_all(t, '{IPV4_RE}')) AS n_ipv4,
+              regexp_replace(t, '{IPV4_RE}', '<IP>', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ipv4,
+              len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phone,
+              regexp_replace(t, '{PHONE_RE}', '<PHONE>', 'g') AS t FROM s2)
+SELECT doc_id, t AS text_redacted, n_email, n_ipv4, n_phone FROM s3
+"""
+
+    sql["eval_contamination"] = """
+WITH tr AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % 10 <> 7),
+ev AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 10 = 7),
+tsh AS (SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS sh
+        FROM tr, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)),
+esh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+        FROM ev, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)),
+agg AS (SELECT e.doc_id, count(*) AS n_sh, count(t.sh) AS n_c
+        FROM esh e LEFT JOIN tsh t USING (sh) GROUP BY e.doc_id)
+SELECT d.doc_id, COALESCE(n_sh, 0) AS n_shingles, COALESCE(n_c, 0) AS n_contaminated,
+       ROUND(CASE WHEN COALESCE(n_sh, 0) > 0
+             THEN CAST(n_c AS DOUBLE) / n_sh ELSE 0.0 END, 6) AS contamination
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+
+    sql["doc_pack_sequences"] = f"""
+WITH sized AS (
+  SELECT doc_id, {_pph("doc_id", "42")} % 8 AS bucket,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+off AS (
+  SELECT doc_id, bucket, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM sized
+)
+SELECT doc_id, bucket, n_tokens, start_offset,
+       CAST(FLOOR(start_offset / 50) AS BIGINT) AS start_seq,
+       CAST(FLOOR((start_offset + greatest(n_tokens, 1) - 1) / 50) AS BIGINT) AS end_seq
+FROM off
+"""
+
+    sql["doc_stratified_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_pph("doc_id", "42")} % 1000000 <
+      (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+            WHEN 'zh' THEN 0.25 ELSE 0.0 END) * 1000000
 """
 
     # argmax parity with array_max(struct(score, lang)): max score, then

@@ -1,0 +1,211 @@
+"""Training-data pipeline operators: normalization, PII redaction,
+train/eval contamination, sequence packing, deterministic sampling.
+
+Like quality.py, everything is JVM expression work (regexp/split/window/
+hash) — whole-stage-codegen friendly, no Python in the hot path, and
+deliberately SQL-expressible so the DuckDB oracle can replay each op.
+These have no NetworKit analogue; they are the webtext-pipeline half of
+the engine (BASELINE.json input_hint: Common-Crawl-style pages), the ops
+a pretraining corpus build runs between extraction and tokenization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# PII patterns pinned to the Java-regex ∩ RE2 common subset so the DuckDB
+# oracle replays them verbatim: no backrefs, no lookarounds.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+# Redaction order matters and is pinned: emails first (their local parts
+# can contain digit runs), then IPv4 (dotted quads would otherwise feed
+# the phone pattern), then phones.
+PII_PATTERNS = (
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("ipv4", IPV4_RE, "<IP>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+)
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text_norm) — pinned normalization applied before hashing /
+    shingling in a dedup pass: lowercase, collapse all whitespace runs to
+    one space, trim. One regexp_replace chain, pure codegen."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return docs.select("doc_id", norm.alias("text_norm"))
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text_redacted, n_email, n_ipv4, n_phone) — replace
+    emails / IPv4 addresses / NANP-style phone numbers with typed
+    placeholder tokens and count each category.
+
+    Counts are measured on the PREVIOUS stage's text (email count on raw,
+    ipv4 count on email-redacted, …) so they equal the number of
+    replacements actually performed — the auditable quantity a corpus
+    card reports. Scale shape: one projection, no shuffle; the regexes are
+    in the RE2 ∩ Java subset so predicate pushdown and the SQL oracle both
+    see identical semantics."""
+    stage = F.col(text_col)
+    counts = {}
+    for name, pat, token in PII_PATTERNS:
+        counts[name] = F.regexp_count(stage, F.lit(pat))
+        stage = F.regexp_replace(stage, pat, token)
+    return docs.select(
+        "doc_id",
+        stage.alias("text_redacted"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+    )
+
+
+def ngram_contamination(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """(doc_id, n_shingles, n_contaminated, contamination) per EVAL doc —
+    the benchmark-leakage check run before any training job: fraction of
+    an eval document's distinct word k-grams that appear anywhere in the
+    training corpus (Brown et al. GPT-3 appendix C style n-gram overlap).
+
+    Plan shape at corpus scale: the train side reduces to ONE distinct
+    shingle-hash column (massive map-side combine — duplicate shingles
+    collapse before the shuffle), the eval side is tiny by definition;
+    the join is a left join on the hash, so each eval shingle matches at
+    most one train row — no fan-out, no skew amplification. Eval docs
+    with fewer than k tokens have zero shingles and report 0.0."""
+    from linkgraph.text.quality import shingles
+
+    if portable:
+        from linkgraph.portable import phash
+
+        def h(c):
+            return phash(c)
+    else:
+        def h(c):
+            return F.xxhash64(c)
+
+    train_sh = (
+        train_docs.select(F.explode(shingles(F.col(text_col), k)).alias("sh"))
+        .select(h(F.col("sh")).alias("sh_h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    eval_sh = eval_docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col), k)).alias("sh")
+    ).select("doc_id", h(F.col("sh")).alias("sh_h")).distinct()
+    per_doc = (
+        eval_sh.join(train_sh, "sh_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_contaminated"),
+        )
+    )
+    base = eval_docs.select("doc_id")
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        F.when(
+            F.col("n_shingles") > 0, F.col("n_contaminated") / F.col("n_shingles")
+        )
+        .otherwise(0.0)
+        .alias("contamination"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """(doc_id, bucket, n_tokens, start_offset, start_seq, end_seq) —
+    GPT-style sequence packing: concatenate documents into a token stream
+    and slice it every ``budget`` tokens; each doc reports which training
+    sequences it lands in (start_seq..end_seq within its bucket) and its
+    offset in the stream.
+
+    The global concat order is inherently sequential, so the distributed
+    formulation packs ``n_buckets`` independent streams: docs are hashed
+    to a bucket, ordered within it by doc_id (deterministic, replayable),
+    and the offset is a window cumulative sum partitioned by bucket. At
+    corpus scale choose n_buckets ≈ total_tokens / (10⁸) so each window
+    partition holds ~100M tokens of (doc_id, n_tokens) rows — the window
+    state is two longs per doc, not the text. Padding waste is confined
+    to each bucket's final sequence (≤ n_buckets·budget tokens total).
+    Token definition = the pinned whitespace tokenizer (quality.tokens)."""
+    from linkgraph.text.quality import tokens
+
+    if portable:
+        from linkgraph.portable import phash
+
+        b = F.pmod(phash(F.col("doc_id"), F.lit(seed)), F.lit(n_buckets))
+    else:
+        b = F.pmod(F.xxhash64("doc_id", F.lit(seed)), F.lit(n_buckets))
+    sized = docs.select(
+        "doc_id",
+        b.alias("bucket"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return sized.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        off.alias("start_offset"),
+        F.floor(off / budget).cast("bigint").alias("start_seq"),
+        F.floor((off + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / budget)
+        .cast("bigint")
+        .alias("end_seq"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+    default_fraction: float = 0.0,
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic stratified sample: keep a doc iff
+    hash(doc_id, seed) mod 1e6 < fraction(stratum) · 1e6 — the
+    reproducible corpus-mixing primitive (per-language / per-source
+    sampling rates). Same doc_id + seed ⇒ same decision on any cluster
+    size, any partitioning, any run — unlike df.sample, which is
+    partition-order dependent.
+
+    One broadcast join against the tiny fractions map + one filter; rows
+    whose stratum is absent from ``fractions`` get ``default_fraction``."""
+    spark = docs.sparkSession
+    fr = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(fractions.items())],
+        f"{strata_col} string, _frac double",
+    )
+    if portable:
+        from linkgraph.portable import phash
+
+        h = phash(F.col("doc_id"), F.lit(seed))
+    else:
+        h = F.xxhash64("doc_id", F.lit(seed))
+    return (
+        docs.join(F.broadcast(fr), strata_col, "left")
+        .withColumn("_frac", F.coalesce("_frac", F.lit(float(default_fraction))))
+        .where(F.pmod(h, F.lit(1_000_000)) < F.col("_frac") * 1_000_000)
+        .drop("_frac")
+    )

@@ -1,0 +1,140 @@
+"""Training-data pipeline ops: PII redaction, contamination, packing,
+stratified sampling, normalization — brute-force Python oracles."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.text.pipeline import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    ngram_contamination,
+    normalize_text,
+    pack_sequences,
+    redact_pii,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "Contact me at john.doe@example.com or call 555-123-4567 today"),
+        (1, "server at 192.168.1.100 and backup at 10.0.0.1 are UP"),
+        (2, "  Mixed\tWHITESPACE   and\n\nCASE  "),
+        (3, "plain text with no pii at all just words"),
+        (4, "two mails a@b.co c@d.org one phone 800 555 1212"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_redact_pii_counts_and_text(docs):
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert got[0].n_email == 1 and got[0].n_phone == 1 and got[0].n_ipv4 == 0
+    assert "<EMAIL>" in got[0].text_redacted and "<PHONE>" in got[0].text_redacted
+    assert "john.doe" not in got[0].text_redacted
+    assert got[1].n_ipv4 == 2 and "<IP>" in got[1].text_redacted
+    assert "192.168" not in got[1].text_redacted
+    assert got[3].n_email == got[3].n_ipv4 == got[3].n_phone == 0
+    assert got[3].text_redacted == "plain text with no pii at all just words"
+    assert got[4].n_email == 2 and got[4].n_phone == 1
+    # python-re parity on every row (same pattern subset)
+    for r in docs.collect():
+        t = r.text
+        assert got[r.doc_id].n_email == len(re.findall(EMAIL_RE, t))
+        t = re.sub(EMAIL_RE, "<EMAIL>", t)
+        assert got[r.doc_id].n_ipv4 == len(re.findall(IPV4_RE, t))
+        t = re.sub(IPV4_RE, "<IP>", t)
+        assert got[r.doc_id].n_phone == len(re.findall(PHONE_RE, t))
+        t = re.sub(PHONE_RE, "<PHONE>", t)
+        assert got[r.doc_id].text_redacted == t
+
+
+def test_normalize_text(docs):
+    got = {r.doc_id: r.text_norm for r in normalize_text(docs).collect()}
+    assert got[2] == "mixed whitespace and case"
+    assert got[5] == ""
+
+
+def test_ngram_contamination_exact(spark):
+    train = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta"), (101, "one two three four")],
+        "doc_id bigint, text string",
+    )
+    evals = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),  # 2 of its 2 3-shingles in train
+            (1, "beta gamma delta nine ten"),  # shingles: 3, hits: 1
+            (2, "nothing shared here at all"),
+            (3, "tiny"),  # < k tokens → 0 shingles
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in ngram_contamination(train, evals, k=3).collect()}
+    assert got[0].n_shingles == 2 and got[0].n_contaminated == 2
+    assert got[0].contamination == 1.0
+    assert got[1].n_shingles == 3 and got[1].n_contaminated == 1
+    assert got[2].n_contaminated == 0 and got[2].contamination == 0.0
+    assert got[3].n_shingles == 0 and got[3].contamination == 0.0
+
+
+def test_pack_sequences_offsets_and_chunks(spark):
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([10, 20, 5, 100, 3])]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # one bucket → a single deterministic stream ordered by doc_id
+    got = {r.doc_id: r for r in pack_sequences(df, budget=16, n_buckets=1).collect()}
+    assert all(r.bucket == 0 for r in got.values())
+    # offsets are the prefix sums of token counts in doc_id order
+    offs = [0, 10, 30, 35, 135]
+    toks = [10, 20, 5, 100, 3]
+    for i in range(5):
+        assert got[i].start_offset == offs[i]
+        assert got[i].n_tokens == toks[i]
+        assert got[i].start_seq == offs[i] // 16
+        assert got[i].end_seq == (offs[i] + toks[i] - 1) // 16
+    # doc 3 (100 tokens) straddles several 16-token chunks
+    assert got[3].end_seq - got[3].start_seq == (35 + 99) // 16 - 35 // 16
+
+
+def test_pack_sequences_bucket_determinism(spark):
+    rows = [(i, " ".join(["tok"] * (1 + i % 7))) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = sorted(map(tuple, pack_sequences(df, budget=8, n_buckets=4).collect()))
+    b = sorted(map(tuple, pack_sequences(df.repartition(13), budget=8, n_buckets=4).collect()))
+    assert a == b  # partitioning-independent
+    # every bucket's stream is gap-free: offsets + n_tokens tile the stream
+    from collections import defaultdict
+
+    by_bucket = defaultdict(list)
+    for doc_id, bucket, n, off, s0, s1 in a:
+        by_bucket[bucket].append((off, n))
+    for rows_ in by_bucket.values():
+        rows_.sort()
+        pos = 0
+        for off, n in rows_:
+            assert off == pos
+            pos += n
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    frac = {"en": 0.5, "de": 0.1}
+    got = stratified_sample(df, "lang", frac, seed=7)
+    rows_got = got.collect()
+    by_lang = {}
+    for r in rows_got:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    # fr absent from fractions → default 0.0 → dropped entirely
+    assert "fr" not in by_lang
+    assert abs(len(by_lang["en"]) / 1000 - 0.5) < 0.06
+    assert abs(len(by_lang["de"]) / 1000 - 0.1) < 0.04
+    # deterministic across runs and partitionings
+    again = {r.doc_id for r in stratified_sample(df.repartition(17), "lang", frac, seed=7).collect()}
+    assert {r.doc_id for r in rows_got} == again
+    # different seed → different sample
+    other = {r.doc_id for r in stratified_sample(df, "lang", frac, seed=8).collect()}
+    assert {r.doc_id for r in rows_got} != other
