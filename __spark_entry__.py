@@ -513,6 +513,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.table("documents"), budget=50, n_buckets=8, portable=True
         )
 
+    def doc_gopher_flags(spark, sf):
+        from linkgraph.text.pipeline import gopher_quality_flags
+
+        _register(spark, sf)
+        return gopher_quality_flags(spark.table("documents")).select(
+            "doc_id",
+            "n_words",
+            F.round("mean_word_len", 6).alias("mean_word_len"),
+            F.round("symbol_ratio", 6).alias("symbol_ratio"),
+            F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+            "n_stop_distinct",
+            F.col("passes").cast("bigint").alias("passes"),
+        )
+
+    def doc_repetition(spark, sf):
+        from linkgraph.text.pipeline import repetition_ratios
+
+        _register(spark, sf)
+        return repetition_ratios(spark.table("documents")).select(
+            "doc_id",
+            F.round("dup_line_frac", 6).alias("dup_line_frac"),
+            F.round("dup_2gram_frac", 6).alias("dup_2gram_frac"),
+            F.round("dup_3gram_frac", 6).alias("dup_3gram_frac"),
+        )
+
     def doc_stratified_sample(spark, sf):
         from linkgraph.text.pipeline import stratified_sample
 
@@ -1372,6 +1397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_redact_pii": doc_redact_pii,
         "eval_contamination": eval_contamination,
         "doc_pack_sequences": doc_pack_sequences,
+        "doc_gopher_flags": doc_gopher_flags,
+        "doc_repetition": doc_repetition,
         "doc_stratified_sample": doc_stratified_sample,
         "minhash_dups": minhash_dups,
         "minhash_dup_groups": minhash_dup_groups,
@@ -1753,6 +1780,59 @@ SELECT doc_id, bucket, n_tokens, start_offset,
        CAST(FLOOR(start_offset / 50) AS BIGINT) AS start_seq,
        CAST(FLOOR((start_offset + greatest(n_tokens, 1) - 1) / 50) AS BIGINT) AS end_seq
 FROM off
+"""
+
+    sql["doc_gopher_flags"] = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks, length(text) AS n_chars
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(toks) AS n_words,
+    CASE WHEN len(toks) > 0
+         THEN CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(toks) > 0
+         THEN CAST(len(regexp_extract_all(text, '#'))
+                   + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS symbol_ratio,
+    CASE WHEN len(toks) > 0
+         THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+              / len(toks)
+         ELSE 0.0 END AS alpha_word_frac,
+    len(list_intersect(list_distinct(toks),
+        ['the','a','an','and','or','of','to','in','is','it'])) AS n_stop_distinct
+  FROM t
+)
+SELECT doc_id, n_words, ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(symbol_ratio, 6) AS symbol_ratio,
+       ROUND(alpha_word_frac, 6) AS alpha_word_frac, n_stop_distinct,
+       CAST(n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+            AND n_stop_distinct >= 2 AS BIGINT) AS passes
+FROM m
+"""
+
+    sql["doc_repetition"] = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                   string_split(text, chr(10)) AS lines FROM documents),
+g2 AS (SELECT doc_id, count(*) AS n,
+              count(DISTINCT array_to_string(toks[i:i+1], ' ')) AS d
+       FROM tk, UNNEST(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)
+       GROUP BY doc_id),
+g3 AS (SELECT doc_id, count(*) AS n,
+              count(DISTINCT array_to_string(toks[i:i+2], ' ')) AS d
+       FROM tk, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+       GROUP BY doc_id),
+ln AS (SELECT doc_id, CASE WHEN len(lines) > 0
+              THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+              ELSE 0.0 END AS dup_line_frac FROM tk)
+SELECT d.doc_id, ROUND(ln.dup_line_frac, 6) AS dup_line_frac,
+       ROUND(COALESCE(1.0 - CAST(g2.d AS DOUBLE) / g2.n, 0.0), 6) AS dup_2gram_frac,
+       ROUND(COALESCE(1.0 - CAST(g3.d AS DOUBLE) / g3.n, 0.0), 6) AS dup_3gram_frac
+FROM documents d JOIN ln ON ln.doc_id = d.doc_id
+LEFT JOIN g2 ON g2.doc_id = d.doc_id LEFT JOIN g3 ON g3.doc_id = d.doc_id
 """
 
     sql["doc_stratified_sample"] = f"""

@@ -175,6 +175,96 @@ def pack_sequences(
     )
 
 
+# Gopher-rule thresholds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A1.1) —
+# pinned so the flags are reproducible corpus-card facts, not knobs.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_AVG_LEN = 3.0
+GOPHER_MAX_AVG_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_DISTINCT_STOPWORDS = 2
+
+
+def gopher_quality_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+    n_stop_distinct, passes) — the Gopher document-level quality rules as
+    one codegen projection: word-count band, mean-word-length band,
+    symbol-to-word ratio (# and ellipsis), fraction of words containing
+    an alphabetic character, and distinct-stopword presence.
+
+    ``passes`` is the AND of all rules — the keep decision a corpus build
+    filters on. Scale shape: a single projection over the scan, no
+    shuffle; every term is a Spark SQL expression (split/filter/
+    regexp_count), so the DuckDB oracle replays it verbatim and a 100-TB
+    pass is bounded by scan throughput."""
+    from linkgraph.text.quality import STOPWORDS, tokens
+
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    # pinned whitespace tokenizer ⇒ sum of word lengths = n_chars - (n-1)
+    mean_len = F.when(n > 0, (n_chars - (n - 1)) / n).otherwise(0.0)
+    n_symbols = F.regexp_count(F.col(text_col), F.lit("#")) + F.regexp_count(
+        F.col(text_col), F.lit(r"\.\.\.")
+    )
+    symbol_ratio = F.when(n > 0, n_symbols / n).otherwise(0.0)
+    alpha_frac = F.when(
+        n > 0, F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))) / n
+    ).otherwise(0.0)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(t), stop_arr))
+    passes = (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_AVG_LEN)
+        & (mean_len <= GOPHER_MAX_AVG_LEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (n_stop >= GOPHER_MIN_DISTINCT_STOPWORDS)
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stop_distinct"),
+        passes.alias("passes"),
+    )
+
+
+def repetition_ratios(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, dup_line_frac, dup_2gram_frac, dup_3gram_frac) — Gopher's
+    within-document repetition rules: fraction of duplicate lines and of
+    duplicate word n-grams (1 - distinct/total). High values mark
+    boilerplate/spam (navigation chrome, keyword stuffing) that survives
+    corpus-level dedup because each doc is unique as a whole.
+
+    All three are per-row array expressions (split/array_distinct/size):
+    no shuffle, no window — the repetition state never leaves the row."""
+    from linkgraph.text.quality import shingles
+
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0, 1.0 - F.size(F.array_distinct(lines)) / n_lines
+    ).otherwise(0.0)
+
+    def dup_frac(k: int) -> Column:
+        sh = shingles(F.col(text_col), k)
+        n = F.size(sh)
+        return F.when(n > 0, 1.0 - F.size(F.array_distinct(sh)) / n).otherwise(0.0)
+
+    return docs.select(
+        "doc_id",
+        dup_line.alias("dup_line_frac"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     strata_col: str,

@@ -10,10 +10,12 @@ from linkgraph.text.pipeline import (
     EMAIL_RE,
     IPV4_RE,
     PHONE_RE,
+    gopher_quality_flags,
     ngram_contamination,
     normalize_text,
     pack_sequences,
     redact_pii,
+    repetition_ratios,
     stratified_sample,
 )
 
@@ -117,6 +119,67 @@ def test_pack_sequences_bucket_determinism(spark):
         for off, n in rows_:
             assert off == pos
             pos += n
+
+
+def test_gopher_quality_flags(spark):
+    good = "the quick brown fox jumps over a lazy dog and then it runs " * 5
+    rows = [
+        (0, good.strip()),  # passes everything
+        (1, "short doc under fifty words fails the word count rule"),
+        (2, ("x " * 60).strip()),  # no stopwords, mean len 1 < 3
+        (3, ("####### " + "the of and " * 20 + "### " * 30).strip()),  # symbols
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    # python oracle, rule by rule
+    for doc_id, text in rows:
+        words = text.split(" ") if text != "" else [""]
+        n = len(words)
+        n_chars = len(text)
+        mean_len = (n_chars - (n - 1)) / n if n > 0 else 0.0
+        n_sym = text.count("#") + len(re.findall(r"\.\.\.", text))
+        alpha = sum(1 for w in words if re.search("[A-Za-z]", w)) / n
+        stops = {"the", "a", "an", "and", "or", "of", "to", "in", "is", "it"}
+        n_stop = len(set(words) & stops)
+        r = got[doc_id]
+        assert r.n_words == n
+        assert abs(r.mean_word_len - mean_len) < 1e-9
+        assert abs(r.symbol_ratio - n_sym / n) < 1e-9
+        assert abs(r.alpha_word_frac - alpha) < 1e-9
+        assert r.n_stop_distinct == n_stop
+        expected = (
+            50 <= n <= 100_000
+            and 3.0 <= mean_len <= 10.0
+            and n_sym / n <= 0.1
+            and alpha >= 0.8
+            and n_stop >= 2
+        )
+        assert r.passes == expected, doc_id
+    assert got[0].passes and not any(got[i].passes for i in (1, 2, 3, 4))
+
+
+def test_repetition_ratios(spark):
+    rows = [
+        (0, "a b c d e f g h"),  # all 2/3-grams distinct
+        (1, "spam spam spam spam spam"),  # 1 distinct 2-gram of 4
+        (2, "nav\nnav\nnav\nbody text here"),  # dup lines
+        (3, "xy"),  # below k → 0 shingles → 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in repetition_ratios(df).collect()}
+    assert got[0].dup_2gram_frac == 0.0 and got[0].dup_3gram_frac == 0.0
+    assert abs(got[1].dup_2gram_frac - 3 / 4) < 1e-9
+    assert abs(got[1].dup_3gram_frac - 2 / 3) < 1e-9
+    assert abs(got[2].dup_line_frac - 2 / 4) < 1e-9
+    assert got[3].dup_2gram_frac == 0.0 and got[3].dup_line_frac == 0.0
+    # python oracle for every row
+    for doc_id, text in rows:
+        for k, col in ((2, "dup_2gram_frac"), (3, "dup_3gram_frac")):
+            toks = text.split(" ")
+            sh = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            want = 1 - len(set(sh)) / len(sh) if sh else 0.0
+            assert abs(got[doc_id][col] - want) < 1e-9, (doc_id, k)
 
 
 def test_stratified_sample_deterministic_and_bounded(spark):
