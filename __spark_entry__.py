@@ -513,6 +513,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.table("documents"), budget=50, n_buckets=8, portable=True
         )
 
+    def corpus_card_rollup(spark, sf):
+        from linkgraph.text.pipeline import corpus_card
+
+        _register(spark, sf)
+        return corpus_card(spark.table("documents"))
+
+    def source_graph(spark, sf):
+        from linkgraph.algs.community import coarsen
+
+        g = _doc_graph(spark, sf)
+        labels = spark.table("documents").select(
+            F.col("doc_id").alias("id"), F.col("source").alias("label")
+        )
+        return coarsen(g, labels).edges.select(
+            F.col("src").alias("src_source"),
+            F.col("dst").alias("dst_source"),
+            F.round("weight", 6).alias("weight"),
+        )
+
     def doc_gopher_flags(spark, sf):
         from linkgraph.text.pipeline import gopher_quality_flags
 
@@ -1397,6 +1416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_redact_pii": doc_redact_pii,
         "eval_contamination": eval_contamination,
         "doc_pack_sequences": doc_pack_sequences,
+        "corpus_card_rollup": corpus_card_rollup,
+        "source_graph": source_graph,
         "doc_gopher_flags": doc_gopher_flags,
         "doc_repetition": doc_repetition,
         "doc_stratified_sample": doc_stratified_sample,
@@ -1780,6 +1801,23 @@ SELECT doc_id, bucket, n_tokens, start_offset,
        CAST(FLOOR(start_offset / 50) AS BIGINT) AS start_seq,
        CAST(FLOOR((start_offset + greatest(n_tokens, 1) - 1) / 50) AS BIGINT) AS end_seq
 FROM off
+"""
+
+    sql["corpus_card_rollup"] = """
+SELECT COALESCE(lang, '<all>') AS lang, COALESCE(source, '<all>') AS source,
+       count(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       ROUND(AVG(length(text)), 6) AS avg_chars
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+    sql["source_graph"] = f"""
+WITH {EDGES_CTE},
+lab AS (SELECT doc_id AS id, source AS label FROM documents)
+SELECT ls.label AS src_source, ld.label AS dst_source,
+       ROUND(SUM(e.weight), 6) AS weight
+FROM edges e JOIN lab ls ON ls.id = e.src JOIN lab ld ON ld.id = e.dst
+GROUP BY ls.label, ld.label
 """
 
     sql["doc_gopher_flags"] = """

@@ -175,6 +175,40 @@ def pack_sequences(
     )
 
 
+def corpus_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(lang, source, n_docs, n_tokens, avg_chars) over the full grouping
+    lattice CUBE(lang, source) — the corpus-card summary a dataset release
+    publishes: per-language, per-source, per-(language,source) and grand
+    totals in ONE pass (Spark expands the cube map-side; one shuffle).
+
+    NULL group keys from the rollup are folded to '<all>' so downstream
+    consumers (and the SQL oracle) never confuse "subtotal" with a null
+    data value. Token definition = the pinned whitespace tokenizer."""
+    from linkgraph.text.quality import tokens
+
+    base = docs.select(
+        "lang",
+        "source",
+        F.size(tokens(F.col(text_col))).alias("n_tok"),
+        F.length(text_col).alias("n_chars"),
+    )
+    return (
+        base.cube("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs",
+            "n_tokens",
+            "avg_chars",
+        )
+    )
+
+
 # Gopher-rule thresholds (Rae et al. 2021, "Scaling Language Models:
 # Methods, Analysis & Insights from Training Gopher", appendix A1.1) —
 # pinned so the flags are reproducible corpus-card facts, not knobs.

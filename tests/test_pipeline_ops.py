@@ -121,6 +121,26 @@ def test_pack_sequences_bucket_determinism(spark):
             pos += n
 
 
+def test_corpus_card_lattice(spark):
+    from linkgraph.text.pipeline import corpus_card
+
+    rows = [
+        (0, "one two three", "en", "web"),
+        (1, "four five", "en", "book"),
+        (2, "sechs sieben acht neun", "de", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string, source string")
+    got = {(r.lang, r.source): r for r in corpus_card(df).collect()}
+    # 4 grouping sets: (lang,source) x3 distinct, (lang) x2, (source) x2, () x1
+    assert len(got) == 3 + 2 + 2 + 1
+    assert got[("<all>", "<all>")].n_docs == 3
+    assert got[("<all>", "<all>")].n_tokens == 3 + 2 + 4
+    assert got[("en", "<all>")].n_docs == 2 and got[("en", "<all>")].n_tokens == 5
+    assert got[("<all>", "web")].n_docs == 2 and got[("<all>", "web")].n_tokens == 7
+    assert got[("de", "web")].n_tokens == 4
+    assert abs(got[("en", "<all>")].avg_chars - (13 + 9) / 2) < 1e-9
+
+
 def test_gopher_quality_flags(spark):
     good = "the quick brown fox jumps over a lazy dog and then it runs " * 5
     rows = [
