@@ -259,15 +259,161 @@ def write_dot(graph: Graph, path: str) -> None:
         f.write("\n".join(lines) + "\n")
 
 
+def _read_binary(spark: SparkSession, path: str) -> bytes:
+    """Whole-file binary read through the Spark binaryFile source (the
+    binary twin of the wholetext convention above; fixture-scale)."""
+    return bytes(
+        spark.read.format("binaryFile").load(path).select("content").collect()[0][0]
+    )
+
+
+def _varint_encode(x: int, out: bytearray) -> None:
+    while True:
+        b = x & 0x7F
+        x >>= 7
+        if x:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
 def read_thrill(spark: SparkSession, path: str) -> Graph:
     """ThrillGraphBinaryReader scope (io/ThrillGraphBinaryReader.cpp):
-    varint-encoded adjacency lists. The distributed-native twin reads the
-    engine's own parquet/CSR-block tables instead; this reader exists for
-    fixture parity and parses driver-side."""
-    raise NotImplementedError(
-        "Thrill binary is a single-machine interchange format; use "
-        "read_edge_list/parquet CSR blocks (linkgraph.tables) instead"
+    varint-encoded adjacency lists — for each vertex in id order, a
+    varint out-degree followed by that many varint neighbor ids (LEB128:
+    7-bit groups, little-endian, high bit = continuation). Undirected
+    graphs store each edge once, in the smaller endpoint's list (the
+    write_thrill convention; round-trip tested). Fixture-scale
+    driver-side parse; the distributed-native twin reads the engine's
+    own parquet/CSR-block tables instead (linkgraph.tables)."""
+    raw = _read_binary(spark, path)
+    pos = 0
+
+    def varint() -> int:
+        nonlocal pos
+        x = shift = 0
+        while True:
+            b = raw[pos]
+            pos += 1
+            x |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return x
+            shift += 7
+
+    directed = bool(raw[pos]); pos += 1
+    n = 0
+    rows = []
+    while pos < len(raw):
+        deg = varint()
+        for _ in range(deg):
+            rows.append((n, varint()))
+        n += 1
+    edges = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in rows],
+        "src bigint, dst bigint, weight double",
     )
+    return Graph.from_edges(edges, directed=directed, weighted=False)
+
+
+def write_thrill(graph: Graph, path: str) -> None:
+    """Varint adjacency writer (io/ThrillGraphBinaryWriter.cpp scope):
+    one leading directedness byte, then per-vertex varint degree +
+    varint neighbor ids over dense 0..n-1 ids (compact first via
+    graph.compact_ids() if ids are sparse)."""
+    if graph.directed:
+        rows = graph.edges.select("src", "dst").collect()
+    else:
+        e = graph.symmetric_edges().where(F.col("src") <= F.col("dst"))
+        rows = e.select("src", "dst").collect()
+    adj: dict = {}
+    n = 0
+    for r in rows:
+        adj.setdefault(r["src"], []).append(r["dst"])
+        n = max(n, r["src"] + 1, r["dst"] + 1)
+    out = bytearray([1 if graph.directed else 0])
+    for v in range(n):
+        nbrs = sorted(adj.get(v, []))
+        _varint_encode(len(nbrs), out)
+        for u in nbrs:
+            _varint_encode(u, out)
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+# graph-tool gt-format magic: "⛾ gt" (U+26FE + " gt"), per the public
+# format spec at graph-tool.skewed.de (gt format documentation)
+_GT_MAGIC = "⛾ gt".encode("utf-8")
+
+
+def _gt_width(n: int) -> int:
+    for w in (1, 2, 4, 8):
+        if n <= (1 << (8 * w)) - 1:
+            return w
+    return 8
+
+
+def read_graphtool(spark: SparkSession, path: str) -> Graph:
+    """GraphToolBinaryReader parity (io/GraphToolBinaryReader.cpp scope;
+    layout per graph-tool's public gt-format spec): magic '⛾ gt',
+    version byte, big-endian bool byte, uint64-length-prefixed comment
+    string, directed bool byte, uint64 N, then per-vertex out-adjacency
+    as uint64 degree + neighbor ids in the smallest uint width holding
+    N. Trailing property-map sections are ignored (the engine carries
+    attributes as DataFrame columns, not serialized property maps).
+    Fixture-scale driver-side parse."""
+    raw = _read_binary(spark, path)
+    if raw[: len(_GT_MAGIC)] != _GT_MAGIC:
+        raise ValueError(f"{path}: not a gt-format file (bad magic)")
+    pos = len(_GT_MAGIC)
+    pos += 1  # version byte
+    bo = "big" if raw[pos] else "little"; pos += 1
+    clen = int.from_bytes(raw[pos : pos + 8], bo); pos += 8 + clen
+    directed = bool(raw[pos]); pos += 1
+    n = int.from_bytes(raw[pos : pos + 8], bo); pos += 8
+    w = _gt_width(n)
+    rows = []
+    for v in range(n):
+        deg = int.from_bytes(raw[pos : pos + 8], bo); pos += 8
+        for _ in range(deg):
+            rows.append((v, int.from_bytes(raw[pos : pos + w], bo)))
+            pos += w
+    edges = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in rows],
+        "src bigint, dst bigint, weight double",
+    )
+    return Graph.from_edges(edges, directed=directed, weighted=False)
+
+
+def write_graphtool(graph: Graph, path: str, comment: str = "") -> None:
+    """gt-format writer (little-endian, version 1, no property maps).
+    Undirected edges are stored once in the smaller endpoint's list —
+    graph-tool's own storage convention. Dense 0..n-1 ids required."""
+    if graph.directed:
+        rows = graph.edges.select("src", "dst").collect()
+    else:
+        e = graph.symmetric_edges().where(F.col("src") <= F.col("dst"))
+        rows = e.select("src", "dst").collect()
+    adj: dict = {}
+    n = 0
+    for r in rows:
+        adj.setdefault(r["src"], []).append(r["dst"])
+        n = max(n, r["src"] + 1, r["dst"] + 1)
+    w = _gt_width(n)
+    cb = comment.encode("utf-8")
+    out = bytearray(_GT_MAGIC)
+    out.append(1)  # version
+    out.append(0)  # little-endian
+    out += len(cb).to_bytes(8, "little") + cb
+    out.append(1 if graph.directed else 0)
+    out += n.to_bytes(8, "little")
+    for v in range(n):
+        nbrs = sorted(adj.get(v, []))
+        out += len(nbrs).to_bytes(8, "little")
+        for u in nbrs:
+            out += int(u).to_bytes(w, "little")
+    with open(path, "wb") as f:
+        f.write(bytes(out))
 
 
 def read_dgs(spark: SparkSession, path: str) -> DataFrame:
