@@ -112,3 +112,36 @@ def test_scc_probe_job_budget(spark):
     jobs = len(sc.statusTracker().getJobIdsForGroup("scc_probe_budget"))
     assert len(out) == 8 and len({r["component"] for r in out}) == 1
     assert jobs <= 120, jobs
+
+
+def test_pipeline_projection_ops_no_exchange(spark):
+    """redact_pii / gopher flags / repetition ratios are single
+    projections over the scan — any Exchange in the plan means a shuffle
+    crept into what must stay scan-bound at 100-TB scale."""
+    from linkgraph.text.pipeline import (
+        gopher_quality_flags,
+        redact_pii,
+        repetition_ratios,
+    )
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("some text body "), F.col("id").cast("string")).alias("text"),
+    )
+    for op in (redact_pii, gopher_quality_flags, repetition_ratios):
+        plan = _plan(op(docs))
+        assert "Exchange" not in plan, op.__name__
+
+
+def test_pack_sequences_window_partitioned_by_bucket(spark):
+    """The packing cumsum window is partitioned by bucket — never a
+    global single-partition sort (the r1 AUC failure mode)."""
+    from linkgraph.text.pipeline import pack_sequences
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w "), F.col("id").cast("string")).alias("text"),
+    )
+    plan = _plan(pack_sequences(docs, budget=64, n_buckets=16))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
