@@ -513,6 +513,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.table("documents"), budget=50, n_buckets=8, portable=True
         )
 
+    def corpus_build(spark, sf):
+        from linkgraph.text.pipeline import build_corpus
+
+        _register(spark, sf)
+        return build_corpus(
+            spark.table("documents"),
+            {"en": 0.8, "de": 0.5, "es": 1.0, "fr": 0.25, "zh": 0.5},
+            budget=50,
+            n_buckets=8,
+            portable=True,
+        )
+
     def corpus_card_rollup(spark, sf):
         from linkgraph.text.pipeline import corpus_card
 
@@ -1416,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_redact_pii": doc_redact_pii,
         "eval_contamination": eval_contamination,
         "doc_pack_sequences": doc_pack_sequences,
+        "corpus_build": corpus_build,
         "corpus_card_rollup": corpus_card_rollup,
         "source_graph": source_graph,
         "doc_gopher_flags": doc_gopher_flags,
@@ -1790,6 +1803,51 @@ WITH sized AS (
   SELECT doc_id, {_pph("doc_id", "42")} % 8 AS bucket,
          len(string_split(text, ' ')) AS n_tokens
   FROM documents
+),
+off AS (
+  SELECT doc_id, bucket, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM sized
+)
+SELECT doc_id, bucket, n_tokens, start_offset,
+       CAST(FLOOR(start_offset / 50) AS BIGINT) AS start_seq,
+       CAST(FLOOR((start_offset + greatest(n_tokens, 1) - 1) / 50) AS BIGINT) AS end_seq
+FROM off
+"""
+
+    sql["corpus_build"] = f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t0
+  FROM documents
+),
+r1 AS (SELECT doc_id, regexp_replace(t0, '{EMAIL_RE}', '<EMAIL>', 'g') AS t FROM norm),
+r2 AS (SELECT doc_id, regexp_replace(t, '{IPV4_RE}', '<IP>', 'g') AS t FROM r1),
+red AS (SELECT doc_id, regexp_replace(t, '{PHONE_RE}', '<PHONE>', 'g') AS t FROM r2),
+m AS (SELECT doc_id, t, string_split(t, ' ') AS toks, length(t) AS n_chars FROM red),
+fl AS (
+  SELECT doc_id, t FROM m
+  WHERE len(toks) BETWEEN 50 AND 100000
+    AND CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks) BETWEEN 3.0 AND 10.0
+    AND CAST(len(regexp_extract_all(t, '#'))
+             + len(regexp_extract_all(t, '\\.\\.\\.')) AS DOUBLE) / len(toks) <= 0.1
+    AND CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        / len(toks) >= 0.8
+    AND len(list_intersect(list_distinct(toks),
+        ['the','a','an','and','or','of','to','in','is','it'])) >= 2
+),
+reps AS (SELECT MIN(doc_id) AS doc_id, t FROM fl GROUP BY t),
+strat AS (SELECT r.doc_id, r.t, d.lang FROM reps r JOIN documents d ON d.doc_id = r.doc_id),
+samp AS (
+  SELECT doc_id, t FROM strat
+  WHERE {_pph("doc_id", "42")} % 1000000 <
+    (CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5 WHEN 'es' THEN 1.0
+          WHEN 'fr' THEN 0.25 WHEN 'zh' THEN 0.5 ELSE 0.0 END) * 1000000
+),
+sized AS (
+  SELECT doc_id, {_pph("doc_id", "42")} % 8 AS bucket,
+         len(string_split(t, ' ')) AS n_tokens
+  FROM samp
 ),
 off AS (
   SELECT doc_id, bucket, n_tokens,

@@ -175,6 +175,46 @@ def pack_sequences(
     )
 
 
+def build_corpus(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    budget: int = 2048,
+    n_buckets: int = 64,
+    seed: int = 42,
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """The end-to-end corpus build a pretraining run actually executes,
+    as ONE composed DataFrame plan: normalize → redact PII → Gopher
+    quality filter → exact dedup (keep the min-doc_id representative of
+    each normalized+redacted text) → deterministic stratified sample by
+    ``lang`` → pack survivors into ``budget``-token sequences.
+
+    Input needs (doc_id, text, lang). Output = the packing assignment
+    (doc_id, bucket, n_tokens, start_offset, start_seq, end_seq) for
+    every surviving document.
+
+    Every stage is JVM expressions plus at most one shuffle (the dedup
+    groupBy, the packing window); nothing materializes between stages, so
+    Catalyst fuses the projections and a 100-TB build is scan + two
+    shuffles of (hash, id)-sized rows — never the text itself beyond the
+    dedup key exchange."""
+    norm = normalize_text(docs, text_col)
+    red = redact_pii(norm, "text_norm")
+    flags = gopher_quality_flags(red, "text_redacted")
+    kept = red.join(flags.where(F.col("passes")).select("doc_id"), "doc_id")
+    reps = kept.groupBy("text_redacted").agg(F.min("doc_id").alias("doc_id"))
+    strat = reps.join(docs.select("doc_id", "lang"), "doc_id")
+    sampled = stratified_sample(strat, "lang", fractions, seed=seed, portable=portable)
+    return pack_sequences(
+        sampled.select("doc_id", F.col("text_redacted").alias("text")),
+        budget=budget,
+        n_buckets=n_buckets,
+        seed=seed,
+        portable=portable,
+    )
+
+
 def corpus_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(lang, source, n_docs, n_tokens, avg_chars) over the full grouping
     lattice CUBE(lang, source) — the corpus-card summary a dataset release

@@ -121,6 +121,34 @@ def test_pack_sequences_bucket_determinism(spark):
             pos += n
 
 
+def test_build_corpus_end_to_end(spark):
+    from linkgraph.text.pipeline import build_corpus, gopher_quality_flags
+
+    good = ("the quick brown fox jumps over a lazy dog and then it runs " * 5).strip()
+    rows = [
+        (0, good, "en"),
+        (1, good, "en"),  # exact dup of 0 after normalize+redact → dropped
+        (2, good + " extra tail words", "en"),
+        (3, "too short to pass the gopher word count", "en"),
+        (4, good.upper(), "de"),  # normalizes to == doc 0 text but... kept:
+        #    dedup keys on normalized text, so 4 collapses into group {0,1,4}
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = build_corpus(df, {"en": 1.0, "de": 1.0}, budget=32, n_buckets=2)
+    got = {r.doc_id: r for r in out.collect()}
+    # doc 3 filtered (word count); dups 1 and 4 collapse into representative 0
+    assert set(got) == {0, 2}
+    assert all(r.n_tokens == 65 or r.n_tokens == 68 for r in got.values())
+    # deterministic across partitionings
+    again = {r.doc_id for r in build_corpus(
+        df.repartition(7), {"en": 1.0, "de": 1.0}, budget=32, n_buckets=2
+    ).collect()}
+    assert set(got) == again
+    # sanity: the survivors really do pass the quality gate
+    flags = {r.doc_id: r.passes for r in gopher_quality_flags(df).collect()}
+    assert flags[0] and not flags[3]
+
+
 def test_corpus_card_lattice(spark):
     from linkgraph.text.pipeline import corpus_card
 
