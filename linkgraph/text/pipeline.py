@@ -201,8 +201,7 @@ def build_corpus(
     dedup key exchange."""
     norm = normalize_text(docs, text_col)
     red = redact_pii(norm, "text_norm")
-    flags = gopher_quality_flags(red, "text_redacted")
-    kept = red.join(flags.where(F.col("passes")).select("doc_id"), "doc_id")
+    kept = red.where(gopher_passes(F.col("text_redacted")))
     reps = kept.groupBy("text_redacted").agg(F.min("doc_id").alias("doc_id"))
     strat = reps.join(docs.select("doc_id", "lang"), "doc_id")
     sampled = stratified_sample(strat, "lang", fractions, seed=seed, portable=portable)
@@ -259,6 +258,36 @@ GOPHER_MAX_AVG_LEN = 10.0
 GOPHER_MAX_SYMBOL_RATIO = 0.1
 GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
 GOPHER_MIN_DISTINCT_STOPWORDS = 2
+
+
+def gopher_passes(text: Column) -> Column:
+    """The Gopher keep decision as ONE boolean expression — usable as a
+    bare ``where`` predicate (single scan pass, no join) when the
+    per-rule diagnostics of :func:`gopher_quality_flags` aren't needed."""
+    from linkgraph.text.quality import STOPWORDS, tokens
+
+    t = tokens(text)
+    n = F.size(t)
+    n_chars = F.length(text)
+    mean_len = F.when(n > 0, (n_chars - (n - 1)) / n).otherwise(0.0)
+    n_symbols = F.regexp_count(text, F.lit("#")) + F.regexp_count(
+        text, F.lit(r"\.\.\.")
+    )
+    symbol_ratio = F.when(n > 0, n_symbols / n).otherwise(0.0)
+    alpha_frac = F.when(
+        n > 0, F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))) / n
+    ).otherwise(0.0)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(t), stop_arr))
+    return (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_AVG_LEN)
+        & (mean_len <= GOPHER_MAX_AVG_LEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (n_stop >= GOPHER_MIN_DISTINCT_STOPWORDS)
+    )
 
 
 def gopher_quality_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
