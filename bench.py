@@ -157,6 +157,17 @@ def main() -> None:
     # --- text/dedup + similarity ------------------------------------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed("minhash_dedup", lambda: minhash_dedup_pairs(docs, threshold=0.7).count())
+    from linkgraph.text.pipeline import build_corpus
+
+    timed(
+        "corpus_build",
+        lambda: build_corpus(
+            docs,
+            {"en": 0.8, "de": 0.5, "es": 1.0, "fr": 0.25, "zh": 0.5},
+            budget=2048,
+            n_buckets=64,
+        ).count(),
+    )
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
     emb.count()
     qs = emb.where(F.col("vec_id") < 20)
