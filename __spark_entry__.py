@@ -283,6 +283,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf, directed=False)
         return sssp(g, 0).select("id", F.round("dist", 6).alias("dist"))
 
+    def algebraic_sssp(spark, sf):
+        # GraphBLAS-style min-plus mat-vec iteration; same fixed point as
+        # doc_sssp, so it shares that oracle verbatim
+        from linkgraph.algs.algebraic import algebraic_bellman_ford
+
+        g = _doc_graph(spark, sf, directed=False)
+        return algebraic_bellman_ford(g, 0).select(
+            "id", F.round("dist", 6).alias("dist")
+        )
+
+    def algebraic_pagerank_q(spark, sf):
+        # semiring plus-times recurrence, fixed 15 iterations — replays
+        # the same unrolled-SQL oracle as doc_pagerank
+        from linkgraph.algs.algebraic import algebraic_pagerank
+
+        g = _doc_graph(spark, sf)
+        uw = g.to_unweighted()
+        pr = algebraic_pagerank(uw, damping=0.85, max_iter=15, tol=0.0)
+        return pr.select("id", F.round("rank", 6).alias("rank"))
+
+    def algebraic_tri_total(spark, sf):
+        # masked U·U over the degree-oriented matrix; one row: the global
+        # triangle count
+        from linkgraph.algs.algebraic import algebraic_triangle_count
+
+        g = _doc_graph(spark, sf)
+        t = algebraic_triangle_count(g)
+        return spark.createDataFrame([(t,)], "triangles bigint")
+
     def doc_bfs_path(spark, sf):
         # Engine pred column (bfs return_pred) + bulk path reconstruction
         # via level-order prepend joins; the oracle rebuilds pred
@@ -1392,6 +1421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bfs": doc_bfs,
         "doc_bfs_path": doc_bfs_path,
         "doc_sssp": doc_sssp,
+        "algebraic_sssp": algebraic_sssp,
+        "algebraic_pagerank": algebraic_pagerank_q,
+        "algebraic_tri_total": algebraic_tri_total,
         "doc_closeness": doc_closeness,
         "doc_harmonic": doc_harmonic,
         "doc_eccentricity": doc_eccentricity,
@@ -1594,6 +1626,14 @@ FROM nodes n LEFT JOIN tcount t ON t.id = n.id LEFT JOIN deg d ON d.id = n.id
 """
 
     sql["doc_pagerank"] = _pagerank_unrolled_sql(15, 0.85)
+    # the algebraic formulations converge to the identical fixed points /
+    # run the identical fixed-iteration recurrences, so they share oracles
+    sql["algebraic_pagerank"] = _pagerank_unrolled_sql(15, 0.85)
+    sql["algebraic_tri_total"] = f"""
+WITH {EDGES_CTE},
+{tri_cte}
+SELECT count(*) AS triangles FROM tri
+"""
 
     lp_cte = """
 symn AS (SELECT src, dst FROM sym WHERE src <> dst),
@@ -2001,6 +2041,7 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["doc_bfs"] = G.bfs_sql(EDGES_CTE_MAT, source=0, hops=12)
     sql["doc_bfs_path"] = G.bfs_path_sql(EDGES_CTE_MAT, source=0, hops=12)
     sql["doc_sssp"] = G.sssp_sql(EDGES_CTE_MAT, source=0, rounds=16)
+    sql["algebraic_sssp"] = G.sssp_sql(EDGES_CTE_MAT, source=0, rounds=16)
     sql["doc_sfigality"] = G.sfigality_sql(EDGES_CTE_MAT)
     sql["doc_laplacian"] = G.laplacian_sql(EDGES_CTE_MAT)
     sql["doc_betweenness_exact"] = G.betweenness_sql(EDGES_CTE_MAT, hops=12)
