@@ -1004,6 +1004,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, qs, k=5, n_list=8, n_probe=3, refine_rounds=1, portable=True
         ).select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
 
+    def embed_semantic_dedup(spark, sf):
+        """SemDeDup (Abbas et al. 2023) over the planted-clone corpus:
+        k-means cells via the IVF quantizer, exact within-cell cosine
+        ≥ 0.95 duplicate pairs, closure into groups, keep = the member
+        with the LOWEST centroid cosine. Oracle: full SQL replay incl.
+        the Lloyd recentre and the recursive label-min closure."""
+        from linkgraph.text.similarity import semantic_dedup
+
+        docs = _embed_with_clones(spark, sf)
+        return semantic_dedup(
+            docs, eps=0.05, n_list=8, refine_rounds=1, portable=True,
+            max_cell_size=None,
+        ).select(
+            "vec_id",
+            "cell",
+            F.round("centroid_cos", 4).alias("centroid_cos"),
+            "group_id",
+            "keep",
+        )
+
+    def url_filter_entry(spark, sf):
+        """URL admission filter over the committed pages fixture plus
+        literal edge-case urls (one per rule). Oracle: expression-for-
+        expression replay (same pinned rule order + regex literals)."""
+        from linkgraph.text.pipeline import url_filter
+
+        pages = spark.read.parquet(
+            "/root/repo/tests/fixtures/gate_pages"
+        ).select("url")
+        extra = spark.createDataFrame(
+            [
+                ("ftp://files.example.org/x",),
+                ("https://" + "a" * 2050 + ".org/x",),
+                ("https:///nopath",),
+                ("https://192.168.0.1/admin",),
+                ("https://SPAM.example.net/page",),
+                ("https://ok.example.org/logo.PNG",),
+                (
+                    "https://ok.example.org/q?"
+                    + "&".join(f"p{i}=1" for i in range(10)),
+                ),
+            ],
+            "url string",
+        )
+        return url_filter(
+            pages.unionAll(extra), blocked_hosts=["spam.example.net"]
+        ).select("url", "host", "reason", "keep")
+
     # --- round-2b/2c operators ------------------------------------------
     def doc_sfigality(spark, sf):
         from linkgraph.algs.centrality import sfigality
@@ -1482,6 +1530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dups": embed_near_dups,
         "embed_near_dup_groups": embed_near_dup_groups,
         "embed_ivf_top5": embed_ivf_top5,
+        "embed_semantic_dedup": embed_semantic_dedup,
+        "url_filter": url_filter_entry,
         "doc_sfigality": doc_sfigality,
         "doc_local_similarity": doc_local_similarity,
         "doc_scan_similarity": doc_scan_similarity,
@@ -2153,6 +2203,13 @@ SELECT src, dst, ROUND(weight, 6) AS weight FROM last WHERE op <> 'remove_edge'
     )
     sql["embed_ivf_top5"] = G.embed_ivf_sql(
         n_list=8, n_probe=3, k=5, seed=42, dim=64, q_max=10
+    )
+    sql["embed_semantic_dedup"] = G.semantic_dedup_sql(
+        eps=0.05, n_list=8, seed=42, dim=64, n_clones=40
+    )
+    sql["url_filter"] = G.url_filter_sql(
+        "/root/repo/tests/fixtures/gate_pages/*.parquet",
+        blocked_hosts=("spam.example.net",),
     )
     sql["doc_seir_census"] = G.seir_sql(
         EDGES_CTE_MAT, zero=0, p_transmit=0.05, ticks=8, seed=42

@@ -2140,3 +2140,124 @@ def maxent_sql(
         + f"\nSELECT id, ROUND(x0, {round_to}) AS x0,"
         f" ROUND(x1, {round_to}) AS x1 FROM p{iters}"
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup semantic dedup — full replay (centroids → assignment → within-
+# cell pairs → closure → keep-low-centroid-cos)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_sql(
+    eps: float = 0.05, n_list: int = 8, seed: int = 42,
+    dim: int = 64, n_clones: int = 40,
+) -> str:
+    """text/similarity.semantic_dedup replay (refine_rounds=1, portable
+    hash seeds): k-means cells via the IVF quantizer CTEs (same replay as
+    embed_ivf_sql), exact within-cell cosine pairs ≥ 1−eps, recursive
+    label-min closure into groups, keep = the group member with the
+    lowest (ROUND(centroid_cos, 9), vec_id) — the SemDeDup keep-low
+    rule. Runs over the planted-clone union (_embed_union_cte) so real
+    duplicate groups exist."""
+    ph = phash_sql("vec_id", str(seed))
+    return f"""
+WITH RECURSIVE {_embed_union_cte(n_clones)},
+sel AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, sid) - 1 AS cell, cv FROM (
+    SELECT vec_id AS sid, v AS cv, {ph} AS h
+    FROM emb ORDER BY h, sid LIMIT {n_list}) s),
+a0 AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell ASC) AS rn
+    FROM emb e, sel c) t WHERE rn = 1),
+m AS MATERIALIZED (
+  SELECT a0.cell, r.range AS pos, AVG(e.v[r.range + 1]) AS mv
+  FROM a0 JOIN emb e USING (vec_id), range({dim}) r
+  GROUP BY a0.cell, r.range),
+c1 AS MATERIALIZED (
+  SELECT cell, LIST(mv ORDER BY pos) AS cv FROM m GROUP BY cell),
+a1 AS MATERIALIZED (
+  SELECT vec_id, cell, ccos FROM (
+    SELECT e.vec_id, c.cell, list_cosine_similarity(e.v, c.cv) AS ccos,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell ASC) AS rn
+    FROM emb e, c1 c) t WHERE rn = 1),
+hits AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM a1 x JOIN a1 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  JOIN emb ea ON ea.vec_id = x.vec_id JOIN emb eb ON eb.vec_id = y.vec_id
+  WHERE list_cosine_similarity(ea.v, eb.v) >= {1.0 - eps}),
+pe AS MATERIALIZED (SELECT a AS src, b AS dst FROM hits
+                    UNION SELECT b, a FROM hits),
+gr(id, label) AS (
+  SELECT vec_id, vec_id FROM emb
+  UNION
+  SELECT p.dst, g.label FROM gr g JOIN pe p ON p.src = g.id
+  WHERE g.label < p.dst
+),
+grp AS MATERIALIZED (
+  SELECT e.vec_id, MIN(g.label) AS group_id
+  FROM emb e JOIN gr g ON g.id = e.vec_id GROUP BY e.vec_id)
+SELECT vec_id, cell, ROUND(ccos, 4) AS centroid_cos, group_id,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM (
+  SELECT g.vec_id, a1.cell, a1.ccos, g.group_id,
+    ROW_NUMBER() OVER (PARTITION BY g.group_id
+      ORDER BY ROUND(a1.ccos, 9) ASC, g.vec_id ASC) AS rn
+  FROM grp g JOIN a1 ON a1.vec_id = g.vec_id) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL admission filter — expression-for-expression replay
+# ---------------------------------------------------------------------------
+
+
+def url_filter_sql(
+    pages_glob: str, blocked_hosts: tuple = (), max_len: int = 2048,
+    max_query_params: int = 8,
+) -> str:
+    """text/pipeline.url_filter replay: same pinned rule order, same
+    Java∩RE2 regex literals, host lowercased; runs over the committed
+    pages fixture UNIONed with the literal edge-case urls the entry
+    plants (DuckDB VALUES ≡ Spark createDataFrame)."""
+    blocked = ", ".join(f"'{h.lower()}'" for h in blocked_hosts) or "''"
+    host_re = r"^https?://([^/:?#]+)"
+    bin_re = (
+        r"\.(jpe?g|png|gif|bmp|webp|tiff?|css|js|ico|svg|woff2?|ttf|eot"
+        r"|mp[34]|m4[av]|avi|mov|mkv|webm|wav|flac|ogg"
+        r"|exe|msi|dmg|apk|iso|zip|rar|7z|gz|bz2|xz|tar|pdf)([?#]|$)"
+    )
+    return f"""
+WITH pages AS (SELECT url FROM '{pages_glob}'),
+extra(url) AS (VALUES
+  ('ftp://files.example.org/x'),
+  ('https://' || repeat('a', {max_len + 2}) || '.org/x'),
+  ('https:///nopath'),
+  ('https://192.168.0.1/admin'),
+  ('https://SPAM.example.net/page'),
+  ('https://ok.example.org/logo.PNG'),
+  ('https://ok.example.org/q?p0=1&p1=1&p2=1&p3=1&p4=1&p5=1&p6=1&p7=1&p8=1&p9=1')),
+u AS (SELECT url FROM pages UNION ALL SELECT url FROM extra),
+h AS (
+  SELECT url,
+    LOWER(COALESCE(regexp_extract(url, '{host_re}', 1), '')) AS host,
+    LENGTH(url) - LENGTH(REPLACE(url, '&', '')) AS nq
+  FROM u),
+r AS (
+  SELECT url, host,
+    CASE
+      WHEN NOT regexp_matches(url, '^https?://') THEN 'scheme'
+      WHEN LENGTH(url) > {max_len} THEN 'too_long'
+      WHEN host = '' THEN 'no_host'
+      WHEN regexp_matches(host, '^[0-9.]+$') THEN 'ip_host'
+      WHEN host IN ({blocked}) THEN 'blocked_host'
+      WHEN regexp_matches(LOWER(url), '{bin_re}') THEN 'binary_ext'
+      WHEN nq > {max_query_params} THEN 'query_spam'
+    END AS reason
+  FROM h)
+SELECT url, host, reason,
+       CAST(CASE WHEN reason IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM r
+"""

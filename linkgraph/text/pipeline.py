@@ -402,3 +402,65 @@ def stratified_sample(
         .where(F.pmod(h, F.lit(1_000_000)) < F.col("_frac") * 1_000_000)
         .drop("_frac")
     )
+
+
+# URL filtering patterns — pinned to the Java-regex ∩ RE2 common subset
+# (same discipline as the PII patterns) so the DuckDB oracle replays them
+# verbatim. Extension list follows the public CC-pipeline convention
+# (RefinedWeb/CCNet-style media/binary suffixes).
+URL_SCHEME_RE = r"^https?://"
+URL_HOST_RE = r"^https?://([^/:?#]+)"
+URL_IP_HOST_RE = r"^[0-9.]+$"
+URL_BINARY_EXT_RE = (
+    r"\.(jpe?g|png|gif|bmp|webp|tiff?|css|js|ico|svg|woff2?|ttf|eot"
+    r"|mp[34]|m4[av]|avi|mov|mkv|webm|wav|flac|ogg"
+    r"|exe|msi|dmg|apk|iso|zip|rar|7z|gz|bz2|xz|tar|pdf)([?#]|$)"
+)
+
+
+def url_filter(
+    pages: DataFrame,
+    blocked_hosts: list[str] | None = None,
+    url_col: str = "url",
+    max_len: int = 2048,
+    max_query_params: int = 8,
+) -> DataFrame:
+    """(…, host, reason, keep) — URL-level corpus admission filter, the
+    step a Common-Crawl-style build runs BEFORE fetching/extracting a
+    page's text (north-rule input: pages keyed by url). Rules are applied
+    in a pinned order and ``reason`` names the FIRST failing rule
+    (NULL ⇒ admitted, keep = 1):
+
+    scheme (http/https only) → too_long (> max_len chars) → no_host →
+    ip_host (dotted-quad literal) → blocked_host (exact host ∈ blocklist,
+    lowercased) → binary_ext (media/binary suffix on the path) →
+    query_spam (> max_query_params '&'-separated params).
+
+    Scale shape: pure whole-stage-codegen expression work — one regexp
+    host extraction plus CASE/length/rlike predicates, no join and no
+    shuffle; the blocklist is inlined as an isin literal (an explicit
+    broadcast-join variant is the right call only when the blocklist
+    outgrows the plan, ~10⁵ entries). Runs as a scan-time predicate, so
+    Catalyst pushes `filter(keep = 1)` into the page source.
+    """
+    blocked = [h.lower() for h in (blocked_hosts or [])]
+    url = F.col(url_col)
+    host = F.lower(F.regexp_extract(url, URL_HOST_RE, 1))
+    n_params = F.length(url) - F.length(F.regexp_replace(url, r"&", ""))
+    reason = (
+        F.when(~url.rlike(URL_SCHEME_RE), F.lit("scheme"))
+        .when(F.length(url) > max_len, F.lit("too_long"))
+        .when(F.col("host") == "", F.lit("no_host"))
+        .when(F.col("host").rlike(URL_IP_HOST_RE), F.lit("ip_host"))
+        .when(
+            F.col("host").isin(blocked) if blocked else F.lit(False),
+            F.lit("blocked_host"),
+        )
+        .when(F.lower(url).rlike(URL_BINARY_EXT_RE), F.lit("binary_ext"))
+        .when(n_params > max_query_params, F.lit("query_spam"))
+    )
+    return (
+        pages.withColumn("host", host)
+        .withColumn("reason", reason)
+        .withColumn("keep", F.col("reason").isNull().cast("int"))
+    )

@@ -468,3 +468,124 @@ def ivf_cosine_topk(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    eps: float = 0.05,
+    n_list: int = 16,
+    refine_rounds: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+    max_cell_size: int | None = 100_000,
+) -> DataFrame:
+    """(vec_id, cell, centroid_cos, group_id, keep) — SemDeDup semantic
+    deduplication (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embedding space with the IVF coarse quantizer, call two docs
+    semantic duplicates when they share a cluster and their EXACT cosine
+    is ≥ 1 − eps, close the duplicate pairs into groups, and keep exactly
+    one doc per group — the member with the LOWEST cosine to its cluster
+    centroid (the paper's rule: retain the least prototypical example;
+    ties broken toward min id). ``filter(keep = 1)`` is the dedup
+    decision a pipeline applies. REF⚠ (reference empty): no NetworKit
+    counterpart — this is a training-data-pipeline op, the embedding-space
+    sibling of minhash/simhash dedup that catches paraphrases exact
+    shingling cannot.
+
+    Scale shape: the quadratic pair join is confined within k-means cells,
+    so ``n_list`` is the scale dial (the paper runs 50k clusters at
+    LAION-440M scale ⇒ ~9k docs/cell); assignment is one broadcast join +
+    one max_by hash agg over the corpus; the group closure reuses the
+    distributed CC machinery. Cells larger than ``max_cell_size`` degrade
+    to a STAR around the cell's min-(centroid_cos, id) member — O(d)
+    instead of d² pairs, the same mega-bucket discipline as
+    minhash_lsh_candidates / embedding_near_duplicate_pairs; star edges
+    are still exactly verified, so precision stays 1.0 and only
+    star-periphery pairs that both fail the star test can be missed.
+    """
+    cents = F.broadcast(
+        ivf_centroids(
+            embeddings, n_list, refine_rounds, seed, id_col, vec_col, portable
+        ).localCheckpoint(eager=True)
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    scored = e.crossJoin(cents).select(
+        "id", "cell", cosine_similarity_col(F.col("v"), F.col("cv")).alias("cos")
+    )
+    assign = (
+        scored.groupBy("id")
+        .agg(
+            F.max_by(
+                F.struct("cell", "cos"), F.struct(F.col("cos"), -F.col("cell"))
+            ).alias("best")
+        )
+        .select(
+            "id",
+            F.col("best.cell").alias("cell"),
+            F.col("best.cos").alias("centroid_cos"),
+        )
+    )
+    if max_cell_size is not None:
+        csz = assign.groupBy("cell").agg(F.count("*").alias("_n"))
+        a2 = assign.join(csz, "cell")
+        small = a2.where(F.col("_n") <= max_cell_size).drop("_n")
+        over = a2.where(F.col("_n") > max_cell_size).drop("_n")
+        rep = (
+            over.groupBy("cell")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.round("centroid_cos", 9).alias("r"), F.col("id").alias("i")
+                    )
+                ).alias("mn")
+            )
+            .select("cell", F.col("mn.i").alias("_rep"))
+        )
+        star = (
+            over.join(rep, "cell")
+            .where(F.col("id") != F.col("_rep"))
+            .select(
+                F.least("_rep", "id").alias("a"), F.greatest("_rep", "id").alias("b")
+            )
+        )
+    else:
+        small, star = assign, None
+    cand = (
+        small.select("cell", "id").alias("x")
+        .join(small.select("cell", "id").alias("y"), "cell")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+    )
+    if star is not None:
+        cand = cand.unionByName(star).distinct()
+    va = e.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    vb = e.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    pairs = (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .where(cosine_similarity_col(F.col("va"), F.col("vb")) >= 1.0 - eps)
+        .select("a", "b")
+    )
+    from linkgraph.text.dedup import near_duplicate_groups
+
+    grp = near_duplicate_groups(
+        embeddings.select(F.col(id_col).alias("doc_id")), pairs
+    ).select(F.col("doc_id").alias("id"), "group_id")
+    out = assign.join(grp, "id")
+    wmin = out.groupBy("group_id").agg(
+        F.min(
+            F.struct(F.round("centroid_cos", 9).alias("r"), F.col("id").alias("i"))
+        ).alias("mn")
+    )
+    return out.join(wmin, "group_id").select(
+        F.col("id").alias(id_col),
+        "cell",
+        "centroid_cos",
+        "group_id",
+        (F.col("id") == F.col("mn.i")).cast("int").alias("keep"),
+    )
