@@ -1052,6 +1052,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pages.unionAll(extra), blocked_hosts=["spam.example.net"]
         ).select("url", "host", "reason", "keep")
 
+    def doc_group_split(spark, sf):
+        """Duplicate-aware train/eval split: split decided by the dedup
+        GROUP hash, so exact-duplicate docs never straddle the split.
+        Oracle: text-grouping + portable-hash threshold replay."""
+        from linkgraph.text.dedup import exact_duplicate_groups
+        from linkgraph.text.pipeline import split_by_group
+
+        _register(spark, sf)
+        docs = spark.table("documents")
+        groups = exact_duplicate_groups(docs)
+        return split_by_group(docs, groups, eval_frac=0.1, portable=True).select(
+            "doc_id", "group_id", "split"
+        )
+
+    def doc_weighted_sample(spark, sf):
+        """Deterministic quality-weighted sampling: keep probability =
+        min(n_chars/1000, 1). Oracle: the same hash-threshold predicate."""
+        from linkgraph.text.pipeline import weighted_sample
+
+        _register(spark, sf)
+        docs = spark.table("documents").withColumn(
+            "p", F.col("n_chars") / F.lit(1000.0)
+        )
+        return weighted_sample(docs, "p", portable=True).select("doc_id")
+
+    def vocab_top(spark, sf):
+        """Frequency vocabulary (top 100, min_count 2) over the pinned
+        whitespace tokenization. Oracle: plain SQL count + rank."""
+        from linkgraph.text.pipeline import build_vocab
+
+        _register(spark, sf)
+        return build_vocab(spark.table("documents"), max_size=100, min_count=2)
+
     # --- round-2b/2c operators ------------------------------------------
     def doc_sfigality(spark, sf):
         from linkgraph.algs.centrality import sfigality
@@ -1532,6 +1565,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_top5": embed_ivf_top5,
         "embed_semantic_dedup": embed_semantic_dedup,
         "url_filter": url_filter_entry,
+        "doc_group_split": doc_group_split,
+        "doc_weighted_sample": doc_weighted_sample,
+        "vocab_top": vocab_top,
         "doc_sfigality": doc_sfigality,
         "doc_local_similarity": doc_local_similarity,
         "doc_scan_similarity": doc_scan_similarity,
@@ -2211,6 +2247,37 @@ SELECT src, dst, ROUND(weight, 6) AS weight FROM last WHERE op <> 'remove_edge'
         "/root/repo/tests/fixtures/gate_pages/*.parquet",
         blocked_hosts=("spam.example.net",),
     )
+
+    from linkgraph.portable import phash_sql as _phs
+
+    sql["doc_group_split"] = f"""
+WITH grp AS (SELECT text, MIN(doc_id) AS group_id, count(*) AS n
+             FROM documents GROUP BY text HAVING count(*) > 1),
+j AS (SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN grp g ON g.text = d.text)
+SELECT doc_id, group_id,
+       CASE WHEN {_phs("group_id", "42")} % 1000000 < 100000
+            THEN 'eval' ELSE 'train' END AS split
+FROM j
+"""
+
+    sql["doc_weighted_sample"] = f"""
+SELECT doc_id FROM documents
+WHERE {_phs("doc_id", "42")} % 1000000 <
+      LEAST(GREATEST(n_chars / 1000.0, 0.0), 1.0) * 1000000
+"""
+
+    sql["vocab_top"] = """
+WITH tk AS (SELECT LOWER(t.token) AS token
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+            WHERE t.token <> ''),
+c AS (SELECT token, COUNT(*) AS "count" FROM tk GROUP BY token
+      HAVING COUNT(*) >= 2)
+SELECT token, "count", rank FROM (
+  SELECT token, "count", ROW_NUMBER() OVER (
+    ORDER BY "count" DESC, token ASC) AS rank FROM c) q
+WHERE rank <= 100
+"""
     sql["doc_seir_census"] = G.seir_sql(
         EDGES_CTE_MAT, zero=0, p_transmit=0.05, ticks=8, seed=42
     )

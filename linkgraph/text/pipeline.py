@@ -464,3 +464,97 @@ def url_filter(
         .withColumn("reason", reason)
         .withColumn("keep", F.col("reason").isNull().cast("int"))
     )
+
+
+def split_by_group(
+    docs: DataFrame,
+    groups: DataFrame,
+    eval_frac: float = 0.01,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """(doc_id, group_id, split) — duplicate-aware train/eval split: the
+    split decision is hashed from the doc's dedup GROUP id, so every
+    member of a near-duplicate group lands on the same side — the
+    standard guard against train→eval leakage through near-copies that a
+    plain per-doc split cannot give. ``groups`` is any (doc_id,
+    group_id[, …]) dedup-groups table (exact_duplicate_groups,
+    near_duplicate_groups, minhash/simhash/embedding closures,
+    semantic_dedup); docs absent from it form singleton groups.
+
+    Scale shape: one left join on doc_id (co-partitioned with every other
+    doc_id-keyed pipeline stage) + one hash expression; deterministic for
+    any partitioning/cluster size, unlike df.randomSplit."""
+    if portable:
+        from linkgraph.portable import phash
+
+        h = phash(F.col("group_id"), F.lit(seed))
+    else:
+        h = F.xxhash64("group_id", F.lit(seed))
+    g = groups.select("doc_id", "group_id")
+    return (
+        docs.select("doc_id")
+        .join(g, "doc_id", "left")
+        .withColumn("group_id", F.coalesce("group_id", F.col("doc_id")))
+        .withColumn(
+            "split",
+            F.when(
+                F.pmod(h, F.lit(1_000_000)) < int(eval_frac * 1_000_000),
+                F.lit("eval"),
+            ).otherwise(F.lit("train")),
+        )
+    )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    prob_col: str,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic per-doc weighted (importance) sampling: keep a doc
+    iff hash(doc_id, seed) mod 1e6 < p·1e6, where p is the row's value in
+    ``prob_col`` (clamped to [0, 1]) — quality-weighted corpus mixing
+    (upsample high-quality strata, downsample boilerplate) with the same
+    reproducibility contract as stratified_sample: same doc_id + seed ⇒
+    same decision at any parallelism. Pure filter, no shuffle."""
+    if portable:
+        from linkgraph.portable import phash
+
+        h = phash(F.col("doc_id"), F.lit(seed))
+    else:
+        h = F.xxhash64("doc_id", F.lit(seed))
+    p = F.least(F.greatest(F.col(prob_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    return docs.where(F.pmod(h, F.lit(1_000_000)) < (p * 1_000_000))
+
+
+def build_vocab(
+    docs: DataFrame,
+    max_size: int = 50_000,
+    min_count: int = 1,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(token, count, rank) — frequency vocabulary over the pinned
+    whitespace tokenization (text.quality.tokens), the corpus-prep step
+    before training a subword tokenizer: rank 1 = most frequent, ties
+    broken lexicographically.
+
+    Scale shape: explode + one map-side-combinable count aggregation over
+    the corpus; the rank window runs only over the TakeOrdered top
+    ``max_size`` rows (orderBy().limit() compiles to a distributed
+    TakeOrdered, never a single-partition global sort of the full token
+    space), so the single-partition stage is bounded by max_size by
+    construction."""
+    t = F.explode(F.split(F.col(text_col), " ")).alias("token")
+    counts = (
+        docs.select(t)
+        .where(F.col("token") != "")
+        .withColumn("token", F.lower("token") if lowercase else F.col("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("count"))
+        .where(F.col("count") >= min_count)
+    )
+    top = counts.orderBy(F.desc("count"), F.asc("token")).limit(max_size)
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w))

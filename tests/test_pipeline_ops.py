@@ -249,3 +249,93 @@ def test_stratified_sample_deterministic_and_bounded(spark):
     # different seed → different sample
     other = {r.doc_id for r in stratified_sample(df, "lang", frac, seed=8).collect()}
     assert {r.doc_id for r in rows_got} != other
+
+
+# --- split_by_group / weighted_sample / build_vocab --------------------------
+
+
+def test_split_by_group_members_stay_together(spark):
+    from linkgraph.text.pipeline import split_by_group
+
+    docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id bigint")
+    groups = spark.createDataFrame(
+        [(i, i % 7) for i in range(30)], "doc_id bigint, group_id bigint"
+    )
+    out = split_by_group(docs, groups, eval_frac=0.3, seed=1).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.group_id, set()).add(r.split)
+    # every dedup group lands wholly on one side
+    assert all(len(s) == 1 for s in by_group.values())
+    # ungrouped docs are singletons keyed by their own id
+    singles = {r.doc_id: r.group_id for r in out if r.doc_id >= 30}
+    assert singles == {i: i for i in range(30, 50)}
+    # both sides populated at eval_frac=0.3 over 27 groups
+    sides = {r.split for r in out}
+    assert sides == {"train", "eval"}
+
+
+def test_split_by_group_deterministic_across_partitioning(spark):
+    from linkgraph.text.pipeline import split_by_group
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id bigint")
+    groups = spark.createDataFrame(
+        [(i, i // 4) for i in range(40)], "doc_id bigint, group_id bigint"
+    )
+    a = sorted(map(tuple, split_by_group(docs, groups, 0.25, seed=9).collect()))
+    b = sorted(
+        map(
+            tuple,
+            split_by_group(docs.repartition(13), groups.repartition(3), 0.25, seed=9)
+            .collect(),
+        )
+    )
+    assert a == b
+
+
+def test_weighted_sample_extremes_and_monotone(spark):
+    from linkgraph.text.pipeline import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, 0.0, 1.0, 0.4) for i in range(200)],
+        "doc_id bigint, p0 double, p1 double, pm double",
+    )
+    assert weighted_sample(docs, "p0", seed=3).count() == 0
+    assert weighted_sample(docs, "p1", seed=3).count() == 200
+    kept_40 = {r.doc_id for r in weighted_sample(docs, "pm", seed=3).collect()}
+    # acceptance threshold is monotone in p: docs kept at 0.4 stay at 0.8
+    docs8 = docs.withColumn("pm", F.lit(0.8))
+    kept_80 = {r.doc_id for r in weighted_sample(docs8, "pm", seed=3).collect()}
+    assert kept_40 <= kept_80
+    assert 40 <= len(kept_40) <= 120  # ~80 expected, loose band
+
+
+def test_weighted_sample_clamps_out_of_range(spark):
+    from linkgraph.text.pipeline import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(1, -0.5), (2, 3.0)], "doc_id bigint, p double"
+    )
+    kept = {r.doc_id for r in weighted_sample(docs, "p", seed=3).collect()}
+    assert kept == {2}  # p<0 clamps to 0 (never), p>1 clamps to 1 (always)
+
+
+def test_build_vocab_counts_ranks_and_caps(spark):
+    from linkgraph.text.pipeline import build_vocab
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "The cat ran"),
+            (3, "a dog ran  fast"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = build_vocab(docs, max_size=3, min_count=2).collect()
+    got = [(r.token, r["count"], r.rank) for r in sorted(rows, key=lambda r: r.rank)]
+    # 'the' (2, case-folded), 'cat' (2), 'ran' (2) — ties lexicographic
+    assert got == [("cat", 2, 1), ("ran", 2, 2), ("the", 2, 3)]
+    # min_count filters singletons; max_size caps
+    all_rows = build_vocab(docs, max_size=100, min_count=1).collect()
+    toks = {r.token for r in all_rows}
+    assert {"a", "dog", "fast", "sat"} <= toks and "" not in toks
