@@ -1,0 +1,145 @@
+"""NetworKit-API facade: reference-shaped scripts run unchanged and
+agree with the engine / networkx oracles."""
+
+import math
+
+import networkx as nx
+import pytest
+
+from linkgraph import nkcompat as nk
+from tests.conftest import KARATE_EDGES
+
+
+@pytest.fixture(scope="module")
+def karate(spark):
+    G = nk.Graph(34)
+    for u, v in KARATE_EDGES:
+        G.addEdge(u, v)
+    return G
+
+
+def nx_karate():
+    g = nx.Graph()
+    g.add_nodes_from(range(34))
+    g.add_edges_from(KARATE_EDGES)
+    return g
+
+
+def test_graph_surface(spark):
+    G = nk.Graph(3, weighted=True, directed=True)
+    G.addEdge(0, 1, 2.5)
+    G.addEdge(1, 2)
+    assert G.numberOfNodes() == 3 and G.numberOfEdges() == 2
+    assert G.hasEdge(0, 1) and not G.hasEdge(1, 0)
+    assert G.weight(0, 1) == 2.5
+    assert G.degreeOut(1) == 1 and G.degreeIn(1) == 1
+    v = G.addNode()
+    assert v == 3 and G.numberOfNodes() == 4
+    G.removeEdge(1, 2)
+    assert not G.hasEdge(1, 2)
+    # undirected key canonicalization
+    U = nk.Graph(2)
+    U.addEdge(1, 0)
+    assert U.hasEdge(0, 1) and U.degree(0) == 1
+
+
+def test_pagerank_ranking_protocol(karate):
+    import numpy as np
+
+    pr = nk.PageRank(karate, damp=0.85, tol=1e-10).run()
+    scores = pr.scores()
+    assert len(scores) == 34 and abs(sum(scores) - 1.0) < 1e-6
+    # numpy power-iteration oracle (networkx pagerank needs scipy, absent)
+    A = np.zeros((34, 34))
+    for u, v in KARATE_EDGES:
+        A[u, v] = A[v, u] = 1.0
+    out = A.sum(axis=1)
+    r = np.full(34, 1 / 34)
+    for _ in range(200):
+        r = 0.15 / 34 + 0.85 * (A.T / out).dot(r)
+    for v in range(34):
+        assert scores[v] == pytest.approx(r[v], abs=1e-6)
+    top = pr.ranking()[0]
+    assert top[0] == 33  # karate's highest-PR vertex
+    assert pr.score(33) == scores[33]
+
+
+def test_betweenness_matches_networkx(karate):
+    bc = nk.Betweenness(karate, normalized=False).run()
+    want = nx.betweenness_centrality(nx_karate(), normalized=False)
+    for v in range(34):
+        # engine counts each unordered pair once per direction (reference
+        # semantics); networkx undirected halves — engine already matches
+        # networkx per its own tests, so direct compare
+        assert bc.score(v) == pytest.approx(want[v], abs=1e-6)
+
+
+def test_community_protocol(karate):
+    part = nk.detectCommunities(karate, nk.PLM(karate, gamma=1.0))
+    assert part.numberOfElements() == 34
+    assert 2 <= part.numberOfSubsets() <= 10
+    q = nk.Modularity().getQuality(part, karate)
+    assert 0.3 < q < 0.45
+    plp = nk.PLP(karate).run().getPartition()
+    assert len(plp.getVector()) == 34
+    members = part.getMembers(part.subsetOf(0))
+    assert 0 in members
+
+
+def test_components_and_core(karate, spark):
+    cc = nk.ConnectedComponents(karate).run()
+    assert cc.numberOfComponents() == 1
+    G = nk.Graph(5)
+    G.addEdge(0, 1)
+    G.addEdge(2, 3)
+    cc2 = nk.ConnectedComponents(G).run()
+    # 2 edge components + isolated node 4 (singleton by facade fill)
+    assert cc2.componentOfNode(0) == cc2.componentOfNode(1)
+    assert cc2.componentOfNode(2) != cc2.componentOfNode(0)
+    core = nk.CoreDecomposition(karate).run()
+    assert core.maxCoreNumber() == 4
+
+
+def test_bfs_dijkstra_paths(karate):
+    b = nk.BFS(karate, 0, storePaths=True).run()
+    want = nx.single_source_shortest_path_length(nx_karate(), 0)
+    for v in range(34):
+        assert b.distance(v) == want[v]
+    p = b.getPath(26)
+    assert p[0] == 0 and p[-1] == 26
+    assert len(p) - 1 == want[26]
+    # weighted
+    G = nk.Graph(4, weighted=True)
+    G.addEdge(0, 1, 1.0)
+    G.addEdge(1, 2, 1.0)
+    G.addEdge(0, 2, 5.0)
+    G.addEdge(2, 3, 1.0)
+    d = nk.Dijkstra(G, 0).run()
+    assert d.distance(2) == 2.0 and d.getPath(3) == [0, 1, 2, 3]
+    # unreachable
+    H = nk.Graph(3)
+    H.addEdge(0, 1)
+    h = nk.BFS(H, 0).run()
+    assert math.isinf(h.distance(2)) and h.getPath(2) == []
+
+
+def test_diameter(karate):
+    d = nk.Diameter(karate, algo="exact").run().getDiameter()
+    assert d == (5.0, 5.0)  # known karate diameter
+    lo, hi = nk.Diameter(karate, algo="estimatedRange", error=0.5).run().getDiameter()
+    assert lo <= 5.0 <= hi
+
+
+def test_generators_return_facade_graphs(spark):
+    g = nk.ErdosRenyiGenerator(30, 0.2, seed=7).generate()
+    assert isinstance(g, nk.Graph)
+    assert g.numberOfNodes() <= 30 and g.numberOfEdges() > 10
+    r = nk.RmatGenerator(6, 4).generate()
+    assert r.numberOfEdges() > 0
+
+
+def test_closeness_and_harmonic(karate):
+    h = nk.HarmonicCloseness(karate).run()
+    want = nx.harmonic_centrality(nx_karate())
+    for v in (0, 5, 33):
+        assert h.score(v) == pytest.approx(want[v], abs=1e-6)
