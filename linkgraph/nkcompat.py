@@ -53,6 +53,11 @@ __all__ = [
     "ErdosRenyiGenerator",
     "BarabasiAlbertGenerator",
     "RmatGenerator",
+    "Format",
+    "readGraph",
+    "writeGraph",
+    "ApproxBetweenness",
+    "TopCloseness",
 ]
 
 
@@ -604,3 +609,111 @@ class RmatGenerator(_Generator):
 
         scale, ef, a, b, c, d, seed = self._args
         return rmat(_spark(), scale, ef, a=a, b=b, c=c, d=d, seed=seed)
+
+
+# -- graphio -------------------------------------------------------------------
+
+
+class Format:
+    """networkit.graphio.Format analogue (string constants)."""
+
+    EdgeList = "edgelist"
+    METIS = "metis"
+    SNAP = "snap"
+    KONECT = "konect"
+    GML = "gml"
+    GraphML = "graphml"
+    GraphToolBinary = "graphtool"
+    ThrillBinary = "thrill"
+    NetworkitBinary = "networkit"
+    DOT = "dot"
+
+
+_READERS = {
+    Format.METIS: "read_metis",
+    Format.SNAP: "read_snap",
+    Format.KONECT: "read_konect",
+    Format.GML: "read_gml",
+    Format.GraphML: "read_graphml",
+    Format.GraphToolBinary: "read_graphtool",
+    Format.ThrillBinary: "read_thrill",
+    Format.NetworkitBinary: "read_networkit_binary",
+}
+
+_WRITERS = {
+    Format.METIS: "write_metis",
+    Format.GML: "write_gml",
+    Format.GraphML: "write_graphml",
+    Format.GraphToolBinary: "write_graphtool",
+    Format.ThrillBinary: "write_thrill",
+    Format.NetworkitBinary: "write_networkit_binary",
+    Format.DOT: "write_dot",
+}
+
+
+def readGraph(path: str, fileformat: str = Format.EdgeList, **kw) -> Graph:
+    """networkit.readGraph analogue: parse with the engine reader for
+    ``fileformat``, return a facade Graph."""
+    from linkgraph import io as _io
+
+    spark = _spark()
+    if fileformat == Format.EdgeList:
+        eg = _io.read_edge_list(spark, path, **kw)
+    else:
+        eg = getattr(_io, _READERS[fileformat])(spark, path, **kw)
+    return Graph.fromEdgesDF(eg.edges, directed=eg.directed, weighted=eg.weighted)
+
+
+def writeGraph(G: Graph, path: str, fileformat: str = Format.EdgeList, **kw) -> None:
+    """networkit.writeGraph analogue."""
+    from linkgraph import io as _io
+
+    eg = G._engine()
+    if fileformat == Format.EdgeList:
+        _io.write_edge_list(eg, path, **kw)
+    else:
+        getattr(_io, _WRITERS[fileformat])(eg, path, **kw)
+
+
+# -- additional centrality facades ----------------------------------------------
+
+
+class ApproxBetweenness(_ScoreAlgo):
+    """ε–δ RK sampling (centrality/ApproxBetweenness.cpp surface)."""
+
+    def __init__(self, G: Graph, epsilon: float = 0.01, delta: float = 0.1,
+                 seed: int = 42):
+        super().__init__(G)
+        self._eps, self._delta, self._seed = epsilon, delta, seed
+
+    def _compute(self):
+        from linkgraph.algs.betweenness import approx_betweenness
+
+        df = approx_betweenness(
+            self._G._engine(), epsilon=self._eps, delta=self._delta,
+            seed=self._seed,
+        )
+        return {int(r[0]): float(r[1]) for r in df.collect()}
+
+
+class TopCloseness:
+    """centrality/TopCloseness.cpp surface: topkNodesList/topkScoresList."""
+
+    def __init__(self, G: Graph, k: int = 10, harmonic: bool = False):
+        self._G, self._k, self._harmonic = G, k, harmonic
+        self._rows: list | None = None
+
+    def run(self):
+        from linkgraph.algs.bfs import top_closeness
+
+        df = top_closeness(self._G._engine(), k=self._k, harmonic=self._harmonic)
+        self._rows = [(int(r[0]), float(r[1])) for r in df.collect()]
+        return self
+
+    def topkNodesList(self) -> list[int]:
+        assert self._rows is not None, "call run() first"
+        return [v for v, _ in self._rows]
+
+    def topkScoresList(self) -> list[float]:
+        assert self._rows is not None, "call run() first"
+        return [s for _, s in self._rows]

@@ -143,3 +143,26 @@ def test_closeness_and_harmonic(karate):
     want = nx.harmonic_centrality(nx_karate())
     for v in (0, 5, 33):
         assert h.score(v) == pytest.approx(want[v], abs=1e-6)
+
+
+def test_read_write_graph_roundtrip(karate, tmp_path):
+    p = str(tmp_path / "karate_el")
+    nk.writeGraph(karate, p, nk.Format.EdgeList)
+    back = nk.readGraph(p, nk.Format.EdgeList)
+    assert back.numberOfEdges() == karate.numberOfEdges()
+    assert sorted(back.iterEdges()) == sorted(karate.iterEdges())
+    m = str(tmp_path / "karate.metis")
+    nk.writeGraph(karate, m, nk.Format.METIS)
+    back2 = nk.readGraph(m, nk.Format.METIS)
+    assert back2.numberOfEdges() == karate.numberOfEdges()
+
+
+def test_approx_betweenness_and_top_closeness(karate):
+    ab = nk.ApproxBetweenness(karate, epsilon=0.1, delta=0.1).run()
+    # normalized estimates: vertex 0 and 33 dominate on karate
+    top3 = [v for v, _ in ab.ranking()[:3]]
+    assert 0 in top3 and 33 in top3
+    tc = nk.TopCloseness(karate, k=3).run()
+    assert len(tc.topkNodesList()) == 3
+    exact = nk.Closeness(karate).run().ranking()[:3]
+    assert tc.topkNodesList() == [v for v, _ in exact]
