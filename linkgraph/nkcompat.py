@@ -58,6 +58,8 @@ __all__ = [
     "writeGraph",
     "ApproxBetweenness",
     "TopCloseness",
+    "attachNodeAttribute",
+    "overview",
 ]
 
 
@@ -717,3 +719,48 @@ class TopCloseness:
     def topkScoresList(self) -> list[float]:
         assert self._rows is not None, "call run() first"
         return [s for _, s in self._rows]
+
+
+# -- attributes + overview -------------------------------------------------------
+
+
+class _NodeAttribute:
+    """networkit Graph.attachNodeAttribute return-object analogue:
+    att[v] = value / att[v] — driver-side store, bridged to the engine's
+    columnar attach_attribute on demand (toDF)."""
+
+    def __init__(self, G: Graph, name: str, ofType: type):
+        self._G, self._name, self._type = G, name, ofType
+        self._vals: dict[int, object] = {}
+
+    def __setitem__(self, v: int, value):
+        if v >= self._G.numberOfNodes():
+            raise ValueError(f"node {v} out of range")
+        self._vals[v] = self._type(value)
+
+    def __getitem__(self, v: int):
+        return self._vals[v]
+
+    def get(self, v: int, default=None):
+        return self._vals.get(v, default)
+
+    def toDF(self):
+        """(id, <name>) DataFrame — the engine-side columnar view
+        (linkgraph.graph.attach_attribute input shape)."""
+        t = {int: "bigint", float: "double", str: "string"}[self._type]
+        return _spark().createDataFrame(
+            sorted(self._vals.items()), f"id bigint, {self._name} {t}"
+        )
+
+
+def attachNodeAttribute(G: Graph, name: str, ofType: type = float) -> _NodeAttribute:
+    return _NodeAttribute(G, name, ofType)
+
+
+def overview(G: Graph) -> str:
+    """networkit.overview(G) analogue: one-call profile (node/edge counts,
+    density, degree stats, components, clustering, PLP communities),
+    rendered via the engine's profiling battery."""
+    from linkgraph.profiling import profile, profile_markdown
+
+    return profile_markdown(profile(G._engine()))

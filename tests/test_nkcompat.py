@@ -166,3 +166,16 @@ def test_approx_betweenness_and_top_closeness(karate):
     assert len(tc.topkNodesList()) == 3
     exact = nk.Closeness(karate).run().ranking()[:3]
     assert tc.topkNodesList() == [v for v, _ in exact]
+
+
+def test_node_attribute_and_overview(karate, spark):
+    att = nk.attachNodeAttribute(karate, "score", float)
+    att[0] = 1.5
+    att[33] = 2.0
+    assert att[0] == 1.5 and att.get(7) is None
+    df = att.toDF()
+    assert {tuple(r) for r in df.collect()} == {(0, 1.5), (33, 2.0)}
+    with pytest.raises(ValueError):
+        att[99] = 1.0
+    text = nk.overview(karate)
+    assert "34" in text and "78" in text  # node/edge counts surface
