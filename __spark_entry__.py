@@ -1077,6 +1077,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return weighted_sample(docs, "p", portable=True).select("doc_id")
 
+    def doc_c4_flags(spark, sf):
+        """C4 cleaning rules over documents augmented with deterministic
+        crafted lines (the synthetic corpus has no newlines/punctuation,
+        so rule-firing lines are appended identically on both engines).
+        Oracle: expression-for-expression replay."""
+        from linkgraph.text.pipeline import c4_filters
+
+        _register(spark, sf)
+        t = F.col("text")
+        for mod, extra in (
+            (5, "\nGood one here. Good two here. Good three here."),
+            (7, "\nlorem ipsum dolor sit."),
+            (11, "\nvar x = { y }."),
+            (13, "\nPlease enable javascript now."),
+        ):
+            t = F.concat(
+                t,
+                F.when(F.col("doc_id") % mod == 0, F.lit(extra)).otherwise(
+                    F.lit("")
+                ),
+            )
+        docs = spark.table("documents").withColumn("text", t)
+        return c4_filters(docs).select(
+            "doc_id", "c4_text", "n_lines_kept", "n_sentences",
+            "has_lorem", "has_brace", "c4_passes",
+        )
+
     def vocab_top(spark, sf):
         """Frequency vocabulary (top 100, min_count 2) over the pinned
         whitespace tokenization. Oracle: plain SQL count + rank."""
@@ -1568,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_group_split": doc_group_split,
         "doc_weighted_sample": doc_weighted_sample,
         "vocab_top": vocab_top,
+        "doc_c4_flags": doc_c4_flags,
         "doc_sfigality": doc_sfigality,
         "doc_local_similarity": doc_local_similarity,
         "doc_scan_similarity": doc_scan_similarity,
@@ -2265,6 +2293,44 @@ FROM j
 SELECT doc_id FROM documents
 WHERE {_phs("doc_id", "42")} % 1000000 <
       LEAST(GREATEST(n_chars / 1000.0, 0.0), 1.0) * 1000000
+"""
+
+    sql["doc_c4_flags"] = r"""
+WITH d AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 5 = 0
+         THEN chr(10) || 'Good one here. Good two here. Good three here.'
+         ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0
+         THEN chr(10) || 'lorem ipsum dolor sit.' ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0
+         THEN chr(10) || 'var x = { y }.' ELSE '' END ||
+    CASE WHEN doc_id % 13 = 0
+         THEN chr(10) || 'Please enable javascript now.' ELSE '' END AS text
+  FROM documents),
+k AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, chr(10)),
+      ln -> regexp_matches(ln, '[.!?"]\s*$')
+            AND len(string_split_regex(trim(ln), '\s+')) >= 3
+            AND NOT contains(lower(ln), 'javascript')) AS kept
+  FROM d),
+c AS (
+  SELECT doc_id, text,
+    COALESCE(array_to_string(kept, chr(10)), '') AS c4_text,
+    len(kept) AS n_lines_kept
+  FROM k),
+s AS (
+  SELECT doc_id, text, c4_text, n_lines_kept,
+    len(list_filter(string_split(c4_text, '.'), x -> trim(x) <> ''))
+      AS n_sentences,
+    CAST(contains(lower(text), 'lorem ipsum') AS INTEGER) AS has_lorem,
+    CAST(contains(text, '{') AS INTEGER) AS has_brace
+  FROM c)
+SELECT doc_id, c4_text, n_lines_kept, n_sentences, has_lorem, has_brace,
+  CAST((n_sentences >= 3 AND has_lorem = 0 AND has_brace = 0) AS INTEGER)
+    AS c4_passes
+FROM s
 """
 
     sql["vocab_top"] = """

@@ -558,3 +558,46 @@ def build_vocab(
     top = counts.orderBy(F.desc("count"), F.asc("token")).limit(max_size)
     w = Window.orderBy(F.desc("count"), F.asc("token"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def c4_filters(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(…, c4_text, n_lines_kept, n_sentences, has_lorem, has_brace,
+    c4_passes) — the C4 cleaning rules (Raffel et al. 2020, "Exploring
+    the Limits of Transfer Learning", §2.2), the second public rule
+    family next to Gopher:
+
+    - keep only lines ending in terminal punctuation (. ! ? ");
+    - drop lines with fewer than 3 words or containing "javascript";
+    - flag (reject) docs containing "lorem ipsum" or a curly brace;
+    - require ≥ 3 retained sentences (period-separated, per the paper).
+
+    Everything is array/regexp expression work over split lines — one
+    codegen projection, no shuffle, no Python; composable with
+    gopher_passes as a scan-time predicate."""
+    lines = F.split(F.col(text_col), r"\n")
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike(r'[.!?"]\s*$')
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= 3)
+        & ~F.lower(ln).contains("javascript"),
+    )
+    c4_text = F.array_join(kept, "\n")
+    low = F.lower(F.col(text_col))
+    n_sent = F.size(
+        F.filter(F.split(c4_text, r"\."), lambda s: F.trim(s) != F.lit(""))
+    )
+    return (
+        docs.withColumn("c4_text", c4_text)
+        .withColumn("n_lines_kept", F.size(kept))
+        .withColumn("n_sentences", n_sent)
+        .withColumn("has_lorem", low.contains("lorem ipsum").cast("int"))
+        .withColumn("has_brace", F.col(text_col).contains("{").cast("int"))
+        .withColumn(
+            "c4_passes",
+            (
+                (F.col("n_sentences") >= 3)
+                & (F.col("has_lorem") == 0)
+                & (F.col("has_brace") == 0)
+            ).cast("int"),
+        )
+    )

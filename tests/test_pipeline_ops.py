@@ -339,3 +339,32 @@ def test_build_vocab_counts_ranks_and_caps(spark):
     all_rows = build_vocab(docs, max_size=100, min_count=1).collect()
     toks = {r.token for r in all_rows}
     assert {"a", "dog", "fast", "sat"} <= toks and "" not in toks
+
+
+def test_c4_filters_rules(spark):
+    from linkgraph.text.pipeline import c4_filters
+
+    text = (
+        "A proper sentence right here.\n"
+        "no terminal punctuation\n"
+        "Tiny.\n"
+        'He said "stop".\n'
+        "Please enable javascript to continue.\n"
+        "Second proper sentence here. Third proper sentence here."
+    )
+    df = spark.createDataFrame([(1, text), (2, "lorem ipsum filler."),
+                                (3, "code { brace }.")],
+                               "doc_id bigint, text string")
+    out = {r.doc_id: r for r in c4_filters(df).collect()}
+    r = out[1]
+    # kept: line 1, the quoted line, and the two-sentence line;
+    # dropped: no-punct, <3-word ("Tiny."), javascript
+    assert r.n_lines_kept == 3
+    assert r.c4_text.splitlines() == [
+        "A proper sentence right here.",
+        'He said "stop".',
+        "Second proper sentence here. Third proper sentence here.",
+    ]
+    assert r.n_sentences == 4 and r.c4_passes == 1
+    assert out[2].has_lorem == 1 and out[2].c4_passes == 0
+    assert out[3].has_brace == 1 and out[3].c4_passes == 0
