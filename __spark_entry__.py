@@ -2312,7 +2312,7 @@ k AS (
   SELECT doc_id, text,
     list_filter(string_split(text, chr(10)),
       ln -> regexp_matches(ln, '[.!?"]\s*$')
-            AND len(string_split_regex(trim(ln), '\s+')) >= 3
+            AND len(string_split_regex(trim(ln), '\s+')) >= 5
             AND NOT contains(lower(ln), 'javascript')) AS kept
   FROM d),
 c AS (
@@ -2322,7 +2322,7 @@ c AS (
   FROM k),
 s AS (
   SELECT doc_id, text, c4_text, n_lines_kept,
-    len(list_filter(string_split(c4_text, '.'), x -> trim(x) <> ''))
+    len(list_filter(string_split_regex(c4_text, '[.!?]'), x -> trim(x) <> ''))
       AS n_sentences,
     CAST(contains(lower(text), 'lorem ipsum') AS INTEGER) AS has_lorem,
     CAST(contains(text, '{') AS INTEGER) AS has_brace

@@ -145,9 +145,16 @@ class Graph:
         return sum(1 for (a, b) in self._edges if a == u or b == u)
 
     def degreeOut(self, u: int) -> int:
+        # reference semantics: degreeOut == degree on undirected graphs
+        # (edges are stored under a canonical key, so the stored
+        # orientation must not leak)
+        if not self._directed:
+            return self.degree(u)
         return sum(1 for (a, _b) in self._edges if a == u)
 
     def degreeIn(self, u: int) -> int:
+        if not self._directed:
+            return self.degree(u)
         return sum(1 for (_a, b) in self._edges if b == u)
 
     def totalEdgeWeight(self) -> float:
@@ -174,12 +181,18 @@ class Graph:
         return self._eg
 
     @staticmethod
-    def fromEdgesDF(edges, directed: bool = False, weighted: bool = False) -> "Graph":
+    def fromEdgesDF(
+        edges, directed: bool = False, weighted: bool = False,
+        n: int | None = None,
+    ) -> "Graph":
         """Build a facade Graph from an engine edge DataFrame (driver-side
-        collect — fixture/interactive scale by design)."""
+        collect — fixture/interactive scale by design). Pass ``n`` when
+        the true node count is known (generators): trailing isolated
+        vertices carry no edges, so id inference alone would undercount
+        them."""
         rows = edges.select("src", "dst", "weight").collect()
-        n = max((max(r.src, r.dst) for r in rows), default=-1) + 1
-        g = Graph(int(n), weighted=weighted, directed=directed)
+        inferred = max((max(r.src, r.dst) for r in rows), default=-1) + 1
+        g = Graph(int(max(inferred, n or 0)), weighted=weighted, directed=directed)
         for r in rows:
             g.addEdge(int(r.src), int(r.dst), float(r.weight))
         return g
@@ -227,6 +240,12 @@ class _ScoreAlgo:
 
 
 class PageRank(_ScoreAlgo):
+    """KNOWN DIVERGENCE for graphs with isolated nodes: the engine's node
+    set derives from edges, so fully isolated vertices score 0.0 here
+    (and the vector sums to 1 over the edge-touched nodes), while the
+    reference gives each isolated node its teleport share. Edge-covered
+    graphs (every fixture in the test suite) agree to 1e-6."""
+
     def __init__(self, G: Graph, damp: float = 0.85, tol: float = 1e-8):
         super().__init__(G)
         self._damp, self._tol = damp, tol
@@ -246,8 +265,15 @@ class DegreeCentrality(_ScoreAlgo):
     def _compute(self):
         from linkgraph.algs.centrality import degree_centrality
 
-        df = degree_centrality(self._G._engine(), normalized=self._normalized)
-        return {int(r[0]): float(r[1]) for r in df.collect()}
+        # normalize facade-side over the FACADE node count: the engine's
+        # node set derives from edges, so isolated nodes would otherwise
+        # shrink its n-1 divisor
+        df = degree_centrality(self._G._engine(), normalized=False)
+        got = {int(r[0]): float(r[1]) for r in df.collect()}
+        if self._normalized:
+            n1 = max(self._G.numberOfNodes() - 1, 1)
+            got = {k: v / n1 for k, v in got.items()}
+        return got
 
 
 class Betweenness(_ScoreAlgo):
@@ -279,14 +305,24 @@ class EstimateBetweenness(_ScoreAlgo):
 
 
 class Closeness(_ScoreAlgo):
+    """Engine closeness is the Wasserman–Faust (normalized) score; on a
+    connected graph that equals the reference's normalized standard
+    variant, and ``normalized=False`` divides by (n−1) to recover the
+    unnormalized 1/Σd form."""
+
     def __init__(self, G: Graph, normalized: bool = True, variant=None):
         super().__init__(G)
+        self._normalized = normalized
 
     def _compute(self):
         from linkgraph.algs.bfs import closeness
 
         df = closeness(self._G._engine(), harmonic=False)
-        return {int(r.id): float(r.score) for r in df.collect()}
+        got = {int(r.id): float(r.score) for r in df.collect()}
+        if not self._normalized:
+            n1 = max(self._G.numberOfNodes() - 1, 1)
+            got = {k: v / n1 for k, v in got.items()}
+        return got
 
 
 class HarmonicCloseness(_ScoreAlgo):
@@ -568,12 +604,15 @@ class Diameter:
 
 class _Generator:
     _directed = False
+    _n_known: int | None = None
 
     def _edges_df(self):  # pragma: no cover - abstract
         raise NotImplementedError
 
     def generate(self) -> Graph:
-        return Graph.fromEdgesDF(self._edges_df(), directed=self._directed)
+        return Graph.fromEdgesDF(
+            self._edges_df(), directed=self._directed, n=self._n_known
+        )
 
 
 class ErdosRenyiGenerator(_Generator):
@@ -581,6 +620,7 @@ class ErdosRenyiGenerator(_Generator):
                  seed: int = 42):
         self._n, self._p, self._seed = nNodes, prob, seed
         self._directed = directed
+        self._n_known = nNodes
 
     def _edges_df(self):
         from linkgraph.generators import erdos_renyi
@@ -593,6 +633,7 @@ class ErdosRenyiGenerator(_Generator):
 class BarabasiAlbertGenerator(_Generator):
     def __init__(self, k: int, nMax: int, seed: int = 42):
         self._k, self._n, self._seed = k, nMax, seed
+        self._n_known = nMax
 
     def _edges_df(self):
         from linkgraph.generators import barabasi_albert
@@ -605,6 +646,7 @@ class RmatGenerator(_Generator):
                  b: float = 0.19, c: float = 0.19, d: float = 0.05,
                  seed: int = 42):
         self._args = (scale, edgeFactor, a, b, c, d, seed)
+        self._n_known = 2 ** scale
 
     def _edges_df(self):
         from linkgraph.generators import rmat
@@ -663,7 +705,15 @@ def readGraph(path: str, fileformat: str = Format.EdgeList, **kw) -> Graph:
         eg = _io.read_edge_list(spark, path, **kw)
     else:
         eg = getattr(_io, _READERS[fileformat])(spark, path, **kw)
-    return Graph.fromEdgesDF(eg.edges, directed=eg.directed, weighted=eg.weighted)
+    # several engine readers parse weights but return weighted=False
+    # handles; sniff one non-unit weight so round-tripped weighted
+    # graphs keep their weights (one take(1) action, facade scale)
+    from pyspark.sql import functions as _F
+
+    weighted = eg.weighted or bool(
+        eg.edges.where(_F.col("weight") != 1.0).take(1)
+    )
+    return Graph.fromEdgesDF(eg.edges, directed=eg.directed, weighted=weighted)
 
 
 def writeGraph(G: Graph, path: str, fileformat: str = Format.EdgeList, **kw) -> None:

@@ -29,6 +29,17 @@ PII_PATTERNS = (
 )
 
 
+def _seeded_hash(col: str, seed: int, portable: bool) -> Column:
+    """The pinned seeded-hash contract shared by every deterministic
+    sampling/splitting op: xxhash64(col, seed) at speed, the portable md5
+    hash when a DuckDB oracle must replay the decision."""
+    if portable:
+        from linkgraph.portable import phash
+
+        return phash(F.col(col), F.lit(seed))
+    return F.xxhash64(col, F.lit(seed))
+
+
 def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, text_norm) — pinned normalization applied before hashing /
     shingling in a dedup pass: lowercase, collapse all whitespace runs to
@@ -390,12 +401,7 @@ def stratified_sample(
         [(k, float(v)) for k, v in sorted(fractions.items())],
         f"{strata_col} string, _frac double",
     )
-    if portable:
-        from linkgraph.portable import phash
-
-        h = phash(F.col("doc_id"), F.lit(seed))
-    else:
-        h = F.xxhash64("doc_id", F.lit(seed))
+    h = _seeded_hash("doc_id", seed, portable)
     return (
         docs.join(F.broadcast(fr), strata_col, "left")
         .withColumn("_frac", F.coalesce("_frac", F.lit(float(default_fraction))))
@@ -485,12 +491,7 @@ def split_by_group(
     Scale shape: one left join on doc_id (co-partitioned with every other
     doc_id-keyed pipeline stage) + one hash expression; deterministic for
     any partitioning/cluster size, unlike df.randomSplit."""
-    if portable:
-        from linkgraph.portable import phash
-
-        h = phash(F.col("group_id"), F.lit(seed))
-    else:
-        h = F.xxhash64("group_id", F.lit(seed))
+    h = _seeded_hash("group_id", seed, portable)
     g = groups.select("doc_id", "group_id")
     return (
         docs.select("doc_id")
@@ -518,12 +519,7 @@ def weighted_sample(
     (upsample high-quality strata, downsample boilerplate) with the same
     reproducibility contract as stratified_sample: same doc_id + seed ⇒
     same decision at any parallelism. Pure filter, no shuffle."""
-    if portable:
-        from linkgraph.portable import phash
-
-        h = phash(F.col("doc_id"), F.lit(seed))
-    else:
-        h = F.xxhash64("doc_id", F.lit(seed))
+    h = _seeded_hash("doc_id", seed, portable)
     p = F.least(F.greatest(F.col(prob_col).cast("double"), F.lit(0.0)), F.lit(1.0))
     return docs.where(F.pmod(h, F.lit(1_000_000)) < (p * 1_000_000))
 
@@ -546,9 +542,10 @@ def build_vocab(
     TakeOrdered, never a single-partition global sort of the full token
     space), so the single-partition stage is bounded by max_size by
     construction."""
-    t = F.explode(F.split(F.col(text_col), " ")).alias("token")
+    from linkgraph.text.quality import tokens
+
     counts = (
-        docs.select(t)
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
         .where(F.col("token") != "")
         .withColumn("token", F.lower("token") if lowercase else F.col("token"))
         .groupBy("token")
@@ -567,9 +564,11 @@ def c4_filters(docs: DataFrame, text_col: str = "text") -> DataFrame:
     family next to Gopher:
 
     - keep only lines ending in terminal punctuation (. ! ? ");
-    - drop lines with fewer than 3 words or containing "javascript";
-    - flag (reject) docs containing "lorem ipsum" or a curly brace;
-    - require ≥ 3 retained sentences (period-separated, per the paper).
+    - drop lines with fewer than 5 words (the paper's threshold) or
+      containing "javascript";
+    - flag (reject) docs containing "lorem ipsum" or the opening curly
+      bracket "{" (the paper's code-page marker);
+    - require ≥ 3 retained sentences (terminal-punctuation-separated).
 
     Everything is array/regexp expression work over split lines — one
     codegen projection, no shuffle, no Python; composable with
@@ -578,13 +577,13 @@ def c4_filters(docs: DataFrame, text_col: str = "text") -> DataFrame:
     kept = F.filter(
         lines,
         lambda ln: ln.rlike(r'[.!?"]\s*$')
-        & (F.size(F.split(F.trim(ln), r"\s+")) >= 3)
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= 5)
         & ~F.lower(ln).contains("javascript"),
     )
     c4_text = F.array_join(kept, "\n")
     low = F.lower(F.col(text_col))
     n_sent = F.size(
-        F.filter(F.split(c4_text, r"\."), lambda s: F.trim(s) != F.lit(""))
+        F.filter(F.split(c4_text, r"[.!?]"), lambda s: F.trim(s) != F.lit(""))
     )
     return (
         docs.withColumn("c4_text", c4_text)

@@ -133,7 +133,7 @@ def test_diameter(karate):
 def test_generators_return_facade_graphs(spark):
     g = nk.ErdosRenyiGenerator(30, 0.2, seed=7).generate()
     assert isinstance(g, nk.Graph)
-    assert g.numberOfNodes() <= 30 and g.numberOfEdges() > 10
+    assert g.numberOfNodes() == 30 and g.numberOfEdges() > 10
     r = nk.RmatGenerator(6, 4).generate()
     assert r.numberOfEdges() > 0
 
@@ -179,3 +179,29 @@ def test_node_attribute_and_overview(karate, spark):
         att[99] = 1.0
     text = nk.overview(karate)
     assert "34" in text and "78" in text  # node/edge counts surface
+
+
+def test_review_fixes_degree_weights_closeness(spark, tmp_path):
+    # degreeOut/In == degree on undirected graphs regardless of stored key
+    U = nk.Graph(2)
+    U.addEdge(1, 0)
+    assert U.degreeOut(1) == 1 and U.degreeIn(0) == 1
+    # weighted round-trip keeps weights
+    G = nk.Graph(2, weighted=True)
+    G.addEdge(0, 1, 2.5)
+    p = str(tmp_path / "w_el")
+    nk.writeGraph(G, p, nk.Format.EdgeList)
+    back = nk.readGraph(p, nk.Format.EdgeList)
+    assert back.isWeighted() and back.weight(0, 1) == 2.5
+    # unnormalized closeness = 1/sum(d) on a path 0-1-2
+    P = nk.Graph(3)
+    P.addEdge(0, 1)
+    P.addEdge(1, 2)
+    c = nk.Closeness(P, False).run()
+    assert c.score(1) == pytest.approx(1.0 / 2.0)
+    assert c.score(0) == pytest.approx(1.0 / 3.0)
+    # normalized degree divides by the FACADE n-1 (isolated node present)
+    D = nk.Graph(4)
+    D.addEdge(0, 1)
+    d = nk.DegreeCentrality(D, normalized=True).run()
+    assert d.score(0) == pytest.approx(1.0 / 3.0)

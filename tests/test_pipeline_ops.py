@@ -357,14 +357,26 @@ def test_c4_filters_rules(spark):
                                "doc_id bigint, text string")
     out = {r.doc_id: r for r in c4_filters(df).collect()}
     r = out[1]
-    # kept: line 1, the quoted line, and the two-sentence line;
-    # dropped: no-punct, <3-word ("Tiny."), javascript
-    assert r.n_lines_kept == 3
+    # kept: the 5-word line and the two-sentence 8-word line; dropped:
+    # no-punct, <5-word ("Tiny.", the 3-word quoted line), javascript
+    assert r.n_lines_kept == 2
     assert r.c4_text.splitlines() == [
         "A proper sentence right here.",
-        'He said "stop".',
         "Second proper sentence here. Third proper sentence here.",
     ]
-    assert r.n_sentences == 4 and r.c4_passes == 1
+    assert r.n_sentences == 3 and r.c4_passes == 1
     assert out[2].has_lorem == 1 and out[2].c4_passes == 0
     assert out[3].has_brace == 1 and out[3].c4_passes == 0
+
+
+def test_c4_counts_exclamatory_sentences(spark):
+    from linkgraph.text.pipeline import c4_filters
+
+    text = (
+        "What a great day this is!\n"
+        "Can you believe how nice it is?\n"
+        "Everyone should come outside right now!"
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    r = c4_filters(df).collect()[0]
+    assert r.n_lines_kept == 3 and r.n_sentences == 3 and r.c4_passes == 1
