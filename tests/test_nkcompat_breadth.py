@@ -1,0 +1,533 @@
+"""Round-3 facade breadth: the expanded NetworKit-API surface delegates
+correctly — each class agrees with the engine / networkx / hand oracles
+on fixture graphs."""
+
+import math
+
+import networkx as nx
+import pytest
+
+from linkgraph import nkcompat as nk
+from tests.conftest import KARATE_EDGES
+
+
+@pytest.fixture(scope="module")
+def karate(spark):
+    G = nk.Graph(34)
+    for u, v in KARATE_EDGES:
+        G.addEdge(u, v)
+    return G
+
+
+@pytest.fixture(scope="module")
+def two_triangles(spark):
+    """Two triangles joined by one bridge edge (0-1-2) — (3-4-5)."""
+    G = nk.Graph(6)
+    for u, v in [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]:
+        G.addEdge(u, v)
+    return G
+
+
+@pytest.fixture(scope="module")
+def path5(spark):
+    G = nk.Graph(5)
+    for u in range(4):
+        G.addEdge(u, u + 1)
+    return G
+
+
+def nx_karate():
+    g = nx.Graph()
+    g.add_nodes_from(range(34))
+    g.add_edges_from(KARATE_EDGES)
+    return g
+
+
+# -- components ---------------------------------------------------------------
+
+
+def test_weakly_connected_components(spark):
+    G = nk.Graph(5, directed=True)
+    G.addEdge(0, 1)
+    G.addEdge(2, 1)
+    G.addEdge(3, 4)
+    cc = nk.WeaklyConnectedComponents(G).run()
+    p = cc.getPartition()
+    assert p[0] == p[1] == p[2] and p[3] == p[4] and p[0] != p[3]
+    assert cc.numberOfComponents() == 2
+
+
+def test_biconnected_components(two_triangles):
+    bc = nk.BiconnectedComponents(two_triangles).run()
+    got = {frozenset(c) for c in bc.getComponents()}
+    want = {
+        frozenset(c)
+        for c in nx.biconnected_components(
+            nx.Graph([(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)])
+        )
+    }
+    assert got == want
+    assert bc.componentsOfNode(2) == {
+        i for i, c in enumerate(bc.getComponents()) if 2 in c
+    }
+    assert len(bc.componentsOfNode(2)) == 2  # articulation vertex
+
+
+# -- distance -------------------------------------------------------------------
+
+
+def test_apsp_matches_networkx(two_triangles):
+    apsp = nk.APSP(two_triangles).run()
+    truth = dict(nx.all_pairs_shortest_path_length(
+        nx.Graph([(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)])
+    ))
+    d = apsp.getDistances()
+    for u in range(6):
+        for v in range(6):
+            assert d[u][v] == truth[u].get(v, math.inf)
+
+
+def test_spsp_subset_of_apsp(two_triangles):
+    spsp = nk.SPSP(two_triangles, [0, 3]).run()
+    apsp = nk.APSP(two_triangles).run()
+    for i, s in enumerate([0, 3]):
+        assert spsp.getDistances()[i] == apsp.getDistances()[s]
+
+
+def test_eccentricity(path5):
+    far, ecc = nk.Eccentricity.getValue(path5, 0)
+    assert (far, ecc) == (4, 4)
+    far, ecc = nk.Eccentricity.getValue(path5, 2)
+    assert ecc == 2 and far == 0  # min id among the two farthest
+
+
+def test_effective_diameter_and_hopplot(path5):
+    ed = nk.EffectiveDiameterApproximation(path5, ratio=1.0).run()
+    assert 1.0 <= ed.getEffectiveDiameter() <= 4.0
+    hp = nk.HopPlotApproximation(path5).run().getHopPlot()
+    vals = [hp[h] for h in sorted(hp)]
+    assert vals == sorted(vals) and abs(vals[-1] - 1.0) < 1e-9
+    nf = nk.NeighborhoodFunctionApproximation(path5).run()
+    got = nf.getNeighborhoodFunction()
+    assert got == sorted(got) and len(got) >= 1
+
+
+def test_algebraic_distance_bridge_maximal(two_triangles):
+    ad = nk.AlgebraicDistance(two_triangles).preprocess()
+    bridge = ad.distance(2, 3)
+    intra = [ad.distance(0, 1), ad.distance(1, 2), ad.distance(3, 4)]
+    assert all(bridge >= x for x in intra)
+    with pytest.raises(KeyError):
+        ad.distance(0, 5)
+
+
+def test_commute_time_distance_path(path5):
+    # exact on a tree: C(u,v) = 2m * hops
+    ctd = nk.CommuteTimeDistance(path5).run()
+    assert abs(ctd.distance(0, 2) - 2 * 4 * 2) < 1e-3
+
+
+# -- centrality ------------------------------------------------------------------
+
+
+def test_kadabra_center_of_path(spark):
+    G = nk.Graph(7)
+    for u in range(6):
+        G.addEdge(u, u + 1)
+    kb = nk.KadabraBetweenness(G, err=0.1, delta=0.1).run()
+    scores = kb.scores()
+    assert scores[3] == max(scores) and scores[0] == 0.0
+
+
+def test_approx_closeness_full_sample_exact(path5):
+    ac = nk.ApproxCloseness(path5, nSamples=5).run()
+    ex = nk.Closeness(path5).run()
+    for v in range(5):
+        assert ac.score(v) == pytest.approx(ex.score(v), rel=1e-6)
+
+
+def test_laplacian_and_sfigality_star(spark):
+    G = nk.Graph(5)
+    for leaf in range(1, 5):
+        G.addEdge(0, leaf)
+    lc = nk.LaplacianCentrality(G).run()
+    assert lc.score(0) == max(lc.scores())
+    sf = nk.Sfigality(G).run()
+    assert sf.score(0) == 0.0
+    for leaf in range(1, 5):
+        assert sf.score(leaf) == 1.0
+
+
+def test_permanence_runs(karate):
+    p = nk.PLM(karate).run().getPartition()
+    pc = nk.PermanenceCentrality(karate, p).run()
+    vals = [pc.getPermanence(v) for v in range(34)]
+    assert all(math.isfinite(x) for x in vals)
+    assert any(x != 0.0 for x in vals)
+
+
+def test_spanning_edge_centrality_tree(path5):
+    sec = nk.SpanningEdgeCentrality(path5, tol=0.2).run()
+    # every edge of a tree has r_eff = 1 → sec ≈ 1 (JL error band)
+    for s in sec.scores():
+        assert 0.5 < s < 1.5
+    assert sec.score(0, 1) == sec.scores()[0]
+
+
+def test_group_centrality_star(spark):
+    G = nk.Graph(6)
+    for leaf in range(1, 6):
+        G.addEdge(0, leaf)
+    assert nk.GroupDegree(G, k=1).run().groupMaxDegree() == [0]
+    assert nk.GroupCloseness(G, k=1).run().groupMaxCloseness() == [0]
+    grp = nk.ApproxGroupBetweenness(G, groupSize=1, epsilon=0.2).run()
+    assert grp.groupMaxBetweenness() == [0]
+    gw = nk.GedWalk(G, k=1).run()
+    assert gw.getGroup() == [0] and gw.getApproximateScore() > 0
+
+
+def test_top_harmonic_closeness(karate):
+    th = nk.TopHarmonicCloseness(karate, k=5).run()
+    hc = nk.HarmonicCloseness(karate).run()
+    want = [v for v, _ in hc.ranking()[:5]]
+    assert th.topkNodesList() == want
+    assert th.topkScoresList() == sorted(th.topkScoresList(), reverse=True)
+
+
+# -- community -------------------------------------------------------------------
+
+
+def test_louvain_map_equation_two_cliques(spark):
+    G = nk.Graph(8)
+    for u in range(4):
+        for v in range(u + 1, 4):
+            G.addEdge(u, v)
+            G.addEdge(u + 4, v + 4)
+    G.addEdge(3, 4)
+    p = nk.LouvainMapEquation(G).run().getPartition()
+    assert p[0] == p[1] == p[2] == p[3]
+    assert p[4] == p[5] == p[6] == p[7]
+    assert p[0] != p[4]
+
+
+def test_cut_clustering_two_triangles(two_triangles):
+    p = nk.CutClustering(two_triangles, alpha=0.4).run().getPartition()
+    assert p[0] == p[1] == p[2] and p[3] == p[4] == p[5] and p[0] != p[3]
+
+
+def test_ego_splitting_cover(karate):
+    cover = nk.EgoSplitting(karate).run().getCover()
+    assert cover.numberOfElements() == 34
+    covered = {v for v in range(34) if cover.subsetsOf(v)}
+    assert len(covered) == 34
+    assert cover.numberOfSubsets() >= 2
+    assert sum(cover.subsetSizes()) >= 34
+    s = next(iter(cover.subsetsOf(0)))
+    assert 0 in cover.getMembers(s)
+
+
+def test_quality_measures(two_triangles):
+    gen = nk.ClusteringGenerator()
+    ones = gen.makeOneClustering(two_triangles)
+    singles = gen.makeSingletonClustering(two_triangles)
+    assert nk.Coverage().getQuality(ones, two_triangles) == pytest.approx(1.0)
+    assert nk.EdgeCut().getQuality(ones, two_triangles) == pytest.approx(0.0)
+    assert nk.EdgeCut().getQuality(singles, two_triangles) == pytest.approx(7.0)
+    rnd = gen.makeRandomClustering(two_triangles, 3)
+    assert rnd.numberOfSubsets() <= 3
+
+
+def test_dissimilarity_measures_identity(two_triangles):
+    p = nk.CutClustering(two_triangles, alpha=0.4).run().getPartition()
+    for M in (
+        nk.NMIDistance,
+        nk.AdjustedRandMeasure,
+        nk.JaccardMeasure,
+        nk.NodeStructuralRandMeasure,
+        nk.GraphStructuralRandMeasure,
+    ):
+        assert M().getDissimilarity(two_triangles, p, p) == pytest.approx(0.0)
+    gen = nk.ClusteringGenerator()
+    ones = gen.makeOneClustering(two_triangles)
+    singles = gen.makeSingletonClustering(two_triangles)
+    d = nk.NMIDistance().getDissimilarity(two_triangles, ones, singles)
+    assert 0.0 < d <= 1.0
+
+
+# -- link prediction -------------------------------------------------------------
+
+
+def test_link_predictors_vs_networkx(karate):
+    g = nx_karate()
+    pairs = [(0, 33), (2, 8), (13, 15), (5, 16)]
+    ji = nk.JaccardIndex(karate)
+    aa = nk.AdamicAdarIndex(karate)
+    ra = nk.ResourceAllocationIndex(karate)
+    pa = nk.PreferentialAttachmentIndex(karate)
+    cn = nk.CommonNeighborsIndex(karate)
+    for u, v in pairs:
+        (_, _, want_j), = nx.jaccard_coefficient(g, [(u, v)])
+        (_, _, want_a), = nx.adamic_adar_index(g, [(u, v)])
+        (_, _, want_r), = nx.resource_allocation_index(g, [(u, v)])
+        (_, _, want_p), = nx.preferential_attachment(g, [(u, v)])
+        assert ji.run(u, v) == pytest.approx(want_j)
+        assert aa.run(u, v) == pytest.approx(want_a)
+        assert ra.run(u, v) == pytest.approx(want_r)
+        assert pa.run(u, v) == pytest.approx(float(want_p))
+        assert cn.run(u, v) == len(set(g[u]) & set(g[v]))
+    batch = ji.runOn(pairs)
+    assert [s for _, _, s in batch] == [ji.run(u, v) for u, v in pairs]
+
+
+def test_degree_and_misc_indices(karate):
+    g = nx_karate()
+    tn = nk.TotalNeighborsIndex(karate)
+    assert tn.run(0, 33) == len(set(g[0]) | set(g[33]))
+    nd = nk.NeighborhoodDistanceIndex(karate)
+    assert nd.run(0, 33) > 0
+    ud, vd = nk.UDegreeIndex(karate), nk.VDegreeIndex(karate)
+    assert ud.run(0, 33) == float(g.degree[0])
+    assert vd.run(0, 33) == float(g.degree[33])
+    kz = nk.KatzIndex(karate, maxPathLength=2, dampingValue=0.1)
+    # L=2 truncated Katz: beta*A + beta^2*A^2 — direct edge + wedges
+    want = 0.1 * 1 + 0.01 * len(set(g[0]) & set(g[1]))
+    assert kz.run(0, 1) == pytest.approx(want)
+
+
+# -- sparsification ---------------------------------------------------------------
+
+
+def test_local_degree_sparsifier(karate):
+    sp = nk.LocalDegreeSparsifier()
+    H = sp.getSparsifiedGraph(karate, 0.7)
+    assert 0 < H.numberOfEdges() < karate.numberOfEdges()
+    # kept edges are a subset of the original
+    for u, v in H.iterEdges():
+        assert karate.hasEdge(u, v)
+    sc = sp.scores(karate)
+    assert all(0.0 <= s <= 1.0 for s in sc.values())
+
+
+def test_random_edge_sparsifier_ratio(karate):
+    H = nk.RandomEdgeSparsifier().getSparsifiedGraph(karate, 0.5)
+    m = karate.numberOfEdges()
+    assert 0.2 * m < H.numberOfEdges() < 0.8 * m
+
+
+def test_other_sparsifiers_subset(two_triangles):
+    for sp in (
+        nk.LocalSimilaritySparsifier(),
+        nk.SCANSparsifier(),
+        nk.MultiscaleSparsifier(),
+        nk.SimmelianSparsifierNonParametric(),
+        nk.ForestFireSparsifier(),
+    ):
+        H = sp.getSparsifiedGraph(two_triangles, 0.5)
+        for u, v in H.iterEdges():
+            assert two_triangles.hasEdge(u, v)
+
+
+def test_global_threshold_filter(karate):
+    sc = nk.LocalDegreeSparsifier().scores(karate)
+    H = nk.GlobalThresholdFilter(karate, sc, 0.9, above=True).calculate()
+    want = sum(1 for s in sc.values() if s >= 0.9)
+    assert H.numberOfEdges() == want
+
+
+# -- flow / matching / spanning ----------------------------------------------------
+
+
+def test_edmonds_karp_vs_networkx(spark):
+    G = nk.Graph(4, weighted=True, directed=True)
+    G.addEdge(0, 1, 3.0)
+    G.addEdge(0, 2, 2.0)
+    G.addEdge(1, 2, 1.0)
+    G.addEdge(1, 3, 2.0)
+    G.addEdge(2, 3, 4.0)
+    ek = nk.EdmondsKarp(G, 0, 3).run()
+    g = nx.DiGraph()
+    for u, v in G.iterEdges():
+        g.add_edge(u, v, capacity=G.weight(u, v))
+    want, _ = nx.maximum_flow(g, 0, 3)
+    assert ek.getMaxFlow() == pytest.approx(want)
+    src_set = ek.getSourceSet()
+    assert 0 in src_set and 3 not in src_set
+    # flow conservation at an internal vertex
+    into1 = ek.getFlow(0, 1)
+    out1 = ek.getFlow(1, 2) + ek.getFlow(1, 3)
+    assert into1 == pytest.approx(out1)
+
+
+def test_matchers_valid(karate):
+    for M in (nk.SuitorMatcher, nk.PathGrowingMatcher):
+        m = M(karate).run().getMatching()
+        assert m.size() > 0
+        seen = set()
+        for v in range(34):
+            if m.isMatched(v):
+                u = m.mate(v)
+                assert m.mate(u) == v and m.areMatched(u, v)
+                seen.add(v)
+        assert len(seen) == 2 * m.size()
+
+
+def test_bsuitor_capacity(karate):
+    bm = nk.BSuitorMatcher(karate, b=2).run()
+    for v in range(34):
+        assert len(bm.matesOf(v)) <= 2
+    assert bm.getMatching().size() > 0
+
+
+def test_spanning_forest(two_triangles):
+    f = nk.SpanningForest(two_triangles).run().getForest()
+    assert f.numberOfEdges() == 5  # n=6, one component
+    mx = nk.RandomMaximumSpanningForest(two_triangles).run().getMSF()
+    assert mx.numberOfEdges() == 5
+
+
+# -- cliques / scd ------------------------------------------------------------------
+
+
+def test_maximal_cliques(karate):
+    got = sorted(tuple(c) for c in nk.MaximalCliques(karate).run().getCliques())
+    want = sorted(tuple(sorted(c)) for c in nx.find_cliques(nx_karate()))
+    assert got == want
+    top = nk.MaximalCliques(karate, maximumOnly=True).run().getCliques()
+    assert len(top) == 1 and len(top[0]) == max(len(c) for c in want)
+
+
+def test_scd_protocol(karate):
+    for A in (nk.PageRankNibble, nk.GCE, nk.LFMLocal, nk.TCE,
+              nk.LocalTightnessExpansion, nk.RandomBFS):
+        algo = A(karate)
+        comm = algo.run([0])
+        assert 0 in comm[0] and 0 < len(comm[0]) <= 34
+        assert algo.expandOneCommunity(0) == sorted(comm[0])
+
+
+def test_combined_scd(karate):
+    comm = nk.CombinedSCD(karate).run([33])
+    assert 33 in comm[33] and len(comm[33]) > 1
+
+
+# -- embedding / simulation -----------------------------------------------------------
+
+
+def test_node2vec_shapes(two_triangles):
+    n2v = nk.Node2Vec(two_triangles, L=5, N=4, D=8).run()
+    feats = n2v.getFeatures()
+    assert len(feats) == 6 and all(len(f) == 8 for f in feats)
+    assert any(any(x != 0.0 for x in f) for f in feats)
+
+
+def test_seir_census(karate):
+    sim = nk.EpidemicSimulationSEIR(karate, tMax=8, transP=0.5, eTime=1,
+                                    iTime=2, zero=0).run()
+    data = sim.getData()
+    assert len(data) >= 1
+    for row in data:
+        assert sum(row[1:]) == 34  # S+E+I+R conserves n
+
+
+# -- generators ------------------------------------------------------------------------
+
+
+def test_breadth_generators(spark):
+    G = nk.HyperbolicGenerator(60, k=4.0, gamma=2.7).generate()
+    assert G.numberOfNodes() == 60 and G.numberOfEdges() > 0
+
+    G = nk.WattsStrogatzGenerator(20, 2, 0.0).generate()
+    assert G.numberOfNodes() == 20 and G.numberOfEdges() == 40  # lattice 2k
+
+    G = nk.ChungLuGenerator([3] * 20).generate()
+    assert G.numberOfNodes() == 20
+
+    gen = nk.ClusteredRandomGraphGenerator(40, 4, 0.6, 0.01)
+    G = gen.generate()
+    p = gen.getCommunities()
+    assert G.numberOfNodes() == 40 and p.numberOfElements() == 40
+    assert p.numberOfSubsets() <= 4
+
+    G = nk.MocnikGenerator(dim=2, n=50, k=2.0).generate()
+    assert G.numberOfNodes() == 50 and G.isDirected()
+
+    G = nk.DorogovtsevMendesGenerator(30).generate()
+    assert G.numberOfNodes() == 30 and G.numberOfEdges() == 2 * 30 - 3
+
+    G = nk.HavelHakimiGenerator([2, 2, 2, 2]).generate()
+    assert G.numberOfEdges() == 4 and all(G.degree(v) == 2 for v in range(4))
+    with pytest.raises(ValueError):
+        nk.HavelHakimiGenerator([3, 1]).generate()
+
+    G = nk.EdgeSwitchingMarkovChainGenerator([2, 2, 2, 2, 2, 2],
+                                             numSwitchesPerEdge=3).generate()
+    assert all(G.degree(v) == 2 for v in range(6))
+
+    gen = nk.LFRGenerator(120, mu=0.05, avgDegree=8.0, minCommunity=15)
+    G = gen.generate()
+    assert G.numberOfNodes() == 120
+    assert gen.getPartition().numberOfSubsets() >= 2
+
+    G = nk.PubWebGenerator(50, neighbourhoodRadius=0.2).generate()
+    assert G.numberOfNodes() == 50
+
+
+# -- graphtools / setSeed ------------------------------------------------------------
+
+
+def test_graphtools_surface(spark):
+    G = nk.Graph(4, directed=True, weighted=True)
+    G.addEdge(0, 1, 2.0)
+    G.addEdge(1, 2, 1.0)
+    G.addEdge(2, 3, 1.0)
+
+    U = nk.graphtools.toUndirected(G)
+    assert not U.isDirected() and U.numberOfEdges() == 3
+
+    W = nk.graphtools.toUnweighted(G)
+    assert not W.isWeighted() and W.weight(0, 1) == 1.0
+
+    T = nk.graphtools.transpose(G)
+    assert T.hasEdge(1, 0) and not T.hasEdge(0, 1)
+
+    S = nk.graphtools.subgraphFromNodes(G, [0, 1, 2])
+    assert S.hasEdge(0, 1) and S.hasEdge(1, 2) and not S.hasEdge(2, 3)
+
+    assert nk.graphtools.size(G) == (4, 3)
+    assert nk.graphtools.maxDegree(G) >= 1
+    assert nk.graphtools.volume(G) == pytest.approx(4.0)
+    assert 0.0 < nk.graphtools.density(G) < 1.0
+
+    order = nk.graphtools.topologicalSort(G)
+    assert order.index(0) < order.index(1) < order.index(2) < order.index(3)
+
+    v = nk.graphtools.randomNode(G)
+    assert 0 <= v < 4
+    vs = nk.graphtools.randomNodes(G, 3)
+    assert len(vs) == len(set(vs)) == 3
+
+
+def test_graphtools_append_merge(spark):
+    A = nk.Graph(3)
+    A.addEdge(0, 1)
+    B = nk.Graph(2)
+    B.addEdge(0, 1)
+    U = nk.graphtools.append(A, B)
+    assert U.numberOfNodes() == 5 and U.numberOfEdges() == 2
+    M = nk.graphtools.merge(A, B)
+    assert M.numberOfEdges() == 1  # same edge under shared ids
+
+
+def test_set_seed_changes_defaults(spark):
+    gen = nk.ClusteringGenerator()
+    G = nk.Graph(10)
+    for u in range(9):
+        G.addEdge(u, u + 1)
+    nk.setSeed(1)
+    a = gen.makeRandomClustering(G, 3).getVector()
+    nk.setSeed(99)
+    b = gen.makeRandomClustering(G, 3).getVector()
+    nk.setSeed(1)
+    c = gen.makeRandomClustering(G, 3).getVector()
+    nk.setSeed(42)  # restore module default for other tests
+    assert a == c and a != b
