@@ -2,10 +2,26 @@
 
 Images/audio/video travel as opaque ``binary`` columns + a metadata
 struct; decode/resize/frame-sample run as Arrow-batched ``mapInPandas``
-transforms. The decode kernels themselves are STUBBED (no image/audio
-libraries in this container — clearly marked below); the Spark-side
-plumbing — schema, batch shape, partition sizing, UDF signature — is real
-and tested, so swapping in PIL/ffmpeg later touches one function body.
+transforms (REF⚠ — no multimodal surface exists in the reference; this
+module is the training-data-pipeline extension the engine adds).
+
+Decode kernels are REAL for every container-free format numpy can parse
+without an imaging/audio library:
+
+- images: PPM (P6) and uncompressed 24-bit BMP — header parse +
+  ``np.frombuffer`` → (h, w, 3) uint8 arrays; nearest-neighbor resize is
+  numpy index sampling; re-encode as PPM.
+- audio: RIFF/WAV PCM16 — chunk walk → float32 mono in [-1, 1] +
+  sample rate; features are normalized FFT band energies.
+- video: concatenated-P6 frame streams (the ``image2pipe`` shape) —
+  frame-sample every k-th frame, re-emit the stream.
+
+Compressed codecs (JPEG/PNG/MP3/H.264 …) are NOT parseable without the
+external libraries this container lacks; those payloads fall back to the
+deterministic byte-histogram feature (extract) or raise ``ValueError``
+with the codec name (resize/frame-sample), so the failure mode is
+explicit, never silent garbage. Swapping in PIL/ffmpeg later replaces
+only the ``decode_image`` / ``decode_wav_pcm16`` bodies.
 
 Scale notes: media rows are fat (MBs); ``repartition`` by byte budget
 before mapInPandas so one Arrow batch never exceeds executor memory
@@ -14,6 +30,7 @@ before mapInPandas so one Arrow batch never exceeds executor memory
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -39,18 +56,198 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode_features(payload: bytes, dim: int = 8) -> np.ndarray:
-    """DETERMINISTIC FAKE decode: byte-histogram moments as the 'feature'.
+# -- pure-numpy codecs ---------------------------------------------------------
 
-    A real deployment replaces this body with PIL/torchvision/ffmpeg
-    decoding (NotImplementedError-free because the fake is deterministic
-    and cheap, which tests and benchmarks need). Everything around it —
-    batching, schema, partitioning — is the production code path.
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = a.shape[0], a.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8. Raises ValueError on non-PPM."""
+    if payload is None or payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    # (comments '#…' allowed per the spec), then ONE whitespace byte,
+    # then raw RGB
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    need = w * h * 3
+    raw = payload[pos : pos + need]
+    if len(raw) != need:
+        raise ValueError("truncated PPM payload")
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bit BMP (BI_RGB, bottom-up,
+    BGR pixel order, rows padded to 4 bytes — the classic layout)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = a.shape[0], a.shape[1]
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    bgr = a[:, :, ::-1]
+    for r in range(h - 1, -1, -1):  # bottom-up
+        body += bgr[r].tobytes() + b"\x00" * pad
+    size = 54 + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → (h, w, 3) uint8 RGB."""
+    if payload is None or payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    raw = payload[offset : offset + stride * h]
+    if len(raw) != stride * h:
+        raise ValueError("truncated BMP payload")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)[:, :row]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if bottom_up else img
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """float array in [-1, 1] (mono) → RIFF/WAV PCM16."""
+    s = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = (s * 32767.0).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAV PCM16 → (float32 mono samples in [-1, 1], sample_rate).
+    Multi-channel input is averaged to mono. Chunk-walk parse (fmt may
+    not be the first chunk)."""
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        clen = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    pcm = np.frombuffer(data[: len(data) - (len(data) % (2 * channels))], dtype="<i2")
+    if channels > 1:
+        pcm = pcm.reshape(-1, channels).mean(axis=1)
+    return (pcm.astype(np.float32) / 32767.0, int(rate))
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 from any supported container-free image format."""
+    if payload is not None and payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload is not None and payload[:2] == b"BM":
+        return decode_bmp(payload)
+    head = bytes(payload[:2]) if payload else b""
+    raise ValueError(
+        f"unsupported image codec (magic={head!r}); PPM/BMP decode natively, "
+        "compressed codecs need PIL/opencv on a full cluster image"
+    )
+
+
+def _split_ppm_stream(payload: bytes) -> list[bytes]:
+    """Concatenated P6 frames → list of single-frame payloads."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"P6":
+            raise ValueError(f"frame boundary is not P6 at byte {pos}")
+        frame = decode_ppm(payload[pos:])
+        enc = encode_ppm(frame)  # canonical single-frame length
+        frames.append(payload[pos : pos + len(enc)])
+        pos += len(enc)
+    return frames
+
+
+# -- feature extraction -----------------------------------------------------------
+
+
+def _byte_histogram(payload: bytes, dim: int) -> np.ndarray:
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    return np.histogram(arr, bins=dim, range=(0, 256))[0].astype(np.float32)
+
+
+def _decode_features(payload: bytes, dim: int = 8) -> np.ndarray:
+    """REAL per-modality features for parseable payloads; byte-histogram
+    fallback for opaque codecs. Always L1-normalized (sums to 1 when the
+    payload is non-empty) and deterministic.
+
+    - PPM/BMP image → luma histogram (dim bins): the classic cheap
+      perceptual signature.
+    - WAV PCM16 → FFT band energies (dim log-ish linear bands).
+    - anything else → byte histogram (codec-opaque but deterministic).
     """
     if payload is None or len(payload) == 0:
         return np.zeros(dim, dtype=np.float32)
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    hist = np.histogram(arr, bins=dim, range=(0, 256))[0].astype(np.float32)
+    try:
+        if payload[:2] in (b"P6", b"BM"):
+            img = decode_image(payload)
+            luma = (
+                0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+            )
+            hist = np.histogram(luma, bins=dim, range=(0, 256))[0].astype(np.float32)
+        elif payload[:4] == b"RIFF":
+            samples, _rate = decode_wav_pcm16(payload)
+            if len(samples) == 0:
+                return np.zeros(dim, dtype=np.float32)
+            spec = np.abs(np.fft.rfft(samples.astype(np.float64)))
+            bands = np.array_split(spec, dim)
+            hist = np.array([b.sum() for b in bands], dtype=np.float32)
+        else:
+            hist = _byte_histogram(payload, dim)
+    except ValueError:
+        hist = _byte_histogram(payload, dim)
     total = hist.sum()
     return hist / total if total else hist
 
@@ -61,7 +258,7 @@ def extract_media_features(media: DataFrame, dim: int = 8, target_rows_per_batch
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_decode_features(p, dim).tolist() for p in pdf["payload"]
+                _decode_features(p, dim).tolist() for p in pdf["payload"]
             ]
             yield pd.DataFrame(
                 {
@@ -75,24 +272,74 @@ def extract_media_features(media: DataFrame, dim: int = 8, target_rows_per_batch
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def _resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    h, w = img.shape[0], img.shape[1]
+    ri = (np.arange(height) * h // height).clip(0, h - 1)
+    ci = (np.arange(width) * w // width).clip(0, w - 1)
+    return img[ri][:, ci]
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize — Spark plumbing real, kernel NOT IMPLEMENTED (no
-    imaging library in this container). Raises at evaluation time with a
-    clear message; the plan/schema contract is exercised by tests via
-    ``df.schema`` without collecting."""
+    """Nearest-neighbor image resize over Arrow batches: decode (PPM/BMP),
+    numpy index-sample to (height, width), re-encode as PPM. Unsupported
+    codecs raise ValueError naming the magic bytes — explicit, not silent."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv (not in this container); "
-            "swap _fake body for real kernel on a full cluster image"
-        )
-        yield  # pragma: no cover
+        for pdf in batches:
+            out_payload, out_meta = [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                img = decode_image(p)
+                resized = encode_ppm(_resize_nearest(img, width, height))
+                meta = dict(m) if m is not None else {}
+                meta.update({"w": str(width), "h": str(height), "codec": "ppm"})
+                out_payload.append(resized)
+                out_meta.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "meta": out_meta,
+                }
+            )
 
     return media.mapInPandas(run, MEDIA_SCHEMA)
 
 
+def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Video frame sampling over concatenated-P6 frame streams (the
+    ``ffmpeg -f image2pipe`` shape): keep every k-th frame, re-emit the
+    stream; meta records n_frames kept. Container formats (MP4/MKV …)
+    raise ValueError — demuxing needs ffmpeg on a full cluster image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_meta = [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                frames = _split_ppm_stream(p)
+                kept = frames[::every_k]
+                meta = dict(m) if m is not None else {}
+                meta["n_frames"] = str(len(kept))
+                out_payload.append(b"".join(kept))
+                out_meta.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "meta": out_meta,
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+# -- synthetic fixtures ----------------------------------------------------------
+
+
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests/benchmarks."""
+    """Deterministic fake media table (opaque random-byte payloads) for
+    plumbing tests/benchmarks — exercises the byte-histogram fallback."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = [
@@ -104,4 +351,31 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         )
         for i in range(n)
     ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_decodable_media(spark, n: int = 12, seed: int = 42) -> DataFrame:
+    """Deterministic REAL-format media table: PPM and BMP images, WAV
+    PCM16 tones, and P6 frame-stream 'videos' — drives the decode paths."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        mod = i % 4
+        if mod == 0:  # PPM image
+            img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+            rows.append((i, "image", encode_ppm(img), {"codec": "ppm"}))
+        elif mod == 1:  # BMP image (odd width exercises row padding)
+            img = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+            rows.append((i, "image", encode_bmp(img), {"codec": "bmp"}))
+        elif mod == 2:  # WAV tone
+            t = np.arange(1600) / 16000.0
+            freq = 200.0 + 100.0 * (i % 7)
+            wav = encode_wav_pcm16(0.5 * np.sin(2 * np.pi * freq * t), 16000)
+            rows.append((i, "audio", wav, {"codec": "wav"}))
+        else:  # P6 frame stream
+            frames = [
+                encode_ppm(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))
+                for _ in range(6)
+            ]
+            rows.append((i, "video", b"".join(frames), {"codec": "ppm-stream"}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
