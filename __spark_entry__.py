@@ -598,6 +598,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("dup_3gram_frac", 6).alias("dup_3gram_frac"),
         )
 
+    def doc_dup_spans(spark, sf):
+        from linkgraph.text.dedup import duplicate_spans
+
+        _register(spark, sf)
+        return duplicate_spans(
+            spark.table("documents"), k=8, min_docs=2, portable=True
+        ).select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round("dup_frac", 6).alias("dup_frac"),
+        )
+
+    def doc_despan(spark, sf):
+        from linkgraph.text.dedup import remove_duplicate_spans
+
+        _register(spark, sf)
+        return remove_duplicate_spans(
+            spark.table("documents"), k=8, min_docs=2, portable=True
+        )
+
     def doc_stratified_sample(spark, sf):
         from linkgraph.text.pipeline import stratified_sample
 
@@ -1573,6 +1594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_graph": source_graph,
         "doc_gopher_flags": doc_gopher_flags,
         "doc_repetition": doc_repetition,
+        "doc_dup_spans": doc_dup_spans,
+        "doc_despan": doc_despan,
         "doc_stratified_sample": doc_stratified_sample,
         "minhash_dups": minhash_dups,
         "minhash_dup_groups": minhash_dup_groups,
@@ -2083,6 +2106,44 @@ SELECT d.doc_id, ROUND(ln.dup_line_frac, 6) AS dup_line_frac,
        ROUND(COALESCE(1.0 - CAST(g3.d AS DOUBLE) / g3.n, 0.0), 6) AS dup_3gram_frac
 FROM documents d JOIN ln ON ln.doc_id = d.doc_id
 LEFT JOIN g2 ON g2.doc_id = d.doc_id LEFT JOIN g3 ON g3.doc_id = d.doc_id
+"""
+
+    # duplicate-span dedup (Lee et al. 2021 shape): k=8-token windows,
+    # duplicated = identical window in >= 2 distinct docs. DuckDB slices
+    # are 1-based inclusive: toks[i:i+7] is the 8-token window at i.
+    sql["doc_dup_spans"] = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+      FROM tk, UNNEST(generate_series(1, greatest(len(toks) - 7, 0))) AS u(i)),
+d AS (SELECT gram FROM w GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+per AS (SELECT w.doc_id, count(*) AS n_dup_windows
+        FROM w JOIN d USING (gram) GROUP BY w.doc_id),
+nw AS (SELECT doc_id, greatest(len(toks) - 7, 0) AS n_windows FROM tk)
+SELECT nw.doc_id, CAST(nw.n_windows AS BIGINT) AS n_windows,
+       CAST(COALESCE(per.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       ROUND(CASE WHEN nw.n_windows > 0
+             THEN CAST(COALESCE(per.n_dup_windows, 0) AS DOUBLE) / nw.n_windows
+             ELSE 0.0 END, 6) AS dup_frac
+FROM nw LEFT JOIN per ON per.doc_id = nw.doc_id
+"""
+
+    sql["doc_despan"] = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+      FROM tk, UNNEST(generate_series(1, greatest(len(toks) - 7, 0))) AS u(i)),
+d AS (SELECT gram FROM w GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+covered AS (SELECT DISTINCT w.doc_id, u2.ti
+            FROM w JOIN d USING (gram),
+                 UNNEST(generate_series(w.pos, w.pos + 7)) AS u2(ti)),
+tok AS (SELECT doc_id, i AS ti, toks[i] AS tok
+        FROM tk, UNNEST(generate_series(1, len(toks))) AS u(i)),
+kept AS (SELECT t.doc_id, t.ti, t.tok FROM tok t
+         LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.ti = t.ti
+         WHERE c.ti IS NULL)
+SELECT doc.doc_id,
+       COALESCE(string_agg(k.tok, ' ' ORDER BY k.ti), '') AS text_clean
+FROM documents doc LEFT JOIN kept k ON k.doc_id = doc.doc_id
+GROUP BY doc.doc_id
 """
 
     sql["doc_stratified_sample"] = f"""

@@ -422,3 +422,136 @@ def near_duplicate_groups(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         .withColumn("keep", (F.col("doc_id") == F.col("group_id")).cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (duplicate-span) dedup — Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better". The reference method finds
+# ≥50-token substrings shared across documents with a suffix array; the
+# distributed formulation slides a k-token window over every document and
+# marks a window DUPLICATED when the identical token sequence appears in
+# ≥min_docs distinct documents. Same signal, join-shaped:
+#
+#   explode windows → group by window key → distinct-doc count → semi-join
+#
+# Scale shape: the explode multiplies rows by ~n_tokens (the same Θ(total
+# tokens) working set the suffix array holds); the shuffle key is an
+# 8-byte hash of the window, never the window text, and the distinct-doc
+# count is a partial-aggregated groupBy — a bucket shared by d docs costs
+# O(d), not O(d²) (no pair materialization anywhere).
+# ---------------------------------------------------------------------------
+
+
+def _span_windows(docs: DataFrame, k: int, text_col: str, portable: bool) -> DataFrame:
+    """(doc_id, pos, key) — one row per k-token window; pos is the 0-based
+    start-token index; key is the dedup grouping key (xxhash64 of the
+    window text by default; the window TEXT itself in portable mode so
+    the DuckDB oracle replays equality bit-exactly)."""
+    w = docs.select(
+        "doc_id", F.posexplode(shingles(F.col(text_col), k)).alias("pos", "gram")
+    )
+    key = F.col("gram") if portable else F.xxhash64("gram")
+    return w.select("doc_id", "pos", key.alias("key"))
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """(doc_id, n_windows, n_dup_windows, dup_frac) — per-document
+    duplicate-span statistics: how many of a doc's k-token windows occur
+    verbatim in ≥``min_docs`` distinct documents. ``dup_frac`` near 1
+    marks template/boilerplate documents that survive whole-doc dedup.
+
+    Default keying hashes each window to 64 bits (collision probability
+    ~m²/2⁶⁵ for m distinct windows — negligible at any corpus size that
+    fits 64-bit doc ids); ``portable=True`` keys on the window text so
+    the gate's DuckDB oracle matches bit-for-bit."""
+    w = _span_windows(docs, k, text_col, portable)
+    dup_keys = (
+        w.groupBy("key")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("key")
+    )
+    per_doc = (
+        w.join(dup_keys, "key", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    n_tok = F.size(tokens(F.col(text_col)))
+    base = docs.select(
+        "doc_id",
+        F.greatest(n_tok - (k - 1), F.lit(0)).cast("bigint").alias("n_windows"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias("n_dup_windows"),
+            F.when(
+                F.col("n_windows") > 0,
+                F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"),
+            )
+            .otherwise(0.0)
+            .alias("dup_frac"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """(doc_id, text_clean) — drop every token covered by a duplicated
+    k-window (the Lee et al. removal step: cut the shared substring out
+    of all copies). Tokens outside any duplicated window keep their
+    relative order; fully-boilerplate documents come back empty.
+
+    Plan: duplicated window positions → explode to covered token indices
+    (distinct) → anti-join the token table → per-doc ordered
+    re-assembly (sort_array over (index, token) structs — grouped, never
+    a global sort)."""
+    w = _span_windows(docs, k, text_col, portable)
+    dup_keys = (
+        w.groupBy("key")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("key")
+    )
+    covered = (
+        w.join(dup_keys, "key", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("ti"),
+        )
+        .distinct()
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col(text_col))).alias("ti", "tok")
+    )
+    rebuilt = (
+        tok.join(covered, ["doc_id", "ti"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ti", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text_clean")
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id", F.coalesce("text_clean", F.lit("")).alias("text_clean"))
+    )
