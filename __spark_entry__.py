@@ -619,6 +619,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.table("documents"), k=8, min_docs=2, portable=True
         )
 
+    def bpe_pair_counts(spark, sf):
+        from linkgraph.text.bpe import bpe_pair_counts as bpc, word_freqs
+
+        _register(spark, sf)
+        return bpc(word_freqs(spark.table("documents")))
+
     def doc_stratified_sample(spark, sf):
         from linkgraph.text.pipeline import stratified_sample
 
@@ -1596,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": doc_repetition,
         "doc_dup_spans": doc_dup_spans,
         "doc_despan": doc_despan,
+        "bpe_pair_counts": bpe_pair_counts,
         "doc_stratified_sample": doc_stratified_sample,
         "minhash_dups": minhash_dups,
         "minhash_dup_groups": minhash_dup_groups,
@@ -2144,6 +2151,20 @@ SELECT doc.doc_id,
        COALESCE(string_agg(k.tok, ' ' ORDER BY k.ti), '') AS text_clean
 FROM documents doc LEFT JOIN kept k ON k.doc_id = doc.doc_id
 GROUP BY doc.doc_id
+"""
+
+    # BPE round-1 pair counts: freq-weighted adjacent character pairs of
+    # the distinct-word table (substr is character-based in DuckDB, like
+    # Spark's split-on-empty for BMP text)
+    sql["bpe_pair_counts"] = """
+WITH w AS (SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word),
+p AS (SELECT word, freq, i
+      FROM w, UNNEST(generate_series(1, greatest(length(word) - 1, 0))) AS u(i))
+SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b,
+       CAST(SUM(freq) AS BIGINT) AS cnt
+FROM p GROUP BY 1, 2
 """
 
     sql["doc_stratified_sample"] = f"""
