@@ -625,6 +625,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _register(spark, sf)
         return bpc(word_freqs(spark.table("documents")))
 
+    def doc_unigram_logloss(spark, sf):
+        from linkgraph.text.quality import unigram_logloss
+
+        _register(spark, sf)
+        return unigram_logloss(spark.table("documents")).select(
+            "doc_id", "n_tokens", F.round("logloss", 6).alias("logloss")
+        )
+
     def doc_stratified_sample(spark, sf):
         from linkgraph.text.pipeline import stratified_sample
 
@@ -1603,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_spans": doc_dup_spans,
         "doc_despan": doc_despan,
         "bpe_pair_counts": bpe_pair_counts,
+        "doc_unigram_logloss": doc_unigram_logloss,
         "doc_stratified_sample": doc_stratified_sample,
         "minhash_dups": minhash_dups,
         "minhash_dup_groups": minhash_dup_groups,
@@ -2165,6 +2174,23 @@ p AS (SELECT word, freq, i
 SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b,
        CAST(SUM(freq) AS BIGINT) AS cnt
 FROM p GROUP BY 1, 2
+"""
+
+    # CCNet-shaped quality score: mean unigram cross-entropy under the
+    # corpus's own unigram LM (two aggregations + one join, replayed here)
+    sql["doc_unigram_logloss"] = """
+WITH tok AS (SELECT doc_id, t.word AS token FROM documents,
+             UNNEST(string_split(lower(text), ' ')) AS t(word)
+             WHERE t.word <> ''),
+lm AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok),
+per AS (SELECT tok.doc_id, count(*) AS n_tokens,
+               avg(-ln(CAST(lm.cnt AS DOUBLE) / n.total)) AS logloss
+        FROM tok JOIN lm USING (token), n GROUP BY tok.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       ROUND(COALESCE(per.logloss, 0.0), 6) AS logloss
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
 """
 
     sql["doc_stratified_sample"] = f"""

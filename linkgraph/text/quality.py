@@ -139,3 +139,43 @@ def fingerprints(
         pos.select("doc_id", F.min("h").over(w).alias("fingerprint"))
         .distinct()
     )
+
+
+def unigram_logloss(
+    docs: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """(doc_id, n_tokens, logloss) — per-document mean unigram
+    cross-entropy under the corpus's OWN unigram LM: the CCNet
+    perplexity-filter shape (Wenzek et al. 2020 score documents with a
+    Wikipedia KenLM; with no external model in the engine, the LM is the
+    corpus unigram distribution — low logloss still marks
+    common-vocabulary text, high logloss marks gibberish/rare-token
+    soup). logloss(d) = −(1/|d|) Σ_t ln p(t), p(t) = cnt(t)/N.
+
+    Plan: ONE explode over the corpus → token-frequency hash-agg (the LM;
+    partial+final combine) → join back on token → per-doc agg. The LM
+    table is vocab-sized; no OOV smoothing is needed because the model is
+    trained on the scored corpus itself. Deterministic, partitioning-
+    invariant, and SQL-replayable (the gate's DuckDB oracle runs the
+    identical two aggregations)."""
+    base = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = docs.select(
+        "doc_id", F.explode(tokens(base)).alias("token")
+    ).where(F.col("token") != "")
+    lm = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    n_total = toks.count()
+    scored = toks.join(lm, "token").select(
+        "doc_id", (-(F.log(F.col("cnt") / F.lit(float(n_total))))).alias("nll")
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), F.avg("nll").alias("logloss")
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("logloss", F.lit(0.0)).alias("logloss"),
+        )
+    )

@@ -145,3 +145,53 @@ def test_pack_sequences_window_partitioned_by_bucket(spark):
     plan = _plan(pack_sequences(docs, budget=64, n_buckets=16))
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_dup_span_detection_no_window_no_single_partition(spark):
+    """Duplicate-span detection is explode → hash-agg → semi-join: no
+    Window, no single-partition Exchange anywhere in the plan (a global
+    sort here would serialize the Θ(total tokens) window table)."""
+    from linkgraph.text.dedup import duplicate_spans
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared boilerplate span of eight tokens here plus "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    plan = _plan(duplicate_spans(docs, k=8))
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+    # the distinct-doc count must partial-aggregate before the shuffle
+    assert "partial_count" in plan or "partial_finalmerge" in plan.lower()
+
+
+def test_bpe_pair_counts_partial_agg(spark):
+    """BPE pair counting is one explode + combinable hash-agg — partial
+    aggregation (map-side combine) must appear, and nothing may collapse
+    to a single partition."""
+    from linkgraph.text.bpe import bpe_pair_counts, word_freqs
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("low lower lowest new newer newest").alias("text"),
+    )
+    plan = _plan(bpe_pair_counts(word_freqs(docs)))
+    assert "SinglePartition" not in plan
+    assert "partial_sum" in plan
+    assert "Window" not in plan
+
+
+def test_unigram_logloss_no_single_partition(spark):
+    """The LM build and per-doc scoring are two hash-aggs + one join —
+    no Window, no single-partition Exchange."""
+    from linkgraph.text.quality import unigram_logloss
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog").alias("text"),
+    )
+    plan = _plan(unigram_logloss(docs))
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan

@@ -105,3 +105,26 @@ def test_fingerprints_overlap(docs):
     inter = len(by_doc[0] & by_doc[2]) / max(len(by_doc[0] | by_doc[2]), 1)
     assert inter > 0.4  # near-dups share most winnowed fingerprints
     assert len(by_doc[0] & by_doc[4]) == 0
+
+
+def test_unigram_logloss_hand_oracle(spark):
+    import math
+
+    from linkgraph.text.quality import unigram_logloss
+
+    rows = [(0, "a a b"), (1, "a c"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # corpus tokens: a a b a c → N=5; p(a)=3/5, p(b)=1/5, p(c)=1/5
+    got = {r.doc_id: r for r in unigram_logloss(df).collect()}
+    la = -math.log(3 / 5)
+    lb = -math.log(1 / 5)
+    assert got[0].n_tokens == 3
+    assert got[0].logloss == pytest.approx((2 * la + lb) / 3)
+    assert got[1].n_tokens == 2
+    assert got[1].logloss == pytest.approx((la + lb) / 2)
+    assert got[2].n_tokens == 0 and got[2].logloss == 0.0
+    # gibberish (rare tokens) scores strictly worse than common text
+    rows2 = [(0, "the the the the"), (1, "zxqv kjhw pqrs mnbv")]
+    df2 = spark.createDataFrame(rows2, "doc_id bigint, text string")
+    got2 = {r.doc_id: r.logloss for r in unigram_logloss(df2).collect()}
+    assert got2[1] > got2[0]
