@@ -66,13 +66,11 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
 
 
-def decode_ppm(payload: bytes) -> np.ndarray:
-    """Binary PPM (P6) → (h, w, 3) uint8. Raises ValueError on non-PPM."""
+def _parse_ppm_header(payload: bytes) -> tuple[int, int, int]:
+    """Parse a P6 header at offset 0 → (width, height, data_start).
+    Comments ('#…') and arbitrary whitespace are allowed per the spec."""
     if payload is None or payload[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
-    # header = magic, width, height, maxval as whitespace-separated tokens
-    # (comments '#…' allowed per the spec), then ONE whitespace byte,
-    # then raw RGB
     pos, tokens = 2, []
     while len(tokens) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
@@ -89,6 +87,12 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     w, h, maxval = (int(t) for t in tokens)
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
+    return w, h, pos
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8. Raises ValueError on non-PPM."""
+    w, h, pos = _parse_ppm_header(payload)
     need = w * h * 3
     raw = payload[pos : pos + need]
     if len(raw) != need:
@@ -198,15 +202,19 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 
 def _split_ppm_stream(payload: bytes) -> list[bytes]:
-    """Concatenated P6 frames → list of single-frame payloads."""
+    """Concatenated P6 frames → list of single-frame payloads. Frame
+    length comes from the ACTUAL header of each frame (comments and
+    non-canonical whitespace included), not a re-encoded guess."""
     frames, pos = [], 0
     while pos < len(payload):
         if payload[pos : pos + 2] != b"P6":
             raise ValueError(f"frame boundary is not P6 at byte {pos}")
-        frame = decode_ppm(payload[pos:])
-        enc = encode_ppm(frame)  # canonical single-frame length
-        frames.append(payload[pos : pos + len(enc)])
-        pos += len(enc)
+        w, h, data_start = _parse_ppm_header(payload[pos:])
+        frame_len = data_start + w * h * 3
+        if pos + frame_len > len(payload):
+            raise ValueError(f"truncated frame at byte {pos}")
+        frames.append(payload[pos : pos + frame_len])
+        pos += frame_len
     return frames
 
 

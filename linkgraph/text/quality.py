@@ -159,9 +159,13 @@ def unigram_logloss(
     invariant, and SQL-replayable (the gate's DuckDB oracle runs the
     identical two aggregations)."""
     base = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-    toks = docs.select(
-        "doc_id", F.explode(tokens(base)).alias("token")
-    ).where(F.col("token") != "")
+    # persisted: the token table feeds three consumers (LM agg, the N
+    # count, the scoring join) — one corpus explode, not three
+    toks = (
+        docs.select("doc_id", F.explode(tokens(base)).alias("token"))
+        .where(F.col("token") != "")
+        .persist()
+    )
     lm = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     n_total = toks.count()
     scored = toks.join(lm, "token").select(

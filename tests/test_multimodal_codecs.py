@@ -99,6 +99,20 @@ def test_split_ppm_stream():
         _split_ppm_stream(frames[0] + b"JUNK")
 
 
+def test_split_ppm_stream_noncanonical_headers():
+    # frame lengths come from the actual header — comments and extra
+    # whitespace must not desync the stream walk
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    canonical = encode_ppm(img)
+    commented = b"P6\n# a comment\n5 3\n255\n" + img.tobytes()
+    frames = _split_ppm_stream(canonical + commented + canonical)
+    assert len(frames) == 3
+    assert np.array_equal(decode_ppm(frames[1]), img)
+    with pytest.raises(ValueError):
+        _split_ppm_stream(commented[:-4])  # truncated frame
+
+
 # -- Spark-side transforms ----------------------------------------------------------
 
 
