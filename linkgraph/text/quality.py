@@ -171,9 +171,15 @@ def unigram_logloss(
     scored = toks.join(lm, "token").select(
         "doc_id", (-(F.log(F.col("cnt") / F.lit(float(n_total))))).alias("nll")
     )
-    per_doc = scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"), F.avg("nll").alias("logloss")
+    # materialize the O(docs)-row result, then drop the corpus-sized token
+    # cache — returning a lazy plan over a persisted df the caller cannot
+    # reach would leak cached blocks across calls (the r2 ADVICE pattern)
+    per_doc = (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.avg("nll").alias("logloss"))
+        .localCheckpoint(eager=True)
     )
+    toks.unpersist()
     return (
         docs.select("doc_id")
         .join(per_doc, "doc_id", "left")
