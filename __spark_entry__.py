@@ -619,6 +619,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.table("documents"), k=8, min_docs=2, portable=True
         )
 
+    def doc_dedup_lines(spark, sf):
+        # corpus-level line dedup (C4 span removal at line granularity):
+        # the single-line test docs are first re-lined into deterministic
+        # 5-token lines so the op genuinely exercises multi-line removal
+        from linkgraph.text.dedup import dedup_lines
+
+        _register(spark, sf)
+        docs = spark.table("documents")
+        toks = F.split(F.col("text"), " ")
+        lined = F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.ceil(F.size(toks) / F.lit(5.0)).cast("int")
+                ),
+                lambda i: F.array_join(
+                    F.slice(toks, (i - F.lit(1)) * F.lit(5) + F.lit(1), 5), " "
+                ),
+            ),
+            "\n",
+        )
+        return dedup_lines(
+            docs.select("doc_id", lined.alias("text")), min_docs=2, portable=True
+        )
+
     def bpe_pair_counts(spark, sf):
         from linkgraph.text.bpe import bpe_pair_counts as bpc, word_freqs
 
@@ -1610,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": doc_repetition,
         "doc_dup_spans": doc_dup_spans,
         "doc_despan": doc_despan,
+        "doc_dedup_lines": doc_dedup_lines,
         "bpe_pair_counts": bpe_pair_counts,
         "doc_unigram_logloss": doc_unigram_logloss,
         "doc_stratified_sample": doc_stratified_sample,
@@ -2160,6 +2185,31 @@ SELECT doc.doc_id,
        COALESCE(string_agg(k.tok, ' ' ORDER BY k.ti), '') AS text_clean
 FROM documents doc LEFT JOIN kept k ON k.doc_id = doc.doc_id
 GROUP BY doc.doc_id
+"""
+
+    # corpus-level line dedup: docs re-lined into 5-token lines, then every
+    # line appearing in >= 2 distinct docs removed; reassembly keeps order
+    sql["doc_dedup_lines"] = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ln AS (SELECT doc_id, i AS pos,
+              trim(array_to_string(toks[(i-1)*5+1:(i-1)*5+5], ' ')) AS line
+       FROM tk, UNNEST(generate_series(
+              1, CAST(ceil(len(toks) / 5.0) AS BIGINT))) AS u(i)),
+d AS (SELECT line FROM ln WHERE length(line) >= 1
+      GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+flags AS (SELECT ln.doc_id, ln.pos, ln.line,
+                 CASE WHEN d.line IS NOT NULL AND length(ln.line) >= 1
+                      THEN 1 ELSE 0 END AS dup
+          FROM ln LEFT JOIN d ON d.line = ln.line),
+agg AS (SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN dup = 0 THEN line END,
+                                   chr(10) ORDER BY pos), '') AS text_clean,
+               count(*) AS n_lines, SUM(dup) AS n_dup_lines
+        FROM flags GROUP BY doc_id)
+SELECT doc.doc_id, COALESCE(a.text_clean, '') AS text_clean,
+       CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(a.n_dup_lines, 0) AS BIGINT) AS n_dup_lines
+FROM documents doc LEFT JOIN agg a ON a.doc_id = doc.doc_id
 """
 
     # BPE round-1 pair counts: freq-weighted adjacent character pairs of

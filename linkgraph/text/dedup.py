@@ -555,3 +555,87 @@ def remove_duplicate_spans(
         .join(rebuilt, "doc_id", "left")
         .select("doc_id", F.coalesce("text_clean", F.lit("")).alias("text_clean"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line dedup (C4 span removal / RefinedWeb line-wise dedup)
+# ---------------------------------------------------------------------------
+
+def dedup_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    min_line_chars: int = 1,
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """(doc_id, text_clean, n_lines, n_dup_lines) — remove every line that
+    occurs verbatim (after trim) in ≥``min_docs`` DISTINCT documents: the
+    C4 "discard repeated spans" rule at line granularity / RefinedWeb's
+    line-wise dedup, the pass that kills boilerplate (nav bars, cookie
+    banners, footers) that whole-document dedup cannot touch.
+
+    Lines shorter than ``min_line_chars`` after trimming are never treated
+    as duplicates (empty/near-empty lines are structure, not content) and
+    are preserved verbatim.
+
+    Plan: posexplode lines → key = xxhash64(trimmed line) (the trimmed
+    TEXT itself in portable mode so the DuckDB oracle replays equality
+    bit-exactly) → count_distinct(doc_id) per key with partial agg (a
+    line shared by d docs costs O(d), never pairs) → semi-join the dup
+    keys → anti-join back → per-doc ordered reassembly via
+    array_sort(collect_list(struct(pos, line))) — grouped, never a global
+    sort. Two shuffles total (the key agg, the reassembly groupBy);
+    nothing ever materializes cross-document pairs.
+    """
+    trimmed = F.transform(F.split(F.col(text_col), r"\n"), lambda ln: F.trim(ln))
+    lines = docs.select(
+        "doc_id", F.posexplode(trimmed).alias("pos", "line")
+    ).withColumn(
+        "key",
+        F.when(
+            F.length("line") >= min_line_chars,
+            F.col("line") if portable else F.xxhash64("line").cast("string"),
+        ),
+    )
+    dup_keys = (
+        lines.where(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("key")
+    )
+    flagged = lines.join(dup_keys, "key", "left_semi").select(
+        "doc_id", "pos"
+    ).withColumn("dup", F.lit(1))
+    rebuilt = (
+        lines.join(flagged, ["doc_id", "pos"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("dup").isNull(),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+            F.count("*").alias("n_lines"),
+            F.sum(F.coalesce("dup", F.lit(0))).alias("n_dup_lines"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+            F.coalesce("n_dup_lines", F.lit(0)).cast("bigint").alias("n_dup_lines"),
+        )
+    )

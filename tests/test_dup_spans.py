@@ -72,3 +72,34 @@ def test_portable_matches_hashed(docs):
     rb = {r.doc_id: r.text_clean
           for r in remove_duplicate_spans(docs, k=8, portable=True).collect()}
     assert ra == rb
+
+
+def test_dedup_lines_removes_cross_doc_boilerplate(spark):
+    from linkgraph.text.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner here\nreal content one\nsite footer text"),
+            (2, "cookie banner here\nreal content two\nsite footer text"),
+            (3, "totally unique doc\n\nwith an empty line"),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in dedup_lines(docs).collect()}
+    assert got[1].text_clean == "real content one"
+    assert got[2].text_clean == "real content two"
+    assert (got[1].n_lines, got[1].n_dup_lines) == (3, 2)
+    # unique doc untouched; empty lines are never dup keys
+    assert got[3].text_clean == "totally unique doc\n\nwith an empty line"
+    assert got[3].n_dup_lines == 0
+    assert got[4].text_clean == "" and got[4].n_lines == 1
+    # min_docs=3: the pair-shared lines survive
+    got3 = {r.doc_id: r.n_dup_lines for r in dedup_lines(docs, min_docs=3).collect()}
+    assert got3 == {1: 0, 2: 0, 3: 0, 4: 0}
+    # portable mode is bit-identical to the fast path
+    fast = {(r.doc_id, r.text_clean, r.n_lines, r.n_dup_lines)
+            for r in dedup_lines(docs).collect()}
+    port = {(r.doc_id, r.text_clean, r.n_lines, r.n_dup_lines)
+            for r in dedup_lines(docs, portable=True).collect()}
+    assert fast == port
