@@ -643,6 +643,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.select("doc_id", lined.alias("text")), min_docs=2, portable=True
         )
 
+    def doc_quality_classifier(spark, sf):
+        # fastText/CCNet-shape linear quality classifier: hashed-token
+        # logistic regression trained 2 GD iterations on lang='en' labels
+        # (portable md5 feature hashing so DuckDB replays training)
+        from linkgraph.text.classifier import quality_classifier
+
+        _register(spark, sf)
+        docs = spark.table("documents")
+        labels = docs.select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        )
+        out = quality_classifier(
+            docs, labels, n_features=4096, iters=2, lr=10.0, portable=True
+        )
+        return out.select("doc_id", F.round("prob", 6).alias("prob"))
+
     def bpe_pair_counts(spark, sf):
         from linkgraph.text.bpe import bpe_pair_counts as bpc, word_freqs
 
@@ -1635,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_spans": doc_dup_spans,
         "doc_despan": doc_despan,
         "doc_dedup_lines": doc_dedup_lines,
+        "doc_quality_classifier": doc_quality_classifier,
         "bpe_pair_counts": bpe_pair_counts,
         "doc_unigram_logloss": doc_unigram_logloss,
         "doc_stratified_sample": doc_stratified_sample,
@@ -2210,6 +2228,50 @@ SELECT doc.doc_id, COALESCE(a.text_clean, '') AS text_clean,
        CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
        CAST(COALESCE(a.n_dup_lines, 0) AS BIGINT) AS n_dup_lines
 FROM documents doc LEFT JOIN agg a ON a.doc_id = doc.doc_id
+"""
+
+    # full training replay of the hashed-feature logistic quality
+    # classifier: 2 batch-GD iterations from w=0,b=0 (so iteration 1's
+    # prediction is exactly 0.5 everywhere), lr=10, portable md5 feature
+    # hashing, labels y = (lang='en'); final score under (w2, b2)
+    from linkgraph.portable import phash_sql as _pqc
+
+    _qc_feat = _pqc("token")
+    sql["doc_quality_classifier"] = f"""
+WITH tk AS (SELECT doc_id, t.tok AS token
+            FROM documents, UNNEST(string_split(lower(text), ' ')) AS t(tok)
+            WHERE t.tok <> ''),
+fr AS (SELECT doc_id, {_qc_feat} % 4096 AS feature, count(*) AS tf
+       FROM tk GROUP BY doc_id, feature),
+dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+fx AS (SELECT fr.doc_id, fr.feature, fr.tf * 1.0 / dl.dl AS x
+       FROM fr JOIN dl USING (doc_id)),
+lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+nn AS (SELECT count(*) * 1.0 AS n FROM lab),
+r1 AS (SELECT doc_id, 0.5 - y AS r FROM lab),
+w1 AS (SELECT feature, -10.0 * SUM(fx.x * r1.r) / (SELECT n FROM nn) AS w
+       FROM fx JOIN r1 USING (doc_id) GROUP BY feature),
+b1 AS (SELECT -10.0 * AVG(r) AS b FROM r1),
+m2 AS (SELECT fx.doc_id, SUM(fx.x * w1.w) AS mw
+       FROM fx JOIN w1 USING (feature) GROUP BY fx.doc_id),
+r2 AS (SELECT lab.doc_id,
+              1.0 / (1.0 + exp(-(COALESCE(m2.mw, 0.0) + (SELECT b FROM b1))))
+                - lab.y AS r
+       FROM lab LEFT JOIN m2 USING (doc_id)),
+w2 AS (SELECT w1.feature,
+              w1.w - 10.0 * COALESCE(g2.g, 0.0) AS w
+       FROM w1 LEFT JOIN (
+            SELECT feature, SUM(fx.x * r2.r) / (SELECT n FROM nn) AS g
+            FROM fx JOIN r2 USING (doc_id) GROUP BY feature) g2
+            USING (feature)),
+b2 AS (SELECT (SELECT b FROM b1) - 10.0 * AVG(r) AS b FROM r2),
+mf AS (SELECT fx.doc_id, SUM(fx.x * w2.w) AS mw
+       FROM fx JOIN w2 USING (feature) GROUP BY fx.doc_id)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-(COALESCE(mf.mw, 0.0) + (SELECT b FROM b2)))),
+             6) AS prob
+FROM documents d LEFT JOIN mf USING (doc_id)
 """
 
     # BPE round-1 pair counts: freq-weighted adjacent character pairs of
