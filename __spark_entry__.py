@@ -660,6 +660,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("doc_id", F.round("prob", 6).alias("prob"))
 
+    def doc_dsir_weights(spark, sf):
+        # DSIR importance log-weights of every doc toward the lang='en'
+        # slice's hashed-unigram distribution (Xie et al. 2023)
+        from linkgraph.text.dsir import dsir_logweights
+
+        _register(spark, sf)
+        docs = spark.table("documents")
+        w = dsir_logweights(
+            docs, docs.where(F.col("lang") == "en"), n_buckets=4096, portable=True
+        )
+        return w.select("doc_id", F.round("logw", 6).alias("logw"))
+
+    def doc_dsir_sample(spark, sf):
+        # Gumbel-top-20 resample under the same weights (portable noise)
+        from linkgraph.text.dsir import dsir_logweights, dsir_sample
+
+        _register(spark, sf)
+        docs = spark.table("documents")
+        w = dsir_logweights(
+            docs, docs.where(F.col("lang") == "en"), n_buckets=4096, portable=True
+        )
+        return dsir_sample(w, 20, seed=7, portable=True).select(
+            "doc_id", F.round("logw", 6).alias("logw")
+        )
+
     def bpe_pair_counts(spark, sf):
         from linkgraph.text.bpe import bpe_pair_counts as bpc, word_freqs
 
@@ -1653,6 +1678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_despan": doc_despan,
         "doc_dedup_lines": doc_dedup_lines,
         "doc_quality_classifier": doc_quality_classifier,
+        "doc_dsir_weights": doc_dsir_weights,
+        "doc_dsir_sample": doc_dsir_sample,
         "bpe_pair_counts": bpe_pair_counts,
         "doc_unigram_logloss": doc_unigram_logloss,
         "doc_stratified_sample": doc_stratified_sample,
@@ -2272,6 +2299,42 @@ SELECT d.doc_id,
        round(1.0 / (1.0 + exp(-(COALESCE(mf.mw, 0.0) + (SELECT b FROM b2)))),
              6) AS prob
 FROM documents d LEFT JOIN mf USING (doc_id)
+"""
+
+    # DSIR replay: hashed-unigram multinomial LMs (add-1 smoothing over
+    # 4096 buckets) for the lang='en' target slice vs the whole corpus,
+    # per-doc log likelihood-ratio sum; the sample entry adds portable
+    # hash-derived Gumbel noise and takes the top 20 keys
+    _dsir_b = _pqc("token")
+    _dsir_body = f"""
+WITH tk AS (SELECT doc_id, t.tok AS token
+            FROM documents, UNNEST(string_split(lower(text), ' ')) AS t(tok)
+            WHERE t.tok <> ''),
+db AS (SELECT doc_id, {_dsir_b} % 4096 AS bucket, count(*) AS cnt
+       FROM tk GROUP BY doc_id, bucket),
+slm AS (SELECT bucket, SUM(cnt) AS sc FROM db GROUP BY bucket),
+tlm AS (SELECT db.bucket, SUM(db.cnt) AS tc
+        FROM db JOIN documents d ON d.doc_id = db.doc_id AND d.lang = 'en'
+        GROUP BY db.bucket),
+ns AS (SELECT SUM(cnt) * 1.0 AS n FROM db),
+nt AS (SELECT SUM(db.cnt) * 1.0 AS n
+       FROM db JOIN documents d ON d.doc_id = db.doc_id AND d.lang = 'en'),
+lm AS (SELECT slm.bucket,
+              ln((COALESCE(tlm.tc, 0) + 1.0) / ((SELECT n FROM nt) + 4096))
+            - ln((slm.sc + 1.0) / ((SELECT n FROM ns) + 4096)) AS llr
+       FROM slm LEFT JOIN tlm USING (bucket)),
+pd AS (SELECT db.doc_id, SUM(db.cnt * lm.llr) AS logw
+       FROM db JOIN lm USING (bucket) GROUP BY db.doc_id),
+lw AS (SELECT d.doc_id, COALESCE(pd.logw, 0.0) AS logw
+       FROM documents d LEFT JOIN pd USING (doc_id))
+"""
+    sql["doc_dsir_weights"] = _dsir_body + "SELECT doc_id, round(logw, 6) AS logw FROM lw"
+    _gu = _pqc("7", "doc_id")
+    sql["doc_dsir_sample"] = _dsir_body + f"""
+SELECT doc_id, round(logw, 6) AS logw FROM (
+  SELECT doc_id, logw,
+         logw - ln(-ln((({_gu}) % 1048576 + 0.5) / 1048576.0)) AS gk
+  FROM lw ORDER BY gk DESC, doc_id LIMIT 20)
 """
 
     # BPE round-1 pair counts: freq-weighted adjacent character pairs of
