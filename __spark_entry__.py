@@ -175,6 +175,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pr = pagerank(uw, damping=0.85, tol=0.0, max_iter=15, distribute_sinks=True)
         return pr.select("id", F.round("rank", 6).alias("rank"))
 
+    def doc_trustrank(spark, sf):
+        # TrustRank: personalized PageRank from the deterministic trusted
+        # seed set id % 17 == 0, fixed 15 iterations for the SQL unroll
+        from linkgraph.algs.trustrank import trustrank
+
+        g = _doc_graph(spark, sf)
+        uw = g.to_unweighted()
+        seeds = uw.nodes().where(F.col("id") % 17 == 0)
+        tr = trustrank(uw, seeds, damping=0.85, tol=0.0, max_iter=15)
+        return tr.select("id", F.round("trust", 6).alias("trust"))
+
     def doc_common_neighbors(spark, sf):
         g = _doc_graph(spark, sf)
         return common_neighbors(g).select("u", "v", "score")
@@ -1680,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_classifier": doc_quality_classifier,
         "doc_dsir_weights": doc_dsir_weights,
         "doc_dsir_sample": doc_dsir_sample,
+        "doc_trustrank": doc_trustrank,
         "bpe_pair_counts": bpe_pair_counts,
         "doc_unigram_logloss": doc_unigram_logloss,
         "doc_stratified_sample": doc_stratified_sample,
@@ -1774,6 +1786,42 @@ def _pagerank_unrolled_sql(iters: int = 15, damping: float = 0.85) -> str:
     )
 
 
+def _trustrank_unrolled_sql(iters: int = 15, damping: float = 0.85) -> str:
+    """Personalized-PageRank unroll (TrustRank): teleport vector uniform
+    over the trusted seed set id % 17 == 0; r0 = p; per iteration the
+    teleport term is (1−d)·p_i and dangling mass redistributes ∝ p —
+    matches linkgraph.algs.trustrank.trustrank with tol=0."""
+    parts = [
+        "sd AS MATERIALIZED (SELECT id FROM nodes WHERE id % 17 = 0)",
+        "nsd AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM sd)",
+        "tp AS MATERIALIZED (SELECT nd.id, "
+        "CASE WHEN sd.id IS NOT NULL THEN 1.0/(SELECT n FROM nsd) ELSE 0.0 END AS p "
+        "FROM nodes nd LEFT JOIN sd ON sd.id = nd.id)",
+        "outd AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT id, p AS rank FROM tp)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank / o.od) AS msg "
+            f"FROM r{p} r JOIN edges e ON e.src = r.id JOIN outd o ON o.src = r.id "
+            f"GROUP BY e.dst)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS s FROM r{p} r "
+            f"LEFT JOIN outd o ON o.src = r.id WHERE o.src IS NULL)"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT t.id, {1.0 - damping} * t.p + "
+            f"{damping} * (COALESCE(m.msg, 0.0) + (SELECT s FROM s{i}) * t.p) AS rank "
+            f"FROM tp t LEFT JOIN m{i} m ON m.id = t.id)"
+        )
+    return (
+        f"WITH {EDGES_CTE_MAT}, " + ",\n".join(parts) +
+        f"\nSELECT id, ROUND(rank, 6) AS trust FROM r{iters}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     sql = {}
 
@@ -1849,6 +1897,7 @@ FROM nodes n LEFT JOIN tcount t ON t.id = n.id LEFT JOIN deg d ON d.id = n.id
 """
 
     sql["doc_pagerank"] = _pagerank_unrolled_sql(15, 0.85)
+    sql["doc_trustrank"] = _trustrank_unrolled_sql(15, 0.85)
     # the algebraic formulations converge to the identical fixed points /
     # run the identical fixed-iteration recurrences, so they share oracles
     sql["algebraic_pagerank"] = _pagerank_unrolled_sql(15, 0.85)

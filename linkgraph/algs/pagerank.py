@@ -47,11 +47,20 @@ def pagerank(
     work_dir: str | None = None,
     resume: bool = False,
     csr_partition: bool = True,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """Return ``(id, rank)``; ranks sum to 1 when ``distribute_sinks``.
 
     ``tol=0`` with a finite ``max_iter`` gives an exact fixed-iteration run
     (used by the unrolled-SQL DuckDB oracle).
+
+    ``teleport``: optional (id, p) personalization vector (personalized
+    PageRank / random walk with restart). p is normalized internally;
+    vertices absent from the frame get p=0. The teleport term becomes
+    (1−d)·p_i and dangling mass is redistributed ∝ p (so ranks still sum
+    to 1 under ``distribute_sinks``). ``None`` (the default) keeps the
+    uniform-vector fast path bit-identical to previous releases — p
+    rides the O(n) state as a static column, adding no extra shuffle.
     """
     spark = graph.edges.sparkSession
     work_dir = work_dir or tempfile.mkdtemp(prefix="lg_pr_")
@@ -99,16 +108,36 @@ def pagerank(
             F.broadcast(hubs.withColumnRenamed("id", "src")), "src", "left_anti"
         ).persist()
 
-    teleport = (1.0 - damping) / n
+    personalized = teleport is not None
+    tp_df = None
+    if personalized:
+        tsum = teleport.agg(F.sum("p")).collect()[0][0]
+        if not tsum or tsum <= 0.0:
+            raise ValueError("teleport vector must have positive total mass")
+        tp_df = teleport.select(
+            "id", (F.col("p") / F.lit(float(tsum))).alias("tp")
+        )
+    uniform_teleport = (1.0 - damping) / n
 
     def init() -> DataFrame:
         # sink flag is static per vertex → carried in the state so the
         # per-superstep dangling-mass sum is a scan-agg on the already-
         # materialized O(n) state, not a shuffle join
         out_ids = edges_frac.select(F.col("src").alias("id")).distinct()
-        return nodes.join(
+        state = nodes.join(
             out_ids.withColumn("has_out", F.lit(True)), "id", "left"
-        ).select(
+        )
+        if personalized:
+            # p is static per vertex too → same trick: one init-time join,
+            # then every superstep reads it from the materialized state
+            return state.join(tp_df, "id", "left").select(
+                "id",
+                F.coalesce("tp", F.lit(0.0)).alias("rank"),
+                (~F.coalesce(F.col("has_out"), F.lit(False))).alias("sink"),
+                F.lit(0.0).alias("delta"),
+                F.coalesce("tp", F.lit(0.0)).alias("tp"),
+            )
+        return state.select(
             "id",
             F.lit(1.0 / n).alias("rank"),
             (~F.coalesce(F.col("has_out"), F.lit(False))).alias("sink"),
@@ -146,8 +175,24 @@ def pagerank(
             contrib = edges_frac.join(ranks.withColumnRenamed("id", "src"), "src")
         msgs = contrib.groupBy("dst").agg(F.sum(F.col("rank") * F.col("frac")).alias("msg"))
 
+        if personalized:
+            new_rank = F.lit(1.0 - damping) * F.col("tp") + F.lit(damping) * (
+                F.coalesce(F.col("msg"), F.lit(0.0))
+                + F.lit(sink_mass) * F.col("tp")
+            )
+            return (
+                state.select("id", F.col("rank").alias("old_rank"), "sink", "tp")
+                .join(msgs.withColumnRenamed("dst", "id"), "id", "left")
+                .select(
+                    "id",
+                    new_rank.alias("rank"),
+                    "sink",
+                    (new_rank - F.col("old_rank")).alias("delta"),
+                    "tp",
+                )
+            )
         new_rank = (
-            F.lit(teleport)
+            F.lit(uniform_teleport)
             + F.lit(damping)
             * (F.coalesce(F.col("msg"), F.lit(0.0)) + F.lit(sink_mass / n))
         )
