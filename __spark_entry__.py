@@ -903,6 +903,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges, _ = pages_to_edges(pages, dense_ids=True)
         return edges.select("src", "dst", "weight")
 
+    def anchor_text(spark, sf):
+        """Anchor-text table over the committed pages fixture: per link
+        target, each distinct anchor string with reference counts —
+        oracle re-extracts independently via DuckDB regexp SQL."""
+        from linkgraph.extract import anchor_text_table
+
+        pages = spark.read.parquet("/root/repo/tests/fixtures/gate_pages")
+        return anchor_text_table(pages)
+
     def pipeline_edges(spark, sf):
         """END-TO-END STREAM gate: the gate_pages fixture is split into
         two parquet files and driven through stream_pages_pipeline (a
@@ -1699,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_groups": minhash_dup_groups,
         "simhash_dups": simhash_dups,
         "extraction_edges": extraction_edges,
+        "anchor_text": anchor_text,
         "pipeline_edges": pipeline_edges,
         "events_rollup": events_rollup,
         "events_stream_replay": events_stream_replay,
@@ -2517,6 +2527,9 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["minhash_dup_groups"] = G.minhash_groups_sql(64, 16, 0.7)
     sql["simhash_dups"] = G.simhash_sql(max_hamming=3)
     sql["extraction_edges"] = G.extraction_edges_sql(
+        "/root/repo/tests/fixtures/gate_pages/*.parquet"
+    )
+    sql["anchor_text"] = G.anchor_text_sql(
         "/root/repo/tests/fixtures/gate_pages/*.parquet"
     )
     sql["pipeline_edges"] = G.extraction_edges_url_sql(

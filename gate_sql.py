@@ -510,6 +510,59 @@ GROUP BY t.url, t.dst_url
     )
 
 
+def anchor_text_sql(pages_glob: str) -> str:
+    """Anchor-text table replay, written independently in DuckDB regexp
+    SQL: full <a ...>...</a> elements via regexp_extract_all(group 0),
+    href + tag-stripped/ws-collapsed inner text via per-tag
+    regexp_extract, the SAME url normalization rules as the extraction
+    oracle, dangling targets kept, one (dst_url, anchor) aggregation."""
+    base_re = "'^(https?://[^/]+)(/.*)?$'"
+
+    def _norm(u: str) -> str:
+        return f"""CASE
+    WHEN {u} = '' THEN NULL
+    WHEN {u} LIKE 'http://%' OR {u} LIKE 'https://%' THEN {u}
+    WHEN regexp_extract(url, {base_re}, 1) = '' THEN NULL
+    WHEN {u} LIKE '/%' THEN regexp_extract(url, {base_re}, 1) || {u}
+    ELSE regexp_extract(url, {base_re}, 1) ||
+         regexp_replace(CASE WHEN COALESCE(regexp_extract(url, {base_re}, 2), '') = ''
+                        THEN '/' ELSE regexp_extract(url, {base_re}, 2) END,
+                        '/[^/]*$', '') || '/' || {u}
+  END"""
+
+    return f"""
+WITH pages AS MATERIALIZED (
+  SELECT url, decode(html) AS html FROM read_parquet('{pages_glob}')
+),
+tags AS MATERIALIZED (
+  SELECT url,
+         UNNEST(regexp_extract_all(html, '(?is)<a\\s+href="[^"]*"[^>]*>.*?</a>', 0)) AS tag
+  FROM pages
+),
+pr AS (
+  SELECT url,
+         split_part(split_part(
+           regexp_extract(tag, '(?is)<a\\s+href="([^"]*)"', 1), '#', 1), '?', 1) AS u,
+         trim(regexp_replace(regexp_replace(
+           regexp_extract(tag, '(?is)<a\\s+href="[^"]*"[^>]*>(.*)</a>', 1),
+           '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor
+  FROM tags
+),
+norm AS (
+  SELECT url, anchor, {_norm('u')} AS out0 FROM pr
+),
+resolved AS (
+  SELECT CASE WHEN length(out0) > 8 AND out0 LIKE '%/'
+              THEN rtrim(out0, '/') ELSE out0 END AS dst_url,
+         anchor, url
+  FROM norm WHERE out0 IS NOT NULL
+)
+SELECT dst_url, anchor, count(*) AS n_refs,
+       count(DISTINCT url) AS n_src_pages
+FROM resolved GROUP BY dst_url, anchor
+"""
+
+
 def _extraction_cte(pages_glob: str) -> str:
     return f"""pages AS MATERIALIZED (
   SELECT url, decode(html) AS html FROM read_parquet('{pages_glob}')

@@ -75,6 +75,39 @@ def extract_hrefs_pd(html: pd.Series) -> pd.Series:
     return _decode_pd(html).str.findall(_HREF_RE)
 
 
+_ANCHOR_PAIR_RE = re.compile(
+    r'<a\s+href="([^"]*)"[^>]*>(.*?)</a>', re.IGNORECASE | re.DOTALL
+)
+# \x1e (ASCII record separator) joins (href, anchor) inside one array
+# element — it never survives tag-stripped/ws-collapsed anchor text
+_PAIR_SEP = "\x1e"
+
+
+def extract_anchor_pairs_pd(html: pd.Series) -> pd.Series:
+    """Per page: list of ``href␞anchor`` strings in document order, where
+    anchor = the <a> element's inner text, tag-stripped + whitespace-
+    collapsed + trimmed (same cleaning as :func:`extract_text_pd`).
+    Vectorized throughout: ``str.extractall`` → vectorized cleaning →
+    ``groupby(level=0)`` regroup; no per-row Python."""
+    s = _decode_pd(html)
+    out = pd.Series([[] for _ in range(len(s))], index=s.index, dtype=object)
+    m = s.str.extractall(_ANCHOR_PAIR_RE)
+    if len(m):
+        # extractall yields NaN (not "") for a group that matched the
+        # empty string — an <a> with no inner text is still a reference
+        anchor = (
+            m[1]
+            .fillna("")
+            .str.replace(_TAG_RE, " ", regex=True)
+            .str.replace(_WS_RE, " ", regex=True)
+            .str.strip()
+        )
+        out.update(
+            m[0].fillna("").str.cat(anchor, sep=_PAIR_SEP).groupby(level=0).agg(list)
+        )
+    return out
+
+
 _BASE_RE = r"^(https?://[^/]+)(/.*)?$"
 
 
@@ -110,6 +143,7 @@ def normalize_url_pd(url: pd.Series, base: pd.Series) -> pd.Series:
 extract_text = F.pandas_udf(extract_text_pd, T.StringType())
 extract_hrefs = F.pandas_udf(extract_hrefs_pd, T.ArrayType(T.StringType()))
 normalize_url = F.pandas_udf(normalize_url_pd, T.StringType())
+extract_anchor_pairs = F.pandas_udf(extract_anchor_pairs_pd, T.ArrayType(T.StringType()))
 
 
 # ---------------------------------------------------------------------------
@@ -157,6 +191,36 @@ def pages_to_edges(pages: DataFrame, dense_ids: bool = False) -> tuple[DataFrame
         .agg(F.count("*").cast("double").alias("weight"))
     )
     return edges, dictionary
+
+
+def anchor_text_table(pages: DataFrame) -> DataFrame:
+    """(dst_url, anchor, n_refs, n_src_pages) — the anchor-text table:
+    for every link target, each distinct anchor string pointing at it,
+    with total reference count and the number of distinct referring
+    pages. The web-search / webtext-pipeline primitive for target-side
+    document augmentation ("what the web calls this page") and anchor-
+    spam signals (one page repeating an anchor vs many pages agreeing).
+
+    Plan: scan(url, html) → pandas-UDF (href, anchor) pairs → explode →
+    split on the record separator → normalize href against the page url
+    (dangling targets are KEPT — anchor text is most valuable precisely
+    for pages outside the crawl) → one hash-agg on (dst_url, anchor).
+    """
+    pairs = pages.select(
+        "url", F.explode(extract_anchor_pairs(F.col("html"))).alias("pair")
+    ).select(
+        "url",
+        F.split(F.col("pair"), _PAIR_SEP, 2).alias("ha"),
+    )
+    resolved = pairs.select(
+        "url",
+        normalize_url(F.col("ha").getItem(0), F.col("url")).alias("dst_url"),
+        F.col("ha").getItem(1).alias("anchor"),
+    ).where(F.col("dst_url").isNotNull())
+    return resolved.groupBy("dst_url", "anchor").agg(
+        F.count("*").alias("n_refs"),
+        F.count_distinct("url").alias("n_src_pages"),
+    )
 
 
 # ---------------------------------------------------------------------------
