@@ -175,6 +175,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pr = pagerank(uw, damping=0.85, tol=0.0, max_iter=15, distribute_sinks=True)
         return pr.select("id", F.round("rank", 6).alias("rank"))
 
+    def doc_hits(spark, sf):
+        # Kleinberg HITS, exact 8 power iterations for the SQL unroll
+        from linkgraph.algs.hits import hits
+
+        g = _doc_graph(spark, sf)
+        out = hits(g.to_unweighted(), max_iter=8, tol=0.0)
+        return out.select(
+            "id",
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+
+    def doc_cocitation(spark, sf):
+        """Co-citation pairs (u < v, shared citing page count)."""
+        from linkgraph.algs.cocitation import co_citation
+
+        return co_citation(_doc_graph(spark, sf))
+
+    def doc_coupling(spark, sf):
+        """Bibliographic-coupling pairs (u < v, shared cited page count)."""
+        from linkgraph.algs.cocitation import bibliographic_coupling
+
+        return bibliographic_coupling(_doc_graph(spark, sf))
+
+    def doc_salsa(spark, sf):
+        # SALSA (Lempel & Moran), exact 6 degree-normalized walk rounds
+        from linkgraph.algs.hits import salsa
+
+        g = _doc_graph(spark, sf)
+        out = salsa(g, max_iter=6, tol=0.0)
+        return out.select(
+            "id",
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+
+    def doc_bowtie(spark, sf):
+        """Broder bow-tie decomposition (core/in/out/tube/tendrils) of the
+        doc graph; oracle replays the taxonomy with a DuckDB recursive
+        transitive closure + pairwise mutual-reach SCC."""
+        from linkgraph.algs.bowtie import bowtie_decomposition
+
+        return bowtie_decomposition(_doc_graph(spark, sf))
+
     def doc_trustrank(spark, sf):
         # TrustRank: personalized PageRank from the deterministic trusted
         # seed set id % 17 == 0, fixed 15 iterations for the SQL unroll
@@ -455,6 +499,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lang_dist(spark, sf):
         _register(spark, sf)
         return spark.table("documents").groupBy("lang").agg(F.count("*").alias("n"))
+
+    def term_doc_freqs(spark, sf):
+        """Inverted-index vocabulary statistics: (term, df, total_tf)."""
+        from linkgraph.text.index import doc_freqs, postings
+
+        _register(spark, sf)
+        return doc_freqs(postings(spark.table("documents")))
+
+    def doc_bm25(spark, sf):
+        """Okapi BM25 scores for the fixed query (hash, join, spark) over
+        every matching document — the web-search scoring primitive."""
+        from linkgraph.text.index import bm25
+
+        _register(spark, sf)
+        out = bm25(spark.table("documents"), ["hash", "join", "spark"])
+        return out.select("doc_id", F.round("score", 6).alias("score"))
 
     def doc_quality(spark, sf):
         _register(spark, sf)
@@ -911,6 +971,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         pages = spark.read.parquet("/root/repo/tests/fixtures/gate_pages")
         return anchor_text_table(pages)
+
+    def doc_host_edges(spark, sf):
+        """Host-graph contraction over the committed pages fixture:
+        (src_host, dst_host, weight), intra-host links dropped, dangling
+        targets kept. Oracle re-derives hosts in DuckDB regexp SQL on the
+        same independent extraction replay."""
+        from linkgraph.webgraph import host_edges
+
+        pages = spark.read.parquet("/root/repo/tests/fixtures/gate_pages")
+        return host_edges(pages)
+
+    def doc_host_stats(spark, sf):
+        """Per-host crawl stats (n_pages, out_links, intra_links,
+        n_dst_hosts) — the site-level quality/spam signal block."""
+        from linkgraph.webgraph import host_stats
+
+        pages = spark.read.parquet("/root/repo/tests/fixtures/gate_pages")
+        return host_stats(pages)
+
+    def doc_host_rank(spark, sf):
+        """Host-level PageRank (site authority / crawl priority), exact
+        15 fixed iterations for the string-keyed unrolled-SQL oracle."""
+        from linkgraph.webgraph import host_rank
+
+        pages = spark.read.parquet("/root/repo/tests/fixtures/gate_pages")
+        out = host_rank(pages, damping=0.85, tol=0.0, max_iter=15)
+        return out.select("host", F.round("rank", 6).alias("rank"))
 
     def pipeline_edges(spark, sf):
         """END-TO-END STREAM gate: the gate_pages fixture is split into
@@ -1681,6 +1768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_neighborhood_2hop": doc_neighborhood_2hop,
         "dup_groups": dup_groups,
         "token_counts": token_counts,
+        "term_doc_freqs": term_doc_freqs,
+        "doc_bm25": doc_bm25,
         "lang_dist": lang_dist,
         "doc_quality": doc_quality,
         "ngram_dups": ngram_dups,
@@ -1701,6 +1790,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_weights": doc_dsir_weights,
         "doc_dsir_sample": doc_dsir_sample,
         "doc_trustrank": doc_trustrank,
+        "doc_hits": doc_hits,
+        "doc_salsa": doc_salsa,
+        "doc_cocitation": doc_cocitation,
+        "doc_coupling": doc_coupling,
+        "doc_bowtie": doc_bowtie,
         "bpe_pair_counts": bpe_pair_counts,
         "doc_unigram_logloss": doc_unigram_logloss,
         "doc_stratified_sample": doc_stratified_sample,
@@ -1708,6 +1802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_groups": minhash_dup_groups,
         "simhash_dups": simhash_dups,
         "extraction_edges": extraction_edges,
+        "doc_host_edges": doc_host_edges,
+        "doc_host_stats": doc_host_stats,
+        "doc_host_rank": doc_host_rank,
         "anchor_text": anchor_text,
         "pipeline_edges": pipeline_edges,
         "events_rollup": events_rollup,
@@ -1763,12 +1860,18 @@ EDGES_CTE_MAT = (
 )
 
 
-def _pagerank_unrolled_sql(iters: int = 15, damping: float = 0.85) -> str:
+def _pagerank_unrolled_sql(
+    iters: int = 15,
+    damping: float = 0.85,
+    cte: str | None = None,
+    id_name: str = "id",
+) -> str:
     """Generate the fixed-iteration PageRank as chained CTEs: r0 = 1/n;
     per iteration — message sum over out-edges (unweighted), dangling
     (sink) mass redistributed uniformly; matches linkgraph.algs.pagerank
     with tol=0, max_iter=iters, distribute_sinks=True on the unweighted
-    directed graph."""
+    directed graph. ``cte`` overrides the edges/nodes prefix (defaults to
+    the doc graph); ids may be strings (host rank)."""
     parts = [
         "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
         "outd AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src)",
@@ -1791,8 +1894,97 @@ def _pagerank_unrolled_sql(iters: int = 15, damping: float = 0.85) -> str:
             f"FROM nodes nd LEFT JOIN m{i} m ON m.id = nd.id)"
         )
     return (
+        f"WITH {cte if cte is not None else EDGES_CTE_MAT}, " + ",\n".join(parts) +
+        f"\nSELECT id AS {id_name}, ROUND(rank, 6) AS rank FROM r{iters}"
+    )
+
+
+def _hits_unrolled_sql(iters: int = 8) -> str:
+    """HITS power iteration unroll: h0 = 1; per iteration the authority
+    half-step (in-edge hub sum, L2-normalized over ALL vertices) then the
+    hub half-step over the fresh authorities — matches
+    linkgraph.algs.hits.hits with tol=0."""
+    parts = [
+        "h0 AS MATERIALIZED (SELECT id, 1.0 AS h FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"au{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(h.h) AS v "
+            f"FROM h{p} h JOIN edges e ON e.src = h.id GROUP BY e.dst)"
+        )
+        parts.append(
+            f"an{i} AS MATERIALIZED (SELECT COALESCE(sqrt(SUM(v*v)), 1.0) AS nm FROM au{i})"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT nd.id, COALESCE(u.v, 0.0) / "
+            f"(CASE WHEN (SELECT nm FROM an{i}) = 0 THEN 1.0 ELSE (SELECT nm FROM an{i}) END) AS a "
+            f"FROM nodes nd LEFT JOIN au{i} u ON u.id = nd.id)"
+        )
+        parts.append(
+            f"hu{i} AS MATERIALIZED (SELECT e.src AS id, SUM(a.a) AS v "
+            f"FROM a{i} a JOIN edges e ON e.dst = a.id GROUP BY e.src)"
+        )
+        parts.append(
+            f"hn{i} AS MATERIALIZED (SELECT COALESCE(sqrt(SUM(v*v)), 1.0) AS nm FROM hu{i})"
+        )
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT nd.id, COALESCE(u.v, 0.0) / "
+            f"(CASE WHEN (SELECT nm FROM hn{i}) = 0 THEN 1.0 ELSE (SELECT nm FROM hn{i}) END) AS h "
+            f"FROM nodes nd LEFT JOIN hu{i} u ON u.id = nd.id)"
+        )
+    return (
         f"WITH {EDGES_CTE_MAT}, " + ",\n".join(parts) +
-        f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{iters}"
+        f"\nSELECT h.id, ROUND(h.h, 6) AS hub, ROUND(a.a, 6) AS authority "
+        f"FROM h{iters} h JOIN a{iters} a ON a.id = h.id"
+    )
+
+
+def _salsa_unrolled_sql(iters: int = 6) -> str:
+    """SALSA unroll: HITS half-steps with the pushed mass divided by the
+    pushing endpoint's degree (out-degree on the authority step, in-degree
+    on the hub step), L1-normalized per half-step from the uniform 1/n
+    start — matches linkgraph.algs.hits.salsa with tol=0."""
+    parts = [
+        "od AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od "
+        "FROM edges GROUP BY src)",
+        "idg AS MATERIALIZED (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS idg "
+        "FROM edges GROUP BY dst)",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "h0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS h FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"au{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(h.h / o.od) AS v "
+            f"FROM h{p} h JOIN edges e ON e.src = h.id "
+            f"JOIN od o ON o.src = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"an{i} AS MATERIALIZED (SELECT COALESCE(SUM(ABS(v)), 1.0) AS nm FROM au{i})"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT nd.id, COALESCE(u.v, 0.0) / "
+            f"(CASE WHEN (SELECT nm FROM an{i}) = 0 THEN 1.0 ELSE (SELECT nm FROM an{i}) END) AS a "
+            f"FROM nodes nd LEFT JOIN au{i} u ON u.id = nd.id)"
+        )
+        parts.append(
+            f"hu{i} AS MATERIALIZED (SELECT e.src AS id, SUM(a.a / g.idg) AS v "
+            f"FROM a{i} a JOIN edges e ON e.dst = a.id "
+            f"JOIN idg g ON g.dst = e.dst GROUP BY e.src)"
+        )
+        parts.append(
+            f"hn{i} AS MATERIALIZED (SELECT COALESCE(SUM(ABS(v)), 1.0) AS nm FROM hu{i})"
+        )
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT nd.id, COALESCE(u.v, 0.0) / "
+            f"(CASE WHEN (SELECT nm FROM hn{i}) = 0 THEN 1.0 ELSE (SELECT nm FROM hn{i}) END) AS h "
+            f"FROM nodes nd LEFT JOIN hu{i} u ON u.id = nd.id)"
+        )
+    return (
+        f"WITH {EDGES_CTE_MAT}, " + ",\n".join(parts) +
+        f"\nSELECT h.id, ROUND(h.h, 6) AS hub, ROUND(a.a, 6) AS authority "
+        f"FROM h{iters} h JOIN a{iters} a ON a.id = h.id"
     )
 
 
@@ -1908,6 +2100,83 @@ FROM nodes n LEFT JOIN tcount t ON t.id = n.id LEFT JOIN deg d ON d.id = n.id
 
     sql["doc_pagerank"] = _pagerank_unrolled_sql(15, 0.85)
     sql["doc_trustrank"] = _trustrank_unrolled_sql(15, 0.85)
+    sql["doc_hits"] = _hits_unrolled_sql(8)
+    sql["doc_salsa"] = _salsa_unrolled_sql(6)
+    sql["doc_cocitation"] = f"""
+WITH {EDGES_CTE_MAT},
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)
+SELECT a.dst AS u, b.dst AS v, count(*) AS n_common
+FROM de a JOIN de b ON a.src = b.src
+WHERE a.dst < b.dst GROUP BY a.dst, b.dst
+"""
+    sql["doc_coupling"] = f"""
+WITH {EDGES_CTE_MAT},
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)
+SELECT a.src AS u, b.src AS v, count(*) AS n_common
+FROM de a JOIN de b ON a.dst = b.dst
+WHERE a.src < b.src GROUP BY a.src, b.src
+"""
+    # Broder taxonomy replay: recursive transitive closure → SCC as the
+    # mutual-reach pairwise min → core = largest SCC (ties min label, the
+    # engine's pivot convention) → region CASE over the reach sets.
+    sql["doc_bowtie"] = f"""
+WITH RECURSIVE {EDGES_CTE_MAT},
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+tc AS (
+  SELECT src AS u, dst AS v FROM de
+  UNION
+  SELECT tc.u, de.dst FROM tc JOIN de ON de.src = tc.v
+),
+reach AS MATERIALIZED (SELECT u, v FROM tc UNION SELECT id, id FROM nodes),
+scc AS MATERIALIZED (
+  SELECT a.u AS id, MIN(a.v) AS component
+  FROM reach a JOIN reach b ON b.u = a.v AND b.v = a.u
+  GROUP BY a.u
+),
+topc AS (
+  SELECT component FROM (
+    SELECT component, COUNT(*) AS n FROM scc GROUP BY component
+  ) ORDER BY n DESC, component LIMIT 1
+),
+core AS MATERIALIZED (
+  SELECT id FROM scc WHERE component = (SELECT component FROM topc)
+),
+fwd AS MATERIALIZED (SELECT DISTINCT r.v AS id FROM reach r JOIN core c ON c.id = r.u),
+bwd AS MATERIALIZED (SELECT DISTINCT r.u AS id FROM reach r JOIN core c ON c.id = r.v),
+outr AS MATERIALIZED (
+  SELECT * FROM (SELECT id FROM fwd EXCEPT SELECT id FROM core)
+),
+inr AS MATERIALIZED (
+  SELECT * FROM (SELECT id FROM bwd EXCEPT SELECT id FROM core)
+),
+mainr AS MATERIALIZED (SELECT id FROM fwd UNION SELECT id FROM bwd),
+fin AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT r.v AS id FROM reach r JOIN inr i ON i.id = r.u
+    EXCEPT SELECT id FROM mainr
+  )
+),
+bout AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT r.u AS id FROM reach r JOIN outr o ON o.id = r.v
+    EXCEPT SELECT id FROM mainr
+  )
+)
+SELECT n.id,
+  CASE WHEN c.id IS NOT NULL THEN 'core'
+       WHEN i.id IS NOT NULL THEN 'in'
+       WHEN o.id IS NOT NULL THEN 'out'
+       WHEN f.id IS NOT NULL AND b.id IS NOT NULL THEN 'tube'
+       WHEN f.id IS NOT NULL THEN 'tendril_in'
+       WHEN b.id IS NOT NULL THEN 'tendril_out'
+       ELSE 'disconnected' END AS region
+FROM nodes n
+LEFT JOIN core c ON c.id = n.id
+LEFT JOIN inr i ON i.id = n.id
+LEFT JOIN outr o ON o.id = n.id
+LEFT JOIN fin f ON f.id = n.id
+LEFT JOIN bout b ON b.id = n.id
+"""
     # the algebraic formulations converge to the identical fixed points /
     # run the identical fixed-iteration recurrences, so they share oracles
     sql["algebraic_pagerank"] = _pagerank_unrolled_sql(15, 0.85)
@@ -2036,6 +2305,46 @@ SELECT g.group_id, k.doc_id FROM keyed k JOIN grp g ON g.text = k.text
 
     sql["token_counts"] = """
 SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+"""
+
+    sql["term_doc_freqs"] = """
+WITH tok AS (
+  SELECT doc_id, lower(t) AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+  WHERE t <> ''
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id)
+SELECT term, count(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+FROM post GROUP BY term
+"""
+
+    sql["doc_bm25"] = """
+WITH tok AS (
+  SELECT doc_id, lower(t) AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+  WHERE t <> ''
+),
+post AS (
+  SELECT term, doc_id, CAST(count(*) AS DOUBLE) AS tf FROM tok
+  WHERE term IN ('hash', 'join', 'spark') GROUP BY term, doc_id
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY term),
+lens AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE)
+           AS dl
+  FROM documents
+),
+ad AS (SELECT AVG(dl) AS avgdl FROM lens)
+SELECT p.doc_id,
+  ROUND(SUM(
+    ln(1.0 + ((SELECT n FROM nn) - d.df + 0.5) / (d.df + 0.5))
+    * (p.tf * (1.2 + 1.0))
+    / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / (SELECT avgdl FROM ad)))
+  ), 6) AS score
+FROM post p JOIN dfreq d ON d.term = p.term JOIN lens l ON l.doc_id = p.doc_id
+GROUP BY p.doc_id
 """
 
     sql["lang_dist"] = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
@@ -2528,6 +2837,17 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["simhash_dups"] = G.simhash_sql(max_hamming=3)
     sql["extraction_edges"] = G.extraction_edges_sql(
         "/root/repo/tests/fixtures/gate_pages/*.parquet"
+    )
+    sql["doc_host_edges"] = G.host_edges_sql(
+        "/root/repo/tests/fixtures/gate_pages/*.parquet"
+    )
+    sql["doc_host_stats"] = G.host_stats_sql(
+        "/root/repo/tests/fixtures/gate_pages/*.parquet"
+    )
+    sql["doc_host_rank"] = _pagerank_unrolled_sql(
+        15, 0.85,
+        cte=G.host_graph_cte("/root/repo/tests/fixtures/gate_pages/*.parquet"),
+        id_name="host",
     )
     sql["anchor_text"] = G.anchor_text_sql(
         "/root/repo/tests/fixtures/gate_pages/*.parquet"

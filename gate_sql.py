@@ -510,6 +510,83 @@ GROUP BY t.url, t.dst_url
     )
 
 
+_HOST_RE = "'^https?://([^/:?#]+)'"
+
+
+def _host_links_cte(pages_glob: str) -> str:
+    """Extraction replay + host parsing: hl(src_host, dst_host), one row
+    per resolved link whose both endpoints parse to a host (dangling
+    targets KEPT — the host graph keeps out-of-crawl structure)."""
+    return (
+        _extraction_cte(pages_glob)
+        + f""",
+hl AS MATERIALIZED (
+  SELECT regexp_extract(lower(url), {_HOST_RE}, 1) AS src_host,
+         regexp_extract(lower(dst_url), {_HOST_RE}, 1) AS dst_host
+  FROM trimmed
+  WHERE regexp_extract(lower(url), {_HOST_RE}, 1) <> ''
+    AND regexp_extract(lower(dst_url), {_HOST_RE}, 1) <> ''
+)"""
+    )
+
+
+def host_edges_sql(pages_glob: str) -> str:
+    """Contracted host-graph weighted edge list (intra-host links
+    dropped), independently re-derived in DuckDB regexp SQL."""
+    return (
+        "WITH "
+        + _host_links_cte(pages_glob)
+        + """
+SELECT src_host, dst_host, CAST(count(*) AS DOUBLE) AS weight
+FROM hl WHERE src_host <> dst_host
+GROUP BY src_host, dst_host
+"""
+    )
+
+
+def host_stats_sql(pages_glob: str) -> str:
+    """Per-host crawl stats replay: pages per host + out-link split."""
+    return (
+        "WITH "
+        + _host_links_cte(pages_glob)
+        + f""",
+hp AS (SELECT regexp_extract(lower(url), {_HOST_RE}, 1) AS host FROM pages
+       WHERE regexp_extract(lower(url), {_HOST_RE}, 1) <> ''),
+np AS (SELECT host, count(*) AS n_pages FROM hp GROUP BY host),
+outs AS (
+  SELECT src_host AS host, count(*) AS out_links,
+         CAST(SUM(CASE WHEN src_host = dst_host THEN 1 ELSE 0 END) AS BIGINT)
+           AS intra_links,
+         count(DISTINCT CASE WHEN dst_host <> src_host THEN dst_host END)
+           AS n_dst_hosts
+  FROM hl GROUP BY src_host
+)
+SELECT np.host, np.n_pages,
+       COALESCE(outs.out_links, 0) AS out_links,
+       COALESCE(outs.intra_links, 0) AS intra_links,
+       COALESCE(outs.n_dst_hosts, 0) AS n_dst_hosts
+FROM np LEFT JOIN outs ON outs.host = np.host
+"""
+    )
+
+
+def host_graph_cte(pages_glob: str) -> str:
+    """edges(src, dst) / nodes(id) over host STRINGS (one unweighted edge
+    per linked host pair, intra dropped) — the prefix the unrolled
+    PageRank generator runs on for host rank."""
+    return (
+        _host_links_cte(pages_glob)
+        + """,
+edges AS MATERIALIZED (
+  SELECT src_host AS src, dst_host AS dst FROM hl
+  WHERE src_host <> dst_host GROUP BY src_host, dst_host
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM edges UNION SELECT dst FROM edges
+)"""
+    )
+
+
 def anchor_text_sql(pages_glob: str) -> str:
     """Anchor-text table replay, written independently in DuckDB regexp
     SQL: full <a ...>...</a> elements via regexp_extract_all(group 0),
