@@ -211,6 +211,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("authority", 6).alias("authority"),
         )
 
+    def doc_opic(spark, sf):
+        # OPIC crawl importance, 12 synchronous steps for the SQL unroll
+        from linkgraph.algs.opic import opic
+
+        out = opic(_doc_graph(spark, sf), iters=12)
+        return out.select("id", F.round("importance", 6).alias("importance"))
+
     def doc_bowtie(spark, sf):
         """Broder bow-tie decomposition (core/in/out/tube/tendrils) of the
         doc graph; oracle replays the taxonomy with a DuckDB recursive
@@ -515,6 +522,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _register(spark, sf)
         out = bm25(spark.table("documents"), ["hash", "join", "spark"])
         return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    def doc_gopher_rep(spark, sf):
+        """Gopher repetition rules (Rae et al. 2021): duplicate line/
+        paragraph (char) fractions + top-{2,3,4}-gram char fractions +
+        the combined keep decision."""
+        from linkgraph.text.pipeline import gopher_repetition_flags
+
+        _register(spark, sf)
+        return gopher_repetition_flags(spark.table("documents"))
 
     def doc_quality(spark, sf):
         _register(spark, sf)
@@ -1772,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25": doc_bm25,
         "lang_dist": lang_dist,
         "doc_quality": doc_quality,
+        "doc_gopher_rep": doc_gopher_rep,
         "ngram_dups": ngram_dups,
         "doc_lang_id": doc_lang_id,
         "doc_normalize": doc_normalize,
@@ -1795,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cocitation": doc_cocitation,
         "doc_coupling": doc_coupling,
         "doc_bowtie": doc_bowtie,
+        "doc_opic": doc_opic,
         "bpe_pair_counts": bpe_pair_counts,
         "doc_unigram_logloss": doc_unigram_logloss,
         "doc_stratified_sample": doc_stratified_sample,
@@ -1897,6 +1915,145 @@ def _pagerank_unrolled_sql(
         f"WITH {cte if cte is not None else EDGES_CTE_MAT}, " + ",\n".join(parts) +
         f"\nSELECT id AS {id_name}, ROUND(rank, 6) AS rank FROM r{iters}"
     )
+
+
+def _opic_unrolled_sql(iters: int = 12) -> str:
+    """OPIC synchronous-batch unroll with the virtual root: per step,
+    page inflow = Σ cash/（outdeg+1) over in-edges + root_cash/n; the
+    root banks one share per page and redistributes its whole balance;
+    history accumulates pre-distribution cash. Matches
+    linkgraph.algs.opic.opic."""
+    parts = [
+        "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "odp AS MATERIALIZED (SELECT n.id, CAST(COALESCE(o.c, 0) + 1 AS DOUBLE)"
+        " AS odp FROM nodes n LEFT JOIN (SELECT src, count(*) AS c FROM de"
+        " GROUP BY src) o ON o.src = n.id)",
+        "c0 AS MATERIALIZED (SELECT id, 1.0 / ((SELECT n FROM nn) + 1) AS cash,"
+        " 0.0 AS hist FROM nodes)",
+        "r0 AS (SELECT 1.0 / ((SELECT n FROM nn) + 1) AS rc, 0.0 AS rh)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"s{i} AS (SELECT SUM(c.cash / o.odp) AS to_root "
+            f"FROM c{p} c JOIN odp o ON o.id = c.id)"
+        )
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT de.dst AS id, SUM(c.cash / o.odp) AS inf "
+            f"FROM c{p} c JOIN de ON de.src = c.id JOIN odp o ON o.id = c.id "
+            f"GROUP BY de.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT (SELECT to_root FROM s{i}) AS rc, rh + rc AS rh "
+            f"FROM r{p})"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT c.id, "
+            f"COALESCE(m.inf, 0.0) + (SELECT rc FROM r{p}) / (SELECT n FROM nn)"
+            f" AS cash, c.hist + c.cash AS hist "
+            f"FROM c{p} c LEFT JOIN m{i} m ON m.id = c.id)"
+        )
+    return (
+        f"WITH {EDGES_CTE_MAT}, " + ",\n".join(parts) +
+        f",\ntot AS (SELECT SUM(hist + cash) AS t FROM c{iters})"
+        f"\nSELECT id, ROUND((hist + cash) / (SELECT t FROM tot), 6)"
+        f" AS importance FROM c{iters}"
+    )
+
+
+def _gopher_rep_sql() -> str:
+    """Gopher repetition-rule replay: per-segment beyond-first-occurrence
+    counts (lines chr(10), paragraphs chr(10)||chr(10)) and per-n top
+    repeated word-gram char coverage (max count, ties -> longest gram),
+    matching linkgraph.text.pipeline.gopher_repetition_flags. Every
+    fraction is one integer-sum division — bit-identical to Spark."""
+    seg = lambda name, delim: f"""
+{name}segs AS (
+  SELECT doc_id, nc, seg
+  FROM base, unnest(string_split(t, {delim})) AS u(seg)
+  WHERE seg <> ''
+),
+{name}per AS (
+  SELECT doc_id, any_value(nc) AS nc, seg, count(*) AS c
+  FROM {name}segs GROUP BY doc_id, seg
+),
+{name}m AS (
+  SELECT doc_id,
+         SUM(c - 1) / SUM(c) AS dup_frac,
+         CASE WHEN any_value(nc) > 0
+              THEN SUM((c - 1) * length(seg)) / CAST(any_value(nc) AS DOUBLE)
+              ELSE 0.0 END AS dup_char_frac
+  FROM {name}per GROUP BY doc_id
+)"""  # noqa: E731
+
+    def gram(n: int) -> str:
+        joins = " JOIN ".join(
+            f"w w{i} ON w{i}.doc_id = w0.doc_id AND w{i}.p = w0.p + {i}"
+            if i else "w w0"
+            for i in range(n)
+        )
+        concat = " || ' ' || ".join(f"w{i}.word" for i in range(n))
+        return f"""
+g{n} AS (
+  SELECT w0.doc_id, w0.nc, {concat} AS gram FROM {joins}
+),
+g{n}c AS (
+  SELECT doc_id, any_value(nc) AS nc, gram, count(*) AS c
+  FROM g{n} GROUP BY doc_id, gram HAVING count(*) > 1
+),
+m{n} AS (SELECT doc_id, MAX(c) AS c1 FROM g{n}c GROUP BY doc_id),
+t{n} AS (
+  SELECT g.doc_id, any_value(g.nc) AS nc, m.c1, MAX(length(g.gram)) AS gl
+  FROM g{n}c g JOIN m{n} m ON m.doc_id = g.doc_id AND g.c = m.c1
+  GROUP BY g.doc_id, m.c1
+),
+f{n} AS (
+  SELECT doc_id,
+         CASE WHEN nc > 0 THEN c1 * gl / CAST(nc AS DOUBLE) ELSE 0.0 END
+           AS top{n}_char_frac
+  FROM t{n}
+)"""
+
+    return f"""
+WITH base AS (SELECT doc_id, text AS t, length(text) AS nc FROM documents),
+{seg("l", "chr(10)")},
+{seg("p", "chr(10) || chr(10)")},
+w AS (
+  SELECT doc_id, nc, word,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+  FROM (
+    SELECT doc_id, nc,
+           unnest(string_split(t, ' ')) AS word,
+           generate_subscripts(string_split(t, ' '), 1) AS pos
+    FROM base
+  ) WHERE word <> ''
+),
+{gram(2)},
+{gram(3)},
+{gram(4)}
+SELECT b.doc_id,
+  COALESCE(lm.dup_frac, 0.0) AS dup_line_frac,
+  COALESCE(lm.dup_char_frac, 0.0) AS dup_line_char_frac,
+  COALESCE(pm.dup_frac, 0.0) AS dup_para_frac,
+  COALESCE(pm.dup_char_frac, 0.0) AS dup_para_char_frac,
+  COALESCE(f2.top2_char_frac, 0.0) AS top2_char_frac,
+  COALESCE(f3.top3_char_frac, 0.0) AS top3_char_frac,
+  COALESCE(f4.top4_char_frac, 0.0) AS top4_char_frac,
+  (COALESCE(lm.dup_frac, 0.0) <= 0.30
+   AND COALESCE(pm.dup_frac, 0.0) <= 0.30
+   AND COALESCE(lm.dup_char_frac, 0.0) <= 0.20
+   AND COALESCE(pm.dup_char_frac, 0.0) <= 0.20
+   AND COALESCE(f2.top2_char_frac, 0.0) <= 0.20
+   AND COALESCE(f3.top3_char_frac, 0.0) <= 0.18
+   AND COALESCE(f4.top4_char_frac, 0.0) <= 0.16) AS passes
+FROM base b
+LEFT JOIN lm ON lm.doc_id = b.doc_id
+LEFT JOIN pm ON pm.doc_id = b.doc_id
+LEFT JOIN f2 ON f2.doc_id = b.doc_id
+LEFT JOIN f3 ON f3.doc_id = b.doc_id
+LEFT JOIN f4 ON f4.doc_id = b.doc_id
+"""
 
 
 def _hits_unrolled_sql(iters: int = 8) -> str:
@@ -2101,6 +2258,7 @@ FROM nodes n LEFT JOIN tcount t ON t.id = n.id LEFT JOIN deg d ON d.id = n.id
     sql["doc_pagerank"] = _pagerank_unrolled_sql(15, 0.85)
     sql["doc_trustrank"] = _trustrank_unrolled_sql(15, 0.85)
     sql["doc_hits"] = _hits_unrolled_sql(8)
+    sql["doc_opic"] = _opic_unrolled_sql(12)
     sql["doc_salsa"] = _salsa_unrolled_sql(6)
     sql["doc_cocitation"] = f"""
 WITH {EDGES_CTE_MAT},
@@ -2348,6 +2506,8 @@ GROUP BY p.doc_id
 """
 
     sql["lang_dist"] = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+
+    sql["doc_gopher_rep"] = _gopher_rep_sql()
 
     sql["doc_quality"] = """
 WITH t AS (

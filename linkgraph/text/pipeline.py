@@ -379,6 +379,121 @@ def repetition_ratios(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Gopher repetition thresholds (Rae et al. 2021, Table A1): a document is
+# dropped when ANY fraction exceeds its cap.
+GOPHER_REP_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_REP_MAX_DUP_PARA_FRAC = 0.30
+GOPHER_REP_MAX_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_REP_MAX_DUP_PARA_CHAR_FRAC = 0.20
+GOPHER_REP_MAX_TOP_NGRAM_CHAR_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+
+
+def gopher_repetition_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, dup_line_frac, dup_line_char_frac, dup_para_frac,
+    dup_para_char_frac, top2_char_frac, top3_char_frac, top4_char_frac,
+    passes) — the Gopher repetition-removal rules (Rae et al. 2021) with
+    the paper's char-fraction semantics, unlike the cheap distinct-ratio
+    screen of :func:`repetition_ratios`:
+
+    - duplicate line/paragraph fraction: occurrences BEYOND THE FIRST of
+      each exact line (split ``\\n``) / paragraph (split ``\\n\\n``),
+      over the total count; empty segments are structure, not content,
+      and are excluded.
+    - duplicate line/paragraph CHAR fraction: the characters of those
+      beyond-first occurrences over ``length(text)``.
+    - top-{2,3,4}-gram char fraction: occurrences × chars of the most
+      frequent word n-gram over ``length(text)``; 0 when no n-gram
+      repeats. Ties on count break to the LONGEST gram (deterministic,
+      unlike first-seen order — documented divergence).
+
+    ``passes`` ANDs the paper's caps (0.30/0.30/0.20/0.20 and
+    0.20/0.18/0.16). The duplicated-5..10-gram family needs the paper's
+    sequential char-marking pass (overlap-deduped) — not built; the
+    distinct-ratio proxy in :func:`repetition_ratios` covers that band.
+
+    Plan shape: one explode + one (doc_id, segment) hash-agg per segment
+    kind and per n — partial-combine aggregations keyed by doc, no
+    window, no self-join; state never exceeds O(segments). At 100 TB
+    every branch is scan → explode → two-level agg on the doc key."""
+    base = docs.select(
+        "doc_id", F.col(text_col).alias("_t"), F.length(text_col).alias("_nc")
+    )
+
+    def seg_metrics(sep: str, out: str) -> DataFrame:
+        segs = base.select(
+            "doc_id",
+            "_nc",
+            F.explode(
+                F.filter(F.split(F.col("_t"), sep), lambda x: x != F.lit(""))
+            ).alias("seg"),
+        )
+        per = segs.groupBy("doc_id", "_nc", "seg").agg(F.count("*").alias("c"))
+        return per.groupBy("doc_id").agg(
+            (F.sum(F.col("c") - 1) / F.sum("c")).alias(f"dup_{out}_frac"),
+            F.when(
+                F.first("_nc") > 0,
+                F.sum((F.col("c") - 1) * F.length("seg")) / F.first("_nc"),
+            )
+            .otherwise(0.0)
+            .alias(f"dup_{out}_char_frac"),
+        )
+
+    def top_gram(n: int) -> DataFrame:
+        toks = F.filter(F.split(F.col("_t"), " "), lambda x: x != F.lit(""))
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        g = base.select("doc_id", "_nc", F.explode(grams).alias("gram"))
+        per = g.groupBy("doc_id", "_nc", "gram").agg(F.count("*").alias("c"))
+        # struct max = max count, then longest gram among the tied counts
+        return (
+            per.where(F.col("c") > 1)
+            .groupBy("doc_id")
+            .agg(
+                F.max(F.struct(F.col("c"), F.length("gram").alias("gl"))).alias("m"),
+                F.first("_nc").alias("_nc"),
+            )
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("_nc") > 0, F.col("m.c") * F.col("m.gl") / F.col("_nc")
+                )
+                .otherwise(0.0)
+                .alias(f"top{n}_char_frac"),
+            )
+        )
+
+    out = (
+        base.select("doc_id")
+        .join(seg_metrics(r"\n\n", "para"), "doc_id", "left")
+        .join(seg_metrics(r"\n", "line"), "doc_id", "left")
+        .join(top_gram(2), "doc_id", "left")
+        .join(top_gram(3), "doc_id", "left")
+        .join(top_gram(4), "doc_id", "left")
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0.0)).alias(c)  # noqa: E731
+    cols = [
+        "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac",
+        "top2_char_frac", "top3_char_frac", "top4_char_frac",
+    ]
+    out = out.select("doc_id", *[z(c) for c in cols])
+    passes = (
+        (F.col("dup_line_frac") <= GOPHER_REP_MAX_DUP_LINE_FRAC)
+        & (F.col("dup_para_frac") <= GOPHER_REP_MAX_DUP_PARA_FRAC)
+        & (F.col("dup_line_char_frac") <= GOPHER_REP_MAX_DUP_LINE_CHAR_FRAC)
+        & (F.col("dup_para_char_frac") <= GOPHER_REP_MAX_DUP_PARA_CHAR_FRAC)
+        & (F.col("top2_char_frac") <= GOPHER_REP_MAX_TOP_NGRAM_CHAR_FRAC[2])
+        & (F.col("top3_char_frac") <= GOPHER_REP_MAX_TOP_NGRAM_CHAR_FRAC[3])
+        & (F.col("top4_char_frac") <= GOPHER_REP_MAX_TOP_NGRAM_CHAR_FRAC[4])
+    )
+    return out.withColumn("passes", passes)
+
+
 def stratified_sample(
     docs: DataFrame,
     strata_col: str,
