@@ -532,6 +532,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _register(spark, sf)
         return gopher_repetition_flags(spark.table("documents"))
 
+    def bloom_ngram_dups(spark, sf):
+        """Dolma-style Bloom dedup screen (Soldaini et al. 2024): build a
+        2^20-bit filter from even docs' word 3-grams, probe odd docs;
+        per-doc duplicate-unit fraction. Oracle replays the filter words
+        and every probe bit from the same md5 phash family."""
+        from linkgraph.text.bloom import bloom_build, bloom_probe
+
+        _register(spark, sf)
+        docs = spark.table("documents")
+        kw = dict(unit="ngram", ngram_n=3, m_bits=1 << 20, k=3, portable=True)
+        flt = bloom_build(docs.where(F.col("doc_id") % 2 == 0), **kw)
+        out = bloom_probe(docs.where(F.col("doc_id") % 2 == 1), flt, **kw)
+        return out.select(
+            "doc_id",
+            "n_units",
+            "n_dup_units",
+            F.round("dup_frac", 6).alias("dup_frac"),
+        )
+
     def doc_quality(spark, sf):
         _register(spark, sf)
         q = quality_scores(spark.table("documents"))
@@ -1789,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_dist": lang_dist,
         "doc_quality": doc_quality,
         "doc_gopher_rep": doc_gopher_rep,
+        "bloom_ngram_dups": bloom_ngram_dups,
         "ngram_dups": ngram_dups,
         "doc_lang_id": doc_lang_id,
         "doc_normalize": doc_normalize,
@@ -2508,6 +2528,49 @@ GROUP BY p.doc_id
     sql["lang_dist"] = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
 
     sql["doc_gopher_rep"] = _gopher_rep_sql()
+
+    # Bloom dedup screen: bit-level replay — same phash family, same
+    # 62-bit words, same bool_and-over-k probe as linkgraph.text.bloom.
+    from linkgraph.portable import phash_sql as _pph
+
+    _bm, _bk, _bspan = 1 << 20, 3, 2
+    _bidx = ",".join(str(i) for i in range(_bk))
+    sql["bloom_ngram_dups"] = f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bu AS (
+  SELECT array_to_string(toks[i:i+{_bspan}], ' ') AS u
+  FROM tk, UNNEST(generate_series(1, greatest(len(toks) - {_bspan}, 0))) AS g(i)
+  WHERE doc_id % 2 = 0
+),
+bpos AS (SELECT {_pph("u", "s.i")} % {_bm} AS pos
+         FROM bu, UNNEST([{_bidx}]) AS s(i)),
+bloom AS (SELECT pos // 62 AS word_idx,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
+          FROM bpos GROUP BY 1),
+pu AS (
+  SELECT doc_id, g.i AS uidx, array_to_string(toks[g.i:g.i+{_bspan}], ' ') AS u
+  FROM tk, UNNEST(generate_series(1, greatest(len(toks) - {_bspan}, 0))) AS g(i)
+  WHERE doc_id % 2 = 1
+),
+ppos AS (SELECT doc_id, uidx, {_pph("u", "s.i")} % {_bm} AS pos
+         FROM pu, UNNEST([{_bidx}]) AS s(i)),
+ph AS (SELECT doc_id, uidx,
+              bool_and((COALESCE(b.bits, 0)
+                        & (CAST(1 AS BIGINT) << CAST(pos % 62 AS INT))) <> 0)
+              AS present
+       FROM ppos LEFT JOIN bloom b ON b.word_idx = pos // 62
+       GROUP BY doc_id, uidx),
+pd AS (SELECT doc_id, count(*) AS n_units,
+              SUM(CAST(present AS BIGINT)) AS n_dup_units
+       FROM ph GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(n_units, 0) AS n_units,
+       COALESCE(n_dup_units, 0) AS n_dup_units,
+       ROUND(CASE WHEN COALESCE(n_units, 0) > 0
+             THEN CAST(n_dup_units AS DOUBLE) / n_units ELSE 0.0 END, 6)
+       AS dup_frac
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN pd USING (doc_id)
+"""
 
     sql["doc_quality"] = """
 WITH t AS (

@@ -195,3 +195,49 @@ def test_unigram_logloss_no_single_partition(spark):
     plan = _plan(unigram_logloss(docs))
     assert "SinglePartition" not in plan
     assert "Window" not in plan
+
+
+def test_gopher_repetition_no_single_partition(spark):
+    """Gopher repetition fractions are explode → two-level doc-keyed
+    hash-aggs: no Window, no single-partition Exchange — every branch
+    stays scan → explode → partial-combine agg at any scale."""
+    from linkgraph.text.pipeline import gopher_repetition_flags
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta alpha beta gamma "), F.col("id").cast("string")).alias("text"),
+    )
+    plan = _plan(gopher_repetition_flags(docs))
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_bloom_probe_broadcasts_filter(spark):
+    """The Bloom probe joins exploded units against the filter as a
+    BROADCAST (the filter is m_bits/62 rows ≪ corpus); per-doc rollups
+    are partial-combine hash-aggs, never a single partition."""
+    from linkgraph.text.bloom import bloom_build, bloom_probe
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("u v w x y z "), F.col("id").cast("string")).alias("text"),
+    )
+    flt = bloom_build(docs, unit="ngram", ngram_n=3)
+    plan = _plan(bloom_probe(docs, flt, unit="ngram", ngram_n=3))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+
+
+def test_opic_superstep_no_single_partition(spark):
+    """One OPIC step is rank⋈edges → dst hash-agg plus two scalar aggs:
+    the per-vertex state path must never collapse to one partition."""
+    from linkgraph.algs.opic import opic
+    from linkgraph.graph import Graph
+
+    rows = [(i, (i + 1) % 12, 1.0) for i in range(12)]
+    e = spark.createDataFrame(rows, "src bigint, dst bigint, weight double")
+    out = opic(Graph.from_edges(e, directed=True), iters=3)
+    plan = _plan(out)
+    assert "SinglePartition" not in plan
