@@ -998,6 +998,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges, _ = pages_to_edges(pages, dense_ids=True)
         return edges.select("src", "dst", "weight")
 
+    def page_content(spark, sf):
+        """Main-content extraction (jusText-lite boilerplate removal):
+        block segmentation at block-level tags + min-words / link-density
+        rules, expression-only. Oracle replays the identical block
+        stats with DuckDB list lambdas over the committed fixture."""
+        from linkgraph.text.boilerplate import boilerplate_strip
+
+        pages = spark.read.parquet("/root/repo/tests/fixtures/gate_pages")
+        out = boilerplate_strip(pages)
+        return out.select(
+            "url", "content", "n_blocks", "n_kept", "total_words",
+            "kept_words", F.round("boilerplate_frac", 6).alias("boilerplate_frac"),
+        )
+
     def anchor_text(spark, sf):
         """Anchor-text table over the committed pages fixture: per link
         target, each distinct anchor string with reference counts —
@@ -1840,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_groups": minhash_dup_groups,
         "simhash_dups": simhash_dups,
         "extraction_edges": extraction_edges,
+        "page_content": page_content,
         "doc_host_edges": doc_host_edges,
         "doc_host_stats": doc_host_stats,
         "doc_host_rank": doc_host_rank,
@@ -3059,6 +3074,9 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["minhash_dup_groups"] = G.minhash_groups_sql(64, 16, 0.7)
     sql["simhash_dups"] = G.simhash_sql(max_hamming=3)
     sql["extraction_edges"] = G.extraction_edges_sql(
+        "/root/repo/tests/fixtures/gate_pages/*.parquet"
+    )
+    sql["page_content"] = G.page_content_sql(
         "/root/repo/tests/fixtures/gate_pages/*.parquet"
     )
     sql["doc_host_edges"] = G.host_edges_sql(

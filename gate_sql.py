@@ -476,6 +476,58 @@ WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
 # ---------------------------------------------------------------------------
 
 
+def page_content_sql(pages_glob: str) -> str:
+    """Boilerplate removal replay: the same block segmentation, cleaning
+    and word/anchor-word counters as linkgraph.text.boilerplate (regexes
+    imported from the module — Java∩RE2 subset), re-expressed as DuckDB
+    list lambdas. Defaults: min_words=5, max_link_density=0.5."""
+    from linkgraph.text.boilerplate import ANCHOR_TEXT_RE, BLOCK_SPLIT_RE
+
+    def clean(x: str) -> str:
+        return (
+            "trim(regexp_replace(regexp_replace("
+            + x
+            + ", '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))"
+        )
+
+    def wc(y: str) -> str:
+        return f"len(list_filter(string_split({y}, ' '), w -> w <> ''))"
+
+    # COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — both joins below normalize to ''
+    anchor = (
+        "COALESCE(array_to_string("
+        f"regexp_extract_all(x, '{ANCHOR_TEXT_RE}', 1), ' '), '')"
+    )
+    return f"""
+WITH p AS (SELECT url, decode(html) AS h FROM read_parquet('{pages_glob}')),
+b AS (SELECT url, string_split_regex(h, '{BLOCK_SPLIT_RE}') AS blocks FROM p),
+st AS (SELECT url, list_transform(blocks, x -> struct_pack(
+         txt := {clean('x')},
+         n := {wc(clean('x'))},
+         nl := {wc(clean(anchor))})) AS stats FROM b),
+ne AS (SELECT url, list_filter(stats, s -> s.n > 0) AS ne FROM st),
+kp AS (SELECT url, ne,
+              list_filter(ne, s -> s.n >= 5
+                          AND CAST(s.nl AS DOUBLE) <= 0.5 * s.n) AS kept
+       FROM ne),
+agg AS (SELECT url,
+               COALESCE(array_to_string(list_transform(kept, s -> s.txt), ' '), '')
+                 AS content,
+               len(ne) AS n_blocks, len(kept) AS n_kept,
+               CAST(COALESCE(list_sum(list_transform(ne, s -> s.n)), 0) AS BIGINT)
+                 AS total_words,
+               CAST(COALESCE(list_sum(list_transform(kept, s -> s.n)), 0) AS BIGINT)
+                 AS kept_words
+        FROM kp)
+SELECT url, content, n_blocks, n_kept, total_words, kept_words,
+       ROUND(CASE WHEN total_words > 0
+             THEN CAST(total_words - kept_words AS DOUBLE) / total_words
+             ELSE 0.0 END, 6) AS boilerplate_frac
+FROM agg
+"""
+
+
 def extraction_edges_sql(pages_glob: str) -> str:
     """Href extraction + url normalization + dense dictionary encoding +
     (src, dst, weight) aggregation, written INDEPENDENTLY in DuckDB SQL

@@ -241,3 +241,21 @@ def test_opic_superstep_no_single_partition(spark):
     out = opic(Graph.from_edges(e, directed=True), iters=3)
     plan = _plan(out)
     assert "SinglePartition" not in plan
+
+
+def test_boilerplate_strip_no_exchange(spark):
+    """Boilerplate removal is ONE projection over the pages scan —
+    array-expression transforms only; any Exchange means a shuffle crept
+    into a scan-bound map."""
+    from linkgraph.text.boilerplate import boilerplate_strip
+
+    pages = spark.range(50).select(
+        F.concat(F.lit("https://x/p"), F.col("id").cast("string")).alias("url"),
+        F.encode(
+            F.concat(F.lit("<p>body words here for the block</p>"),
+                     F.lit('<a href="/y">nav</a>')),
+            "utf-8",
+        ).alias("html"),
+    )
+    plan = _plan(boilerplate_strip(pages))
+    assert "Exchange" not in plan
