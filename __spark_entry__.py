@@ -551,6 +551,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("dup_frac", 6).alias("dup_frac"),
         )
 
+    def doc_gopher_dup_ngrams(spark, sf):
+        """Gopher duplicated-5..10-gram char fractions (interval-union
+        marking) + the combined keep decision; oracle replays offsets,
+        duplicate grams and the union with DuckDB windows."""
+        from linkgraph.text.pipeline import gopher_dup_ngram_fractions
+
+        _register(spark, sf)
+        out = gopher_dup_ngram_fractions(spark.table("documents"))
+        return out.select(
+            "doc_id",
+            *[F.round(f"dup{n}_char_frac", 6).alias(f"dup{n}_char_frac")
+              for n in (5, 6, 7, 8, 9, 10)],
+            "passes",
+        )
+
     def doc_quality(spark, sf):
         _register(spark, sf)
         q = quality_scores(spark.table("documents"))
@@ -803,6 +818,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _register(spark, sf)
         return unigram_logloss(spark.table("documents")).select(
             "doc_id", "n_tokens", F.round("logloss", 6).alias("logloss")
+        )
+
+    def doc_perplexity_buckets(spark, sf):
+        """CCNet head/middle/tail split on the corpus-LM logloss with
+        pinned thresholds (3.40/3.41 straddle the sf0.01 distribution);
+        bucketing runs on the 6dp-rounded score in BOTH engines so a
+        sub-ulp float disagreement can never flip a bucket."""
+        from linkgraph.text.quality import perplexity_buckets
+
+        _register(spark, sf)
+        return perplexity_buckets(
+            spark.table("documents"), (3.40, 3.41), round_logloss=6
         )
 
     def doc_stratified_sample(spark, sf):
@@ -1823,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": doc_quality,
         "doc_gopher_rep": doc_gopher_rep,
         "bloom_ngram_dups": bloom_ngram_dups,
+        "doc_gopher_dup_ngrams": doc_gopher_dup_ngrams,
         "ngram_dups": ngram_dups,
         "doc_lang_id": doc_lang_id,
         "doc_normalize": doc_normalize,
@@ -1849,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_opic": doc_opic,
         "bpe_pair_counts": bpe_pair_counts,
         "doc_unigram_logloss": doc_unigram_logloss,
+        "doc_perplexity_buckets": doc_perplexity_buckets,
         "doc_stratified_sample": doc_stratified_sample,
         "minhash_dups": minhash_dups,
         "minhash_dup_groups": minhash_dup_groups,
@@ -2544,6 +2573,55 @@ GROUP BY p.doc_id
 
     sql["doc_gopher_rep"] = _gopher_rep_sql()
 
+    # Gopher duplicated-5..10-gram char fractions: token char offsets via
+    # a running-sum window, duplicate grams via HAVING count>=2, interval
+    # union via the gaps-and-islands running MAX(e) — same semantics as
+    # the engine's sort+fold (the oracle may use windows; the engine is
+    # window-free by plan discipline).
+    _gcaps = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+    _gwide = ",\n            ".join(
+        f"MAX(CASE WHEN n = {n} THEN frac END) AS f{n}" for n in _gcaps
+    )
+    _gout = ",\n       ".join(
+        f"ROUND(COALESCE(f{n}, 0.0), 6) AS dup{n}_char_frac" for n in _gcaps
+    )
+    _gpass = " AND ".join(f"COALESCE(f{n}, 0.0) <= {c}" for n, c in _gcaps.items())
+    sql["doc_gopher_dup_ngrams"] = f"""
+WITH tk AS (SELECT doc_id, length(text) AS n_chars,
+                   string_split(text, ' ') AS toks FROM documents),
+occ0 AS (SELECT tk.doc_id, tk.n_chars, nn.n,
+               CASE WHEN u.i = 1 THEN 0
+                    ELSE length(array_to_string(toks[1:u.i-1], ' ')) + 1
+               END AS s,
+               array_to_string(toks[u.i:u.i+nn.n-1], ' ') AS gram
+        FROM tk,
+             UNNEST([{",".join(str(n) for n in _gcaps)}]) AS nn(n),
+             UNNEST(generate_series(1, greatest(len(toks) - nn.n + 1, 0))) AS u(i)),
+occ AS (SELECT doc_id, n_chars, n, s, s + length(gram) AS e, gram FROM occ0),
+dup AS (SELECT doc_id, n, gram FROM occ
+        GROUP BY doc_id, n, gram HAVING count(*) >= 2),
+ivs AS (SELECT o.doc_id, o.n_chars, o.n, o.s, o.e
+        FROM occ o JOIN dup d USING (doc_id, n, gram)),
+seg AS (SELECT doc_id, n_chars, n, s, e,
+               COALESCE(MAX(e) OVER (PARTITION BY doc_id, n ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS pm
+        FROM ivs),
+per AS (SELECT doc_id, n,
+               CASE WHEN MAX(n_chars) > 0
+                    THEN CAST(SUM(GREATEST(e - GREATEST(s, pm), 0)) AS DOUBLE)
+                         / MAX(n_chars)
+                    ELSE 0.0 END AS frac
+        FROM seg GROUP BY doc_id, n),
+wide AS (SELECT doc_id,
+            {_gwide}
+         FROM per GROUP BY doc_id)
+SELECT d.doc_id,
+       {_gout},
+       ({_gpass}) AS passes
+FROM documents d LEFT JOIN wide USING (doc_id)
+"""
+
     # Bloom dedup screen: bit-level replay — same phash family, same
     # 62-bit words, same bool_and-over-k probe as linkgraph.text.bloom.
     from linkgraph.portable import phash_sql as _pph
@@ -2972,6 +3050,27 @@ SELECT d.doc_id,
        CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
        ROUND(COALESCE(per.logloss, 0.0), 6) AS logloss
 FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+    sql["doc_perplexity_buckets"] = """
+WITH tok AS (SELECT doc_id, t.word AS token FROM documents,
+             UNNEST(string_split(lower(text), ' ')) AS t(word)
+             WHERE t.word <> ''),
+lm AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok),
+per AS (SELECT tok.doc_id, count(*) AS n_tokens,
+               avg(-ln(CAST(lm.cnt AS DOUBLE) / n.total)) AS logloss
+        FROM tok JOIN lm USING (token), n GROUP BY tok.doc_id),
+sc AS (SELECT d.doc_id,
+              CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+              ROUND(COALESCE(per.logloss, 0.0), 6) AS logloss
+       FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id)
+SELECT doc_id, n_tokens, logloss,
+       CASE WHEN n_tokens = 0 THEN 'tail'
+            WHEN logloss < 3.40 THEN 'head'
+            WHEN logloss < 3.41 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc
 """
 
     sql["doc_stratified_sample"] = f"""

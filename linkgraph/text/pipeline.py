@@ -494,6 +494,139 @@ def gopher_repetition_flags(docs: DataFrame, text_col: str = "text") -> DataFram
     return out.withColumn("passes", passes)
 
 
+# Rae et al. 2021 Table A1, duplicated-n-gram band: a document is dropped
+# when the fraction of characters covered by n-grams occurring ≥2 times
+# exceeds the cap for any n.
+GOPHER_REP_MAX_DUP_NGRAM_CHAR_FRAC = {
+    5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10
+}
+
+
+def gopher_dup_ngram_fractions(
+    docs: DataFrame, text_col: str = "text", ns: tuple = (5, 6, 7, 8, 9, 10)
+) -> DataFrame:
+    """(doc_id, dup5_char_frac, …, dup10_char_frac, passes) — the
+    duplicated-5..10-gram half of Gopher's repetition rules (Rae et al.
+    2021 Table A1), completing :func:`gopher_repetition_flags`:
+
+    For each n, the fraction of CHARACTERS covered by at least one
+    occurrence of an n-gram that appears ≥2 times in the document —
+    characters under overlapping duplicate grams count ONCE (interval
+    union). Semantics note: greedy sequential reimplementations (skip n
+    tokens after a hit) undercount overlaps and are order-dependent; the
+    interval union is the deterministic, declarative reading of the
+    paper's "taking care not to count characters twice", and it is what
+    the DuckDB oracle replays. ``passes`` ANDs the paper's per-n caps
+    (0.15/0.14/0.13/0.12/0.11/0.10).
+
+    Plan shape (window-free on the engine side): per-row token char
+    offsets via one O(L) array fold → ONE explode of all (n, gram,
+    start, end) occurrences → (doc, n, gram) hash-agg keeps grams with
+    count ≥ 2 → (doc, n) agg collects the surviving intervals (bounded
+    by the doc's own size) → per-row sort + fold computes the union.
+    Two shuffles on the doc key, partial-combine aggs, state never
+    exceeds O(occurrences); nothing is corpus-quadratic.
+    """
+    t = F.split(F.col(text_col), " ")
+    # starts[i] (0-based) = chars before token i = Σ_{j<i}(len+1)
+    starts = F.aggregate(
+        t,
+        F.struct(
+            F.array().cast("array<bigint>").alias("arr"),
+            F.lit(0).cast("bigint").alias("cum"),
+        ),
+        lambda acc, x: F.struct(
+            F.concat(acc["arr"], F.array(acc["cum"])).alias("arr"),
+            (acc["cum"] + F.length(x) + 1).alias("cum"),
+        ),
+    )["arr"]
+    base = docs.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars"),
+        t.alias("t"),
+        starts.alias("st"),
+    )
+
+    def grams_of(n: int):
+        # gram i (1-based slice): s = st[i-1]; e = s + len(gram) — exact
+        # because grams re-join with the same single-space separator
+        return F.when(
+            F.size("t") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.array_join(F.slice("t", i, n), " ").alias("gram"),
+                    F.element_at("st", i).alias("s"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string,s:bigint>>"))
+
+    occ = base.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.flatten(F.array(*[grams_of(n) for n in ns]))).alias("g"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.col("g.n").alias("n"),
+        F.col("g.s").alias("s"),
+        (F.col("g.s") + F.length("g.gram")).alias("e"),
+        F.col("g.gram").alias("gram"),
+    )
+    dup = (
+        occ.groupBy("doc_id", "n_chars", "n", "gram")
+        .agg(F.collect_list(F.struct("s", "e")).alias("ivs"), F.count("*").alias("c"))
+        .where(F.col("c") >= 2)
+    )
+    # interval union: sort by (s, e), fold a (covered, frontier) pair
+    union_len = F.aggregate(
+        F.array_sort(F.flatten(F.col("all_ivs"))),
+        F.struct(F.lit(0).cast("bigint").alias("cov"), F.lit(0).cast("bigint").alias("cur")),
+        lambda acc, iv: F.struct(
+            (
+                acc["cov"]
+                + F.greatest(iv["e"] - F.greatest(iv["s"], acc["cur"]), F.lit(0).cast("bigint"))
+            ).alias("cov"),
+            F.greatest(acc["cur"], iv["e"]).alias("cur"),
+        ),
+    )["cov"]
+    per_n = (
+        dup.groupBy("doc_id", "n_chars", "n")
+        .agg(F.collect_list("ivs").alias("all_ivs"))
+        .select(
+            "doc_id",
+            "n",
+            F.when(
+                F.col("n_chars") > 0,
+                union_len.cast("double") / F.col("n_chars").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("frac"),
+        )
+    )
+    wide = per_n.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("frac"))).alias(f"dup{n}_char_frac")
+            for n in ns
+        ]
+    )
+    out = docs.select("doc_id").join(wide, "doc_id", "left").select(
+        "doc_id",
+        *[
+            F.coalesce(f"dup{n}_char_frac", F.lit(0.0)).alias(f"dup{n}_char_frac")
+            for n in ns
+        ],
+    )
+    passes = None
+    for n in ns:
+        cond = F.col(f"dup{n}_char_frac") <= F.lit(
+            GOPHER_REP_MAX_DUP_NGRAM_CHAR_FRAC[n]
+        )
+        passes = cond if passes is None else (passes & cond)
+    return out.withColumn("passes", passes)
+
+
 def stratified_sample(
     docs: DataFrame,
     strata_col: str,

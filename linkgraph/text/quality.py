@@ -189,3 +189,45 @@ def unigram_logloss(
             F.coalesce("logloss", F.lit(0.0)).alias("logloss"),
         )
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    thresholds: tuple[float, float],
+    text_col: str = "text",
+    lowercase: bool = True,
+    round_logloss: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, logloss, bucket) — the CCNet head/middle/tail
+    split (Wenzek et al. 2020 §4.4: documents are binned by LM perplexity
+    at the 33rd/66th percentiles; head trains the cleanest models, tail
+    is usually dropped or down-weighted).
+
+    ``thresholds=(t1, t2)``: bucket = head if logloss < t1, middle if
+    < t2, else tail. Thresholds are EXPLICIT constants by design — at
+    100 TB you estimate the percentiles once on a sample, pin them, and
+    the split becomes a pure projection over :func:`unigram_logloss`,
+    reproducible across runs and partitionings (a global percentile
+    inside the operator would be a driver-side sort per invocation).
+    Empty documents (n_tokens=0, logloss 0) are junk, not fluent text —
+    they go to ``tail`` explicitly rather than riding their 0.0 score
+    into ``head``. ``round_logloss`` buckets on the rounded score (the
+    portable gate path: both engines round identically, so thresholds
+    can never straddle a sub-ulp disagreement)."""
+    t1, t2 = float(thresholds[0]), float(thresholds[1])
+    ll = unigram_logloss(docs, text_col, lowercase)
+    s = (
+        F.round(F.col("logloss"), round_logloss)
+        if round_logloss is not None
+        else F.col("logloss")
+    )
+    return ll.select(
+        "doc_id",
+        "n_tokens",
+        s.alias("logloss"),
+        F.when(F.col("n_tokens") == 0, F.lit("tail"))
+        .when(s < t1, F.lit("head"))
+        .when(s < t2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -259,3 +259,19 @@ def test_boilerplate_strip_no_exchange(spark):
     )
     plan = _plan(boilerplate_strip(pages))
     assert "Exchange" not in plan
+
+
+def test_gopher_dup_ngrams_window_free(spark):
+    """The engine-side dup-n-gram union is explode → two doc-keyed
+    hash-aggs → per-row sort+fold: no Window, no single partition (the
+    oracle uses windows; the engine must not)."""
+    from linkgraph.text.pipeline import gopher_dup_ngram_fractions
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("p q r s t p q r s t tail "), F.col("id").cast("string")).alias("text"),
+    )
+    plan = _plan(gopher_dup_ngram_fractions(docs))
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+    assert "partial" in plan.lower()

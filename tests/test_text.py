@@ -128,3 +128,32 @@ def test_unigram_logloss_hand_oracle(spark):
     df2 = spark.createDataFrame(rows2, "doc_id bigint, text string")
     got2 = {r.doc_id: r.logloss for r in unigram_logloss(df2).collect()}
     assert got2[1] > got2[0]
+
+
+def test_perplexity_buckets(spark):
+    """CCNet head/middle/tail: common-vocabulary docs score low (head),
+    rare-token soup scores high (tail), empties are tail by fiat."""
+    from linkgraph.text.quality import perplexity_buckets, unigram_logloss
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),
+        (3, "the cat sat near a mat"),
+        (4, "zqx jvw plk qqq zzz xxx"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ll = {r.doc_id: r.logloss for r in unigram_logloss(df).collect()}
+    # thresholds straddle the fluent docs and the gibberish doc
+    t1 = ll[3] + 1e-9   # docs 1,2 (most common tokens) < doc 3 ≤ t1
+    t2 = ll[4] - 1e-9
+    out = {r.doc_id: r.bucket for r in
+           perplexity_buckets(df, (t1, t2)).collect()}
+    assert out[1] == "head" and out[2] == "head" and out[3] == "head"
+    assert out[4] == "tail"
+    assert out[5] == "tail"  # empty doc never rides logloss=0 into head
+    mid = {r.doc_id: r.bucket for r in
+           perplexity_buckets(df, (ll[1] + 1e-9, t2)).collect()}
+    assert mid[3] == "middle"
+    rounded = perplexity_buckets(df, (t1, t2), round_logloss=6).collect()
+    assert all(r.logloss == round(r.logloss, 6) for r in rounded)
