@@ -1694,6 +1694,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf, directed=False)
         return group_closeness(g, k=3)
 
+    def doc_group_harmonic(spark, sf):
+        """Greedy group-harmonic-closeness (k=3). Oracle: the same greedy
+        unrolled over the all-pairs CTE (gate_sql.group_harmonic_sql)."""
+        from linkgraph.algs.bfs import group_harmonic_closeness
+
+        g = _doc_graph(spark, sf, directed=False)
+        return group_harmonic_closeness(g, k=3)
+
+    def doc_square_clustering(spark, sf):
+        """Lind–González–Herrmann square (4-cycle) clustering per vertex;
+        oracle replays the identical 2-path/CN/adjacency join plan."""
+        from linkgraph.algs.triangles import local_square_clustering
+
+        g = _doc_graph(spark, sf, directed=False)
+        return local_square_clustering(g).select(
+            "id", F.round("c4", 6).alias("c4")
+        )
+
+    def doc_cover_f1(spark, sf):
+        """CoverF1Similarity over two FIXED labelings of the doc set
+        (id%7 vs id%5 — deterministic cross-engine covers); per-cluster
+        best F1 against the reference cover."""
+        from linkgraph.algs.community import cover_f1
+
+        _register(spark, sf)
+        d = spark.table("documents").select(F.col("doc_id").alias("id"))
+        a = d.select("id", (F.col("id") % 7).alias("label"))
+        b = d.select("id", (F.col("id") % 5).alias("label"))
+        return cover_f1(a, b).select(
+            "label", F.round("best_f1", 6).alias("best_f1")
+        )
+
+    def doc_nf_heuristic(spark, sf):
+        """NeighborhoodFunctionHeuristic at FULL sample (= the exact
+        neighborhood function — deterministic, no hash sample to
+        replay); oracle recomputes the per-hop pair histogram over the
+        all-pairs CTE."""
+        from linkgraph.algs.anf import neighborhood_function_heuristic
+
+        g = _doc_graph(spark, sf, directed=False)
+        est = neighborhood_function_heuristic(g, n_samples=1 << 30, max_h=12)
+        return spark.createDataFrame(
+            [(int(h), float(v)) for h, v in est], "h int, nf double"
+        )
+
     def _contracted_graph(spark, sf, k, directed=True):
         """Mod-k contraction of the doc link graph — a dense small
         weighted graph with identical semantics in Spark SQL and DuckDB
@@ -1790,6 +1835,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_switch_degrees": doc_switch_degrees,
         "doc_curveball_degrees": doc_curveball_degrees,
         "doc_group_closeness": doc_group_closeness,
+        "doc_group_harmonic": doc_group_harmonic,
+        "doc_square_clustering": doc_square_clustering,
+        "doc_cover_f1": doc_cover_f1,
+        "doc_nf_heuristic": doc_nf_heuristic,
         "gen_hyperbolic_structure": gen_hyperbolic_structure,
         "doc_degrees": doc_degrees,
         "doc_out_degrees": doc_out_degrees,
@@ -3233,6 +3282,24 @@ SELECT src, dst, ROUND(weight, 6) AS weight FROM last WHERE op <> 'remove_edge'
     sql["doc_clique_hist"] = G.clique_hist_sql(EDGES_CTE_MAT)
     sql["doc_group_degree"] = G.group_degree_sql(EDGES_CTE_MAT, k=3)
     sql["doc_group_closeness"] = G.group_closeness_sql(EDGES_CTE_MAT, k=3, hops=12)
+    sql["doc_group_harmonic"] = G.group_harmonic_sql(EDGES_CTE_MAT, k=3, hops=12)
+    sql["doc_square_clustering"] = G.square_clustering_sql(EDGES_CTE_MAT)
+    sql["doc_nf_heuristic"] = G.nf_heuristic_sql(EDGES_CTE_MAT, hops=12)
+    sql["doc_cover_f1"] = """
+WITH d AS (SELECT doc_id AS id FROM documents),
+a AS (SELECT id, id % 7 AS la FROM d),
+b AS (SELECT id, id % 5 AS lb FROM d),
+sa AS (SELECT la, count(*) AS na FROM a GROUP BY la),
+sb AS (SELECT lb, count(*) AS nb FROM b GROUP BY lb),
+ov AS (SELECT a.la, b.lb, count(*) AS o FROM a JOIN b USING (id)
+       GROUP BY a.la, b.lb),
+f1 AS (SELECT ov.la, 2.0 * ov.o / (sa.na + sb.nb) AS f1
+       FROM ov JOIN sa USING (la) JOIN sb USING (lb))
+SELECT sa.la AS label,
+       ROUND(COALESCE(MAX(f1.f1), 0.0), 6) AS best_f1
+FROM sa LEFT JOIN f1 ON f1.la = sa.la
+GROUP BY sa.la
+"""
     sql["doc_switch_degrees"] = G.degree_invariant_sql(EDGES_CTE_MAT)
     sql["doc_curveball_degrees"] = G.degree_invariant_sql(EDGES_CTE_MAT)
     sql["gen_ba_structure"] = G.ba_structure_sql(n=500, k=3, seed=42)

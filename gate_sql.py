@@ -1299,6 +1299,94 @@ def group_closeness_sql(cte: str, k: int = 3, hops: int = 12) -> str:
     return f"WITH {cte},\n" + ",\n".join(parts) + f"\n{sel}"
 
 
+def group_harmonic_sql(cte: str, k: int = 3, hops: int = 12) -> str:
+    """Unrolled greedy group-harmonic-closeness: round i adds the vertex
+    maximizing sum_u max(1/d(v,u) - h_cur(u), 0) over d >= 1; h_cur
+    starts at 0 (1/inf) and keeps the best member inverse distance.
+    Mirrors algs/bfs.py::group_harmonic_closeness exactly."""
+    ap = f"ap{hops}"
+    parts = [
+        _all_pairs_cte(hops),
+        f"inv AS MATERIALIZED (SELECT s, id, 1.0 / dist AS inv FROM {ap} "
+        "WHERE dist > 0)",
+        "cur0 AS MATERIALIZED (SELECT id AS u, 0.0 AS h FROM nodes)",
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        grp = (
+            " UNION ".join(f"SELECT v FROM g{j}" for j in range(1, i))
+            if i > 1
+            else "SELECT CAST(NULL AS BIGINT) AS v WHERE FALSE"
+        )
+        parts.append(
+            f"gain{i} AS MATERIALIZED (SELECT a.s AS v, "
+            f"SUM(GREATEST(a.inv - c.h, 0.0)) AS gain "
+            f"FROM inv a JOIN cur{p} c ON c.u = a.id "
+            f"WHERE a.s NOT IN ({grp}) GROUP BY a.s)"
+        )
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT v FROM gain{i} WHERE gain > 0.0 "
+            f"ORDER BY gain DESC, v ASC LIMIT 1)"
+        )
+        parts.append(
+            f"cur{i} AS MATERIALIZED (SELECT c.u, "
+            f"GREATEST(c.h, COALESCE(a.inv, 0.0)) AS h FROM cur{p} c "
+            f"LEFT JOIN (SELECT id, inv FROM inv "
+            f"WHERE s IN (SELECT v FROM g{i})) a ON a.id = c.u)"
+        )
+    sel = " UNION ALL ".join(f"SELECT v AS id FROM g{j}" for j in range(1, k + 1))
+    return f"WITH {cte},\n" + ",\n".join(parts) + f"\n{sel}"
+
+
+def nf_heuristic_sql(cte: str, hops: int = 12) -> str:
+    """Exact neighborhood function (the heuristic at full sample):
+    N(h) = #pairs (s, u) with hop distance <= h, self rows included,
+    for h = 0..max observed distance."""
+    ap = f"ap{hops}"
+    return f"""
+WITH {cte},
+{_all_pairs_cte(hops)},
+hist AS (SELECT dist AS h, count(*) AS c FROM {ap} GROUP BY dist),
+hs AS (SELECT u.h FROM (SELECT UNNEST(generate_series(0,
+         (SELECT MAX(h) FROM hist))) AS h) u)
+SELECT hs.h,
+       CAST((SELECT SUM(c) FROM hist WHERE hist.h <= hs.h) AS DOUBLE) AS nf
+FROM hs ORDER BY hs.h
+"""
+
+
+def square_clustering_sql(cte: str) -> str:
+    """Lind-Gonzalez-Herrmann square clustering replay — the identical
+    2-path/common-neighbor/adjacency join plan as
+    algs/triangles.py::local_square_clustering."""
+    return f"""
+WITH {cte},
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM sym WHERE src <> dst),
+deg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM de GROUP BY src),
+tp AS MATERIALIZED (
+  SELECT a.src AS x, a.dst AS u, b.dst AS w
+  FROM de a JOIN de b ON a.src = b.src AND a.dst < b.dst
+),
+cn AS MATERIALIZED (SELECT u, w, count(*) AS cn FROM tp GROUP BY u, w),
+half AS (SELECT src AS u, dst AS w FROM de WHERE src < dst),
+pw AS (
+  SELECT tp.x AS v, cn.cn - 1 AS q,
+         cn.cn + CASE WHEN h.u IS NOT NULL THEN 1 ELSE 0 END AS degm,
+         du.d AS du, dw.d AS dw
+  FROM tp JOIN cn ON cn.u = tp.u AND cn.w = tp.w
+  LEFT JOIN half h ON h.u = tp.u AND h.w = tp.w
+  JOIN deg du ON du.id = tp.u JOIN deg dw ON dw.id = tp.w
+),
+agg AS (SELECT v, SUM(q) AS sq,
+               SUM((du - degm) + (dw - degm) + q) AS pot
+        FROM pw GROUP BY v)
+SELECT n.id,
+       ROUND(CASE WHEN COALESCE(pot, 0) > 0
+             THEN CAST(sq AS DOUBLE) / pot ELSE 0.0 END, 6) AS c4
+FROM nodes n LEFT JOIN agg ON agg.v = n.id
+"""
+
+
 def seir_sql(
     cte: str,
     zero: int = 0,

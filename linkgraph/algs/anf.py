@@ -91,6 +91,46 @@ def neighborhood_function(
     return out
 
 
+def neighborhood_function_heuristic(
+    graph: Graph, n_samples: int = 8, max_h: int = 32, seed: int = 42
+) -> list:
+    """[(h, N̂(h))] — sampled-BFS neighborhood function (distance/
+    NeighborhoodFunctionHeuristic.cpp): exact hop BFS from a hash-chosen
+    vertex sample, per-h reachable counts (self included, matching
+    :func:`neighborhood_function`'s convention) scaled by n/s. With
+    ``n_samples >= n`` this IS the exact neighborhood function — the
+    estimator's sanity anchor.
+
+    Shape: one multi-source BFS (sources ride as a column — one
+    superstep loop for the whole sample) + one (dist) histogram agg;
+    cost O(sample × reachable), the knob the reference also exposes."""
+    from linkgraph.algs.bfs import multi_source_bfs
+
+    nodes = graph.nodes()
+    n = nodes.count()
+    if n == 0:
+        return [(0, 0.0)]
+    srcs = [
+        int(r["id"])
+        for r in nodes.orderBy(F.xxhash64("id", F.lit(seed)), F.asc("id"))
+        .limit(min(int(n_samples), n))
+        .collect()
+    ]
+    scale = n / len(srcs)
+    hist = {
+        int(r["dist"]): r["c"]
+        for r in multi_source_bfs(graph, srcs, max_iter=max_h)
+        .groupBy("dist")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    out, cum = [], 0
+    for h in range(0, (max(hist) + 1) if hist else 1):
+        cum += hist.get(h, 0)
+        out.append((h, float(cum) * scale))
+    return out
+
+
 def hop_plot(graph: Graph, max_h: int = 32, registers: int = 8) -> list:
     """[(h, P(h))] — hop plot (distance/HopPlotApproximation.cpp): the
     fraction of reachable pairs within distance ≤ h, normalized by the

@@ -667,6 +667,68 @@ def group_closeness(
     return spark.createDataFrame([(g,) for g in group] or [], "id bigint")
 
 
+def group_harmonic_closeness(
+    graph: Graph,
+    k: int = 3,
+    candidates: list | None = None,
+    max_hops: int = 10_000,
+) -> DataFrame:
+    """(id,) — greedy group-HARMONIC-closeness maximization (centrality/
+    GroupHarmonicCloseness.cpp): the group objective is
+    Σ_u 1/d(S, u) with d(S, u) = min over members, 1/∞ = 0 for
+    unreached vertices and d = 0 self rows contributing nothing; each of
+    the k rounds adds the vertex with the largest marginal gain
+    Σ_u max(1/d(v, u) − h_cur(u), 0), ties by min id (deterministic).
+    Unlike :func:`group_closeness` no unreached penalty is needed —
+    harmonic handles disconnection natively (its whole point).
+
+    Plan shape: identical to group_closeness — ONE multi-source BFS
+    builds the (candidate, u, 1/dist) table, then each greedy round is
+    a join + groupBy agg on it; exact all-candidates mode at fixture
+    scale, candidate sampling + ``max_hops`` as the at-scale knobs."""
+    spark = graph.edges.sparkSession
+    cand = (
+        [int(r["id"]) for r in graph.nodes().collect()]
+        if candidates is None
+        else [int(c) for c in candidates]
+    )
+    D = (
+        multi_source_bfs(graph, cand, max_iter=max_hops)
+        .where(F.col("dist") > 0)
+        .select(
+            F.col("source").alias("v"),
+            F.col("id").alias("u"),
+            (F.lit(1.0) / F.col("dist")).alias("inv"),
+        )
+        .persist()
+    )
+    cur = graph.nodes().select(
+        F.col("id").alias("u"), F.lit(0.0).alias("h")
+    ).localCheckpoint(eager=True)
+    group: list = []
+    for _ in range(k):
+        grp_df = spark.createDataFrame([(g,) for g in group] or [], "v bigint")
+        gain = (
+            D.join(grp_df, "v", "left_anti")
+            .join(cur, "u")
+            .groupBy("v")
+            .agg(F.sum(F.greatest(F.col("inv") - F.col("h"), F.lit(0.0))).alias("gain"))
+        )
+        best = gain.orderBy(F.desc("gain"), F.asc("v")).limit(1).collect()
+        if not best or best[0]["gain"] <= 0.0:
+            break
+        v = int(best[0]["v"])
+        group.append(v)
+        dv = D.where(F.col("v") == v).select("u", F.col("inv").alias("iv"))
+        cur = (
+            cur.join(dv, "u", "left")
+            .select("u", F.greatest("h", F.coalesce("iv", F.lit(0.0))).alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    D.unpersist()
+    return spark.createDataFrame([(g,) for g in group] or [], "id bigint")
+
+
 def algebraic_distance(
     graph: Graph,
     n_systems: int = 8,

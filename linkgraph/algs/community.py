@@ -511,6 +511,44 @@ def permanence(graph: Graph, labels: DataFrame) -> DataFrame:
     )
 
 
+def cover_f1(cover: DataFrame, reference: DataFrame) -> DataFrame:
+    """(label, best_f1) — per cluster of ``cover``, the maximum F1
+    against any cluster of ``reference`` (community/CoverF1Similarity
+    .cpp; Hric et al. 2014's F1 recovery score). Inputs are (id, label)
+    tables (covers allowed — a vertex may carry several labels); average
+    the ``best_f1`` column for the scalar summary the reference reports.
+    Clusters sharing no vertex with any reference cluster score 0.
+
+    Shape: two per-label size hash-aggs + ONE (la, lb) overlap hash-agg
+    (only overlapping pairs materialize — never the clusters_a ×
+    clusters_b cross product) + a max per cover cluster."""
+    sa = cover.groupBy(F.col("label").alias("la")).agg(F.count("*").alias("na"))
+    sb = reference.groupBy(F.col("label").alias("lb")).agg(F.count("*").alias("nb"))
+    ov = (
+        cover.select("id", F.col("label").alias("la"))
+        .join(reference.select("id", F.col("label").alias("lb")), "id")
+        .groupBy("la", "lb")
+        .agg(F.count("*").alias("o"))
+    )
+    f1 = (
+        ov.join(sa, "la")
+        .join(sb, "lb")
+        .select(
+            "la",
+            (2.0 * F.col("o") / (F.col("na") + F.col("nb"))).alias("f1"),
+        )
+    )
+    best = f1.groupBy("la").agg(F.max("f1").alias("best_f1"))
+    return (
+        sa.select("la")
+        .join(best, "la", "left")
+        .select(
+            F.col("la").alias("label"),
+            F.coalesce("best_f1", F.lit(0.0)).alias("best_f1"),
+        )
+    )
+
+
 def overlapping_nmi(a: DataFrame, b: DataFrame) -> float:
     """NMI between two COVERS (overlapping communities) — the LFK measure
     (community/OverlappingNMIDistance.cpp; Lancichinetti/Fortunato/Kertész

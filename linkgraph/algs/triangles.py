@@ -160,3 +160,87 @@ def approx_global_clustering_coefficient(
     )
     n_w = w2.count()
     return closed.count() / n_w if n_w else 0.0
+
+
+def local_square_clustering(graph: Graph, max_center_degree: int | None = None) -> DataFrame:
+    """(id, c4) — Lind–González–Herrmann square (4-cycle) clustering
+    (centrality/LocalSquareClusteringCoefficient.cpp; same formula as
+    networkx.square_clustering): for each wedge u–v–w (u < w) through v,
+
+        q   = |N(u) ∩ N(w) ∖ {v}|            (squares closed over the wedge)
+        degm = q + 1 + [u ~ w]
+        C4(v) = Σ q  /  Σ [ (d_u − degm) + (d_w − degm) + q ]
+
+    with 0 when the denominator is empty — vertices with < 2 neighbors
+    score 0.
+
+    Plan shape: ONE 2-path self-join through the center builds BOTH the
+    wedge table and the common-neighbor-count table (same join keyed two
+    ways), then wedges ⋈ CN ⋈ adjacency flag ⋈ degrees → per-v agg. All
+    hash joins + partial-combine aggs. The 2-path fan-out is Σ d(x)² —
+    the same bill every 4-cycle counter pays; ``max_center_degree``
+    applies the heavy-hitter discipline (drop wedges through hubs above
+    the cap, as in cocitation's max_pivot_degree) when exactness on hub
+    squares is not worth the shuffle at corpus scale."""
+    sym = (
+        graph.symmetric_edges()
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    center = sym.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    if max_center_degree is not None:
+        small = deg.where(F.col("d") <= max_center_degree).select(
+            F.col("id").alias("x")
+        )
+        center = center.join(F.broadcast(small), "x", "left_semi")
+    two_path = (
+        center.select("x", F.col("y").alias("u"))
+        .join(center.select("x", F.col("y").alias("w")), "x")
+        .where(F.col("u") < F.col("w"))
+    )
+    # same join, two readings: keyed by endpoints = common-neighbor counts;
+    # keyed by center = the wedge list
+    cn = two_path.groupBy("u", "w").agg(F.count("*").alias("cn"))
+    wedges = two_path.select(F.col("x").alias("v"), "u", "w")
+    half = sym.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("w"), F.lit(1).alias("adj")
+    )
+    per_wedge = (
+        wedges.join(cn, ["u", "w"])
+        .join(half, ["u", "w"], "left")
+        .join(deg.withColumnRenamed("id", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("id", "w").withColumnRenamed("d", "dw"), "w")
+        .select(
+            "v",
+            (F.col("cn") - 1).alias("q"),
+            (F.col("cn") + F.coalesce("adj", F.lit(0))).alias("degm"),
+            "du",
+            "dw",
+        )
+    )
+    agg = per_wedge.groupBy("v").agg(
+        F.sum("q").alias("sq"),
+        F.sum(
+            (F.col("du") - F.col("degm"))
+            + (F.col("dw") - F.col("degm"))
+            + F.col("q")
+        ).alias("pot"),
+    )
+    out = (
+        graph.nodes()
+        .join(agg.withColumnRenamed("v", "id"), "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.coalesce("pot", F.lit(0)) > 0,
+                F.col("sq").cast("double") / F.col("pot").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("c4"),
+        )
+    )
+    sym.unpersist()
+    return out

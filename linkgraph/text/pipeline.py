@@ -407,9 +407,9 @@ def gopher_repetition_flags(docs: DataFrame, text_col: str = "text") -> DataFram
       unlike first-seen order — documented divergence).
 
     ``passes`` ANDs the paper's caps (0.30/0.30/0.20/0.20 and
-    0.20/0.18/0.16). The duplicated-5..10-gram family needs the paper's
-    sequential char-marking pass (overlap-deduped) — not built; the
-    distinct-ratio proxy in :func:`repetition_ratios` covers that band.
+    0.20/0.18/0.16). The duplicated-5..10-gram band lives in
+    :func:`gopher_dup_ngram_fractions` (interval-union char marking);
+    AND the two ``passes`` columns for the full Table A1 screen.
 
     Plan shape: one explode + one (doc_id, segment) hash-agg per segment
     kind and per n — partial-combine aggregations keyed by doc, no
