@@ -179,3 +179,56 @@ def test_nf_heuristic_sampled_band(spark):
     vals = [est[h] for h in sorted(est)]
     assert all(b >= a for a, b in zip(vals, vals[1:]))
     assert 0.5 * 34 * 34 <= vals[-1] <= 1.5 * 34 * 34
+
+
+# --- forest centrality --------------------------------------------------------
+
+def _np_forest_scores(pairs):
+    import numpy as np
+
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    L = np.zeros((n, n))
+    for u, v in pairs:
+        iu, iv = idx[u], idx[v]
+        L[iu, iu] += 1; L[iv, iv] += 1
+        L[iu, iv] -= 1; L[iv, iu] -= 1
+    Fm = np.linalg.inv(np.eye(n) + L)
+    out = {}
+    for v in nodes:
+        i = idx[v]
+        s = sum(Fm[i, i] + Fm[j, j] - 2 * Fm[i, j] for j in range(n))
+        out[v] = (n - 1) / s
+    return out
+
+
+def test_forest_centrality_vs_numpy(spark):
+    from linkgraph.algs.electrical import forest_centrality
+
+    g = make_graph(spark, KARATE_EDGES)
+    got = {r["id"]: r["score"] for r in
+           forest_centrality(g, k=24, seed=3).collect()}
+    want = _np_forest_scores(KARATE_EDGES)
+    assert set(got) == set(want)
+    for v in want:   # JL band, same as the electrical-closeness tests
+        assert got[v] == pytest.approx(want[v], rel=0.35), v
+    # ranking head should broadly agree: hub 34 (id 33) is top in truth
+    top_got = max(got, key=got.get)
+    assert want[top_got] >= sorted(want.values())[-5]
+
+
+def test_forest_centrality_disconnected_finite(spark):
+    """The whole point of the forest metric: finite, sensible scores
+    across components (electrical closeness diverges here)."""
+    from linkgraph.algs.electrical import forest_centrality
+
+    pairs = [(0, 1), (1, 2), (10, 11)]
+    g = make_graph(spark, pairs)
+    got = {r["id"]: r["score"] for r in
+           forest_centrality(g, k=24, seed=7).collect()}
+    want = _np_forest_scores(pairs)
+    assert set(got) == {0, 1, 2, 10, 11}
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=0.4), v
+    assert all(v > 0 for v in got.values())
