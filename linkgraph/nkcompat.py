@@ -141,6 +141,12 @@ __all__ = [
     "LFRGenerator",
     "PubWebGenerator",
     "graphtools",
+    # round-3 parity stragglers -------------------------------------------------
+    "LocalSquareClusteringCoefficient",
+    "ForestCentrality",
+    "GroupHarmonicCloseness",
+    "NeighborhoodFunctionHeuristic",
+    "CoverF1Similarity",
 ]
 
 # module default seed (networkit.setSeed analogue): generators constructed
@@ -478,6 +484,35 @@ class LocalClusteringCoefficient(_ScoreAlgo):
 
         df = local_clustering_coefficient(self._G._engine())
         return {int(r[0]): float(r[1]) for r in df.collect()}
+
+
+class LocalSquareClusteringCoefficient(_ScoreAlgo):
+    """Square (4-cycle) clustering per vertex
+    (REF⚠ centrality/LocalSquareClusteringCoefficient.cpp)."""
+
+    def _compute(self):
+        from linkgraph.algs.triangles import local_square_clustering
+
+        df = local_square_clustering(self._G._engine())
+        return {int(r.id): float(r.c4) for r in df.collect()}
+
+
+class ForestCentrality(_ScoreAlgo):
+    """Forest closeness (REF⚠ centrality/ForestCentrality.cpp) — finite
+    across components; epsilon maps to the JL sketch width, replacing
+    the reference's sequential UST sampling."""
+
+    def __init__(self, G: Graph, root: int = 0, epsilon: float = 0.1,
+                 kmax: int = 64, seed: int | None = None):
+        super().__init__(G)
+        self._k = min(max(4, int(round(1.0 / (epsilon * epsilon)))), kmax)
+        self._seed = _SEED if seed is None else seed
+
+    def _compute(self):
+        from linkgraph.algs.electrical import forest_centrality
+
+        df = forest_centrality(self._G._engine(), k=self._k, seed=self._seed)
+        return {int(r.id): float(r.score) for r in df.collect()}
 
 
 # -- community ---------------------------------------------------------------
@@ -1110,6 +1145,22 @@ class GroupCloseness(_GroupAlgo):
         return self.getGroup()
 
 
+class GroupHarmonicCloseness(_GroupAlgo):
+    """Greedy group-harmonic-closeness
+    (REF⚠ centrality/GroupHarmonicCloseness.cpp)."""
+
+    def _compute(self):
+        from linkgraph.algs.bfs import group_harmonic_closeness
+
+        return [
+            r.id
+            for r in group_harmonic_closeness(self._G._engine(), k=self._k).collect()
+        ]
+
+    def groupMaxHarmonicCloseness(self) -> list:
+        return self.getGroup()
+
+
 class ApproxGroupBetweenness(_GroupAlgo):
     def __init__(self, G: Graph, groupSize: int = 3, epsilon: float = 0.1,
                  seed: int | None = None):
@@ -1314,6 +1365,61 @@ class NMIDistance(_DissimilarityMeasure):
         return 1.0 - nmi(a, b)
 
 
+def _cover_df(c):
+    """Cover or Partition → the engine's exploded (id, label) shape."""
+    if isinstance(c, Cover):
+        rows = [(v, int(s)) for v in range(c.numberOfElements())
+                for s in c.subsetsOf(v)]
+    else:
+        rows = [(i, int(c[i])) for i in range(c.numberOfElements())]
+    return _spark().createDataFrame(rows, "id bigint, label bigint")
+
+
+class CoverF1Similarity:
+    """Per-cluster best F1 of a cover against a reference cover
+    (REF⚠ community/CoverF1Similarity.cpp)."""
+
+    def __init__(self, G: Graph, C, reference):
+        self._G, self._C, self._ref = G, C, reference
+        self._values: dict[int, float] | None = None
+        self._sizes: dict[int, int] | None = None
+
+    def run(self):
+        from linkgraph.algs.community import cover_f1
+
+        a, b = _cover_df(self._C), _cover_df(self._ref)
+        self._values = {
+            int(r.label): float(r.best_f1) for r in cover_f1(a, b).collect()
+        }
+        self._sizes = {
+            int(r[0]): int(r[1])
+            for r in a.groupBy("label").count().collect()
+        }
+        return self
+
+    def getValues(self) -> list:
+        assert self._values is not None, "call run() first"
+        return [self._values[k] for k in sorted(self._values)]
+
+    def getValue(self, s: int) -> float:
+        assert self._values is not None, "call run() first"
+        return self._values[int(s)]
+
+    def getUnweightedAverage(self) -> float:
+        vals = self.getValues()
+        return sum(vals) / len(vals) if vals else 0.0
+
+    def getWeightedAverage(self) -> float:
+        assert self._values is not None and self._sizes is not None
+        tot = sum(self._sizes.values())
+        if not tot:
+            return 0.0
+        return (
+            sum(self._values[k] * self._sizes.get(k, 0) for k in self._values)
+            / tot
+        )
+
+
 class AdjustedRandMeasure(_DissimilarityMeasure):
     """1 − ARI (REF⚠ community/AdjustedRandMeasure.cpp)."""
 
@@ -1487,6 +1593,33 @@ class NeighborhoodFunctionApproximation:
 
         nf = neighborhood_function(self._G._engine(), registers=self._registers)
         # reference reports N(h) for h >= 1
+        self._nf = [v for h, v in nf if h >= 1]
+        return self
+
+    def getNeighborhoodFunction(self) -> list:
+        assert self._nf is not None, "call run() first"
+        return list(self._nf)
+
+
+class NeighborhoodFunctionHeuristic:
+    """REF⚠ distance/NeighborhoodFunctionHeuristic.cpp — sampled exact
+    BFS instead of sketches; nSamples=0 → the reference's default
+    sqrt-sized sample."""
+
+    def __init__(self, G: Graph, nSamples: int = 0, seed: int | None = None):
+        self._G = G
+        self._s = nSamples if nSamples > 0 else max(
+            1, int(round(G.numberOfNodes() ** 0.5))
+        )
+        self._seed = _SEED if seed is None else seed
+        self._nf: list | None = None
+
+    def run(self):
+        from linkgraph.algs.anf import neighborhood_function_heuristic
+
+        nf = neighborhood_function_heuristic(
+            self._G._engine(), n_samples=self._s, seed=self._seed
+        )
         self._nf = [v for h, v in nf if h >= 1]
         return self
 

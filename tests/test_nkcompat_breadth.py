@@ -531,3 +531,62 @@ def test_set_seed_changes_defaults(spark):
     c = gen.makeRandomClustering(G, 3).getVector()
     nk.setSeed(42)  # restore module default for other tests
     assert a == c and a != b
+
+
+# -- round-3 parity stragglers --------------------------------------------------
+
+
+def test_square_clustering_facade(karate):
+    sq = nk.LocalSquareClusteringCoefficient(karate).run()
+    want = nx.square_clustering(nx_karate())
+    got = sq.scores()
+    for v in range(34):
+        assert abs(got[v] - want[v]) < 1e-12
+    assert sq.ranking()[0][1] == max(want.values())
+
+
+def test_group_harmonic_facade(two_triangles):
+    g = nk.GroupHarmonicCloseness(two_triangles, k=2).run()
+    grp = g.groupMaxHarmonicCloseness()
+    assert len(grp) == 2
+    # one pick per triangle beats two in one (harmonic rewards coverage)
+    assert len({v for v in grp if v <= 2}) == 1
+
+
+def test_forest_centrality_facade(path5):
+    import numpy as np
+
+    fc = nk.ForestCentrality(path5, epsilon=0.25).run()
+    scores = fc.scores()
+    assert len(scores) == 5
+    # numpy exact forest scores; k=16 sketch → wide JL band (ordering of
+    # near-equal path positions is NOT stable at this width)
+    L = np.zeros((5, 5))
+    for u in range(4):
+        L[u, u] += 1; L[u + 1, u + 1] += 1
+        L[u, u + 1] -= 1; L[u + 1, u] -= 1
+    Fm = np.linalg.inv(np.eye(5) + L)
+    # delegation check only — a 5-node graph gives the JL estimator very
+    # few terms to concentrate over, so the band is wide; tight accuracy
+    # bands live in test_parity_batch_r3 (karate, k=24)
+    for v in range(5):
+        s = sum(Fm[v, v] + Fm[j, j] - 2 * Fm[v, j] for j in range(5))
+        assert scores[v] == pytest.approx(4.0 / s, rel=0.8)
+    assert all(s > 0 for s in scores)
+
+
+def test_nf_heuristic_facade(path5):
+    nf = nk.NeighborhoodFunctionHeuristic(path5, nSamples=5).run()
+    # full sample = exact: path5 pair counts for h=1..4
+    assert nf.getNeighborhoodFunction() == [13.0, 19.0, 23.0, 25.0]
+
+
+def test_cover_f1_facade(spark):
+    c = nk.Cover({v: {v // 3} for v in range(12)}, 12)
+    ref = nk.Cover({v: {v // 6} for v in range(12)}, 12)
+    cf = nk.CoverF1Similarity(nk.Graph(12), c, ref).run()
+    # every 3-cluster best-matches its containing 6-cluster: F1 = 2*3/9
+    assert cf.getValues() == [pytest.approx(2 / 3)] * 4
+    assert cf.getUnweightedAverage() == pytest.approx(2 / 3)
+    assert cf.getWeightedAverage() == pytest.approx(2 / 3)
+    assert cf.getValue(0) == pytest.approx(2 / 3)
