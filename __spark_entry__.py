@@ -1712,6 +1712,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", F.round("c4", 6).alias("c4")
         )
 
+    def doc_ktruss(spark, sf):
+        """3-truss of the doc graph (every edge in ≥1 triangle within the
+        subgraph, peeled to fixpoint); oracle unrolls the peel rounds —
+        the fixpoint is round-count-independent once reached, and the
+        unroll depth exceeds the observed peel depth at gate SFs."""
+        from linkgraph.algs.truss import k_truss
+
+        g = _doc_graph(spark, sf, directed=False)
+        return k_truss(g, 3)
+
     def doc_cover_f1(spark, sf):
         """CoverF1Similarity over two FIXED labelings of the doc set
         (id%7 vs id%5 — deterministic cross-engine covers); per-cluster
@@ -1838,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_group_harmonic": doc_group_harmonic,
         "doc_square_clustering": doc_square_clustering,
         "doc_cover_f1": doc_cover_f1,
+        "doc_ktruss": doc_ktruss,
         "doc_nf_heuristic": doc_nf_heuristic,
         "gen_hyperbolic_structure": gen_hyperbolic_structure,
         "doc_degrees": doc_degrees,
@@ -3283,6 +3294,33 @@ SELECT src, dst, ROUND(weight, 6) AS weight FROM last WHERE op <> 'remove_edge'
     sql["doc_group_degree"] = G.group_degree_sql(EDGES_CTE_MAT, k=3)
     sql["doc_group_closeness"] = G.group_closeness_sql(EDGES_CTE_MAT, k=3, hops=12)
     sql["doc_group_harmonic"] = G.group_harmonic_sql(EDGES_CTE_MAT, k=3, hops=12)
+    # 3-truss peel unroll: support = common-neighbor count over the
+    # surviving half-edge set; an edge with no support row simply drops
+    # (inner join), matching coalesce(sup,0) < 1 in the engine
+    _tparts = [
+        "t0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+        "GREATEST(src, dst) AS w FROM sym WHERE src <> dst)"
+    ]
+    for _i in range(1, 9):
+        _p = _i - 1
+        _tparts.append(
+            f"a{_i} AS MATERIALIZED (SELECT u, w FROM t{_p} "
+            f"UNION ALL SELECT w AS u, u AS w FROM t{_p})"
+        )
+        _tparts.append(
+            f"s{_i} AS MATERIALIZED (SELECT t.u, t.w, count(*) AS sup "
+            f"FROM t{_p} t JOIN a{_i} x ON x.u = t.u AND x.w <> t.w "
+            f"JOIN a{_i} y ON y.u = t.w AND y.w = x.w GROUP BY t.u, t.w)"
+        )
+        _tparts.append(
+            f"t{_i} AS MATERIALIZED (SELECT t.u, t.w FROM t{_p} t "
+            f"JOIN s{_i} s ON s.u = t.u AND s.w = t.w WHERE s.sup >= 1)"
+        )
+    sql["doc_ktruss"] = (
+        f"WITH {EDGES_CTE_MAT},\n"
+        + ",\n".join(_tparts)
+        + "\nSELECT u AS src, w AS dst FROM t8"
+    )
     sql["doc_square_clustering"] = G.square_clustering_sql(EDGES_CTE_MAT)
     sql["doc_nf_heuristic"] = G.nf_heuristic_sql(EDGES_CTE_MAT, hops=12)
     sql["doc_cover_f1"] = """
