@@ -1288,6 +1288,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, qs, k=5, n_list=8, n_probe=3, refine_rounds=1, portable=True
         ).select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
 
+    def embed_pq_top5(spark, sf):
+        """Product-quantization ANN top-5 (m=4 subspaces, 8 codes, one
+        Lloyd round): ADC shortlist over the compressed codes + exact
+        cosine rerank. Oracle: full SQL replay — seed slicing, Lloyd,
+        encoding, LUT, rounded-ADC ranking, rerank."""
+        from linkgraph.text.pq import pq_topk
+
+        _register(spark, sf)
+        emb = spark.table("embeddings")
+        qs = emb.where(F.col("vec_id") < 10)
+        return pq_topk(
+            emb, qs, k=5, m=4, n_codes=8, refine_rounds=1,
+            shortlist_factor=4, portable=True,
+        ).select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
+
     def embed_semantic_dedup(spark, sf):
         """SemDeDup (Abbas et al. 2023) over the planted-clone corpus:
         k-means cells via the IVF quantizer, exact within-cell cosine
@@ -1960,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dups": embed_near_dups,
         "embed_near_dup_groups": embed_near_dup_groups,
         "embed_ivf_top5": embed_ivf_top5,
+        "embed_pq_top5": embed_pq_top5,
         "embed_semantic_dedup": embed_semantic_dedup,
         "url_filter": url_filter_entry,
         "doc_group_split": doc_group_split,
@@ -3377,6 +3393,9 @@ GROUP BY sa.la
     )
     sql["embed_ivf_top5"] = G.embed_ivf_sql(
         n_list=8, n_probe=3, k=5, seed=42, dim=64, q_max=10
+    )
+    sql["embed_pq_top5"] = G.embed_pq_sql(
+        m=4, n_codes=8, k=5, shortlist_factor=4, seed=42, dim=64, q_max=10
     )
     sql["embed_semantic_dedup"] = G.semantic_dedup_sql(
         eps=0.05, n_list=8, seed=42, dim=64, n_clones=40

@@ -2099,6 +2099,79 @@ FROM emb e JOIN gr g ON g.id = e.vec_id GROUP BY e.vec_id
 """
 
 
+def embed_pq_sql(
+    m: int = 4, n_codes: int = 8, k: int = 5, shortlist_factor: int = 4,
+    seed: int = 42, dim: int = 64, q_max: int = 10,
+) -> str:
+    """Product-quantization top-k replay (text/pq.pq_topk, one Lloyd
+    round): hash-sampled seed vectors sliced into per-subspace codebooks,
+    argmin-L2 assignment (squared distance via the SAME left-to-right
+    zip fold as the engine), mean recentre, encode, per-query LUT,
+    ADC scan ranked on the 6dp-rounded score, exact-cosine rerank."""
+    w = dim // m
+    ph = phash_sql("vec_id", str(seed))
+    l2 = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " s -> (s[1] - s[2]) * (s[1] - s[2])))"
+    )
+    ip = "list_sum(list_transform(list_zip({a}, {b}), s -> s[1] * s[2]))"
+    assign = (
+        "SELECT id, sub, code FROM ("
+        "SELECT sv.id, sv.sub, b.code, ROW_NUMBER() OVER ("
+        "PARTITION BY sv.id, sv.sub "
+        f"ORDER BY {l2.format(a='sv.sv', b='b.cv')} ASC, b.code ASC) AS rn "
+        "FROM sv JOIN {src} b USING (sub)) t WHERE rn = 1"
+    )
+    return f"""
+WITH sel AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, sid) - 1 AS code, v FROM (
+    SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS v, {ph} AS h
+    FROM embeddings ORDER BY h, sid LIMIT {n_codes}) s),
+b0 AS MATERIALIZED (
+  SELECT r.range AS sub, sel.code,
+         list_slice(sel.v, r.range * {w} + 1, (r.range + 1) * {w}) AS cv
+  FROM sel, range({m}) r),
+sv AS MATERIALIZED (
+  SELECT e.vec_id AS id, r.range AS sub,
+         list_slice(CAST(e.embedding AS DOUBLE[]),
+                    r.range * {w} + 1, (r.range + 1) * {w}) AS sv
+  FROM embeddings e, range({m}) r),
+a0 AS MATERIALIZED ({assign.format(src='b0')}),
+mr AS MATERIALIZED (
+  SELECT a0.sub, a0.code, r.range AS pos, AVG(sv.sv[r.range + 1]) AS mx
+  FROM a0 JOIN sv ON sv.id = a0.id AND sv.sub = a0.sub, range({w}) r
+  GROUP BY a0.sub, a0.code, r.range),
+b1 AS MATERIALIZED (
+  SELECT sub, code, LIST(mx ORDER BY pos) AS cv FROM mr GROUP BY sub, code),
+a1 AS MATERIALIZED ({assign.format(src='b1')}),
+lut AS MATERIALIZED (
+  SELECT q.id AS query_id, b.sub, b.code,
+         {ip.format(a='q.sv', b='b.cv')} AS ipv
+  FROM sv q JOIN b1 b USING (sub) WHERE q.id < {q_max}),
+adc AS MATERIALIZED (
+  SELECT l.query_id, a.id, SUM(l.ipv) AS adc
+  FROM a1 a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+  WHERE a.id <> l.query_id
+  GROUP BY l.query_id, a.id),
+short AS (
+  SELECT query_id, id AS neighbor_id FROM (
+    SELECT query_id, id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY ROUND(adc, 6) DESC, id ASC) AS rn
+    FROM adc) t WHERE rn <= {k * shortlist_factor}),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                CAST(en.embedding AS DOUBLE[])) AS cos
+  FROM short s
+  JOIN embeddings eq ON eq.vec_id = s.query_id
+  JOIN embeddings en ON en.vec_id = s.neighbor_id)
+SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
+  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM scored) t WHERE rn <= {k}
+"""
+
+
 def embed_ivf_sql(
     n_list: int = 8, n_probe: int = 3, k: int = 5, seed: int = 42,
     dim: int = 64, q_max: int = 10,
