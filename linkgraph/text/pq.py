@@ -234,3 +234,109 @@ def pq_topk(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_list: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    refine_rounds: int = 1,
+    shortlist_factor: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos) — IVFPQ: the IVF coarse router
+    confines each query to its ``n_probe`` best cells, then the PQ ADC
+    scan + exact rerank runs over ONLY those cells' codes. The standard
+    billion-scale index shape (Jégou et al. 2011 §IV): corpus state =
+    one cell id + m code ints per vector; per query the scanned
+    fraction is ~n_probe/n_list of the codes, never raw vectors until
+    the shortlist rerank.
+
+    Plan: reuses ivf_centroids/ivf_assign (broadcast quantizer) and the
+    PQ LUT; candidate confinement is a (cell) join before the ADC agg —
+    the only corpus-sized shuffle keys on cell then (query, id)."""
+    from linkgraph.text.similarity import (
+        cosine_similarity_col,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    dim = _dim_of(embeddings, vec_col)
+    w = dim // m
+    cents = F.broadcast(
+        ivf_centroids(
+            embeddings, n_list, refine_rounds, seed, id_col, vec_col, portable
+        ).localCheckpoint(eager=True)
+    )
+    assign = ivf_assign(embeddings, cents, id_col, vec_col)
+    books = pq_codebooks(
+        embeddings, m, n_codes, refine_rounds, seed + 1, id_col, vec_col, portable
+    )
+    codes = pq_encode(embeddings, books, m, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qscore = q.crossJoin(cents).select(
+        "query_id",
+        "cell",
+        cosine_similarity_col(F.col("qv"), F.col("cv")).alias("ccos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    probes = (
+        qscore.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", "cell")
+    )
+    qsub = _subvectors(queries, id_col, vec_col, m, w).withColumnRenamed(
+        "id", "query_id"
+    )
+    lut = qsub.join(F.broadcast(books), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("ip"),
+    )
+    cand = probes.join(assign.withColumnRenamed("id", "cid"), "cell").select(
+        "query_id", F.col("cid").alias("id")
+    )
+    corpus_codes = codes.select("id", F.posexplode("codes").alias("sub", "code"))
+    adc = (
+        cand.join(corpus_codes, "id")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .where(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("ip").alias("adc"))
+    )
+    wsl = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("adc", 6)), F.asc("id")
+    )
+    short = (
+        adc.withColumn("_rn", F.row_number().over(wsl))
+        .where(F.col("_rn") <= k * shortlist_factor)
+        .select("query_id", F.col("id").alias("neighbor_id"))
+    )
+    e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        short.join(e, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity_col(F.col("qv"), F.col("nv")).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

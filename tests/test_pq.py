@@ -94,3 +94,28 @@ def test_determinism_and_portable(emb):
     a = sorted(map(tuple, pq_topk(df, qs, k=3, portable=True).collect()))
     b = sorted(map(tuple, pq_topk(df, qs, k=3, portable=True).collect()))
     assert a == b
+
+
+def test_ivfpq_recall_and_confinement(emb):
+    """IVFPQ: candidates confined to probed cells, recall vs brute force
+    stays reasonable; with n_probe == n_list it degrades to plain PQ."""
+    from linkgraph.text.pq import ivfpq_topk
+
+    df, _ = emb
+    qs = df.where(F.col("vec_id") < 3)
+    brute = {}
+    for r in cosine_topk(df, qs, k=5).collect():
+        brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in ivfpq_topk(df, qs, k=5, n_list=4, n_probe=4, m=4, n_codes=8).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got[q] & brute[q]) for q in brute)
+    total = sum(len(brute[q]) for q in brute)
+    assert hits / total >= 0.6, (hits, total)
+    narrow = ivfpq_topk(df, qs, k=5, n_list=4, n_probe=1, m=4, n_codes=8)
+    rows = narrow.collect()
+    assert all(len([x for x in rows if x["query_id"] == q]) <= 5 for q in range(3))
+    for q in range(3):  # the planted clone shares the query's cell
+        assert any(
+            r["neighbor_id"] == 100 + q for r in rows if r["query_id"] == q
+        )
