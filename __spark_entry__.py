@@ -1737,6 +1737,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf, directed=False)
         return k_truss(g, 3)
 
+    def doc_simrank(spark, sf):
+        """SimRank (Jeh & Widom, KDD'02): 3 fixed kernel-join iterations
+        on the directed doc graph; the oracle unrolls the identical
+        diagonal∪sym(s_k) joins in DuckDB, rounded to 6 dp."""
+        from linkgraph.algs.simrank import simrank
+
+        g = _doc_graph(spark, sf)
+        sr = simrank(g, c=0.8, max_iter=3)
+        return sr.select("u", "v", F.round("sim", 6).alias("sim"))
+
     def doc_cover_f1(spark, sf):
         """CoverF1Similarity over two FIXED labelings of the doc set
         (id%7 vs id%5 — deterministic cross-engine covers); per-cluster
@@ -1864,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_square_clustering": doc_square_clustering,
         "doc_cover_f1": doc_cover_f1,
         "doc_ktruss": doc_ktruss,
+        "doc_simrank": doc_simrank,
         "doc_nf_heuristic": doc_nf_heuristic,
         "gen_hyperbolic_structure": gen_hyperbolic_structure,
         "doc_degrees": doc_degrees,
@@ -3337,6 +3348,7 @@ SELECT src, dst, ROUND(weight, 6) AS weight FROM last WHERE op <> 'remove_edge'
         + ",\n".join(_tparts)
         + "\nSELECT u AS src, w AS dst FROM t8"
     )
+    sql["doc_simrank"] = G.simrank_sql(EDGES_CTE_MAT, c=0.8, iters=3)
     sql["doc_square_clustering"] = G.square_clustering_sql(EDGES_CTE_MAT)
     sql["doc_nf_heuristic"] = G.nf_heuristic_sql(EDGES_CTE_MAT, hops=12)
     sql["doc_cover_f1"] = """

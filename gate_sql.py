@@ -185,6 +185,42 @@ def eigenvector_sql(cte: str, iters: int = 12) -> str:
     )
 
 
+def simrank_sql(cte: str, c: float = 0.8, iters: int = 3) -> str:
+    """Unrolled Jeh–Widom SimRank over directed `edges`: kernel_k =
+    diagonal ∪ sym(s_k), one 3-way join + pair agg per iteration —
+    the same plan `linkgraph.algs.simrank.simrank` runs."""
+    parts = [
+        "ie AS MATERIALIZED (SELECT DISTINCT dst AS node, src AS nb FROM edges)",
+        "indeg AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM ie GROUP BY node)",
+        "dnodes AS MATERIALIZED (SELECT DISTINCT nb AS i FROM ie)",
+        "kr0 AS MATERIALIZED (SELECT i, i AS j, 1.0 AS s FROM dnodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"sr{i} AS MATERIALIZED ("
+            f"SELECT a.node AS u, b.node AS v, "
+            f"{c!r} * SUM(k.s) / (da.d * db.d) AS s "
+            f"FROM ie a JOIN kr{p} k ON a.nb = k.i "
+            f"JOIN ie b ON b.nb = k.j "
+            f"JOIN indeg da ON da.node = a.node "
+            f"JOIN indeg db ON db.node = b.node "
+            f"WHERE a.node < b.node "
+            f"GROUP BY a.node, b.node, da.d, db.d)"
+        )
+        if i < iters:
+            parts.append(
+                f"kr{i} AS MATERIALIZED ("
+                f"SELECT i, i AS j, 1.0 AS s FROM dnodes "
+                f"UNION ALL SELECT u AS i, v AS j, s FROM sr{i} "
+                f"UNION ALL SELECT v AS i, u AS j, s FROM sr{i})"
+            )
+    return (
+        f"WITH {cte},\n" + ",\n".join(parts) +
+        f"\nSELECT u, v, ROUND(s, 6) AS sim FROM sr{iters}"
+    )
+
+
 def katz_sql(cte: str, alpha: float, beta: float, iters: int = 12) -> str:
     parts = [f"k0 AS MATERIALIZED (SELECT id, {beta!r} AS score FROM nodes)"]
     for i in range(1, iters + 1):
