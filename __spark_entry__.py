@@ -1747,6 +1747,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sr = simrank(g, c=0.8, max_iter=3)
         return sr.select("u", "v", F.round("sim", 6).alias("sim"))
 
+    def doc_rich_club(spark, sf):
+        """Rich-club spectrum φ(k) on the symmetrized doc graph; the
+        suffix counts come from reverse-cumulative sums over the degree
+        histogram (window over the degree domain, not data rows)."""
+        from linkgraph.algs.richclub import rich_club
+
+        g = _doc_graph(spark, sf)
+        rc = rich_club(g)
+        return rc.select("k", "n_nodes", "n_edges", F.round("phi", 6).alias("phi"))
+
+    def doc_knn(spark, sf):
+        """Average-neighbor-degree profile knn(k) on the symmetrized doc
+        graph (Pastor-Satorras degree-correlation spectrum)."""
+        from linkgraph.algs.richclub import avg_neighbor_degree
+
+        g = _doc_graph(spark, sf)
+        return avg_neighbor_degree(g).select("k", F.round("knn", 6).alias("knn"))
+
     def doc_cover_f1(spark, sf):
         """CoverF1Similarity over two FIXED labelings of the doc set
         (id%7 vs id%5 — deterministic cross-engine covers); per-cluster
@@ -1875,6 +1893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cover_f1": doc_cover_f1,
         "doc_ktruss": doc_ktruss,
         "doc_simrank": doc_simrank,
+        "doc_rich_club": doc_rich_club,
+        "doc_knn": doc_knn,
         "doc_nf_heuristic": doc_nf_heuristic,
         "gen_hyperbolic_structure": gen_hyperbolic_structure,
         "doc_degrees": doc_degrees,
@@ -3349,6 +3369,37 @@ SELECT src, dst, ROUND(weight, 6) AS weight FROM last WHERE op <> 'remove_edge'
         + "\nSELECT u AS src, w AS dst FROM t8"
     )
     sql["doc_simrank"] = G.simrank_sql(EDGES_CTE_MAT, c=0.8, iters=3)
+    sql["doc_rich_club"] = f"""
+WITH {EDGES_CTE_MAT},
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src),
+canon AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges),
+em AS MATERIALIZED (
+  SELECT LEAST(da.degree, db.degree) AS m
+  FROM canon JOIN deg da ON da.id = canon.u JOIN deg db ON db.id = canon.v),
+dh AS (SELECT degree AS k, COUNT(*) AS nd FROM deg GROUP BY degree),
+eh AS (SELECT m AS k, COUNT(*) AS ne FROM em GROUP BY m),
+hist AS (
+  SELECT COALESCE(dh.k, eh.k) AS k, COALESCE(nd, 0) AS nd, COALESCE(ne, 0) AS ne
+  FROM dh FULL JOIN eh ON dh.k = eh.k),
+cum AS (
+  SELECT k,
+    COALESCE(SUM(nd) OVER (ORDER BY k ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS n_nodes,
+    COALESCE(SUM(ne) OVER (ORDER BY k ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS n_edges
+  FROM hist)
+SELECT k, n_nodes, n_edges,
+       ROUND(2.0 * n_edges / (n_nodes * (n_nodes - 1)), 6) AS phi
+FROM cum WHERE n_nodes >= 2
+"""
+    sql["doc_knn"] = f"""
+WITH {EDGES_CTE_MAT},
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src),
+nb AS (
+  SELECT s.src, AVG(dd.degree) AS knn_node
+  FROM sym s JOIN deg dd ON dd.id = s.dst GROUP BY s.src)
+SELECT dg.degree AS k, ROUND(AVG(nb.knn_node), 6) AS knn
+FROM nb JOIN deg dg ON dg.id = nb.src GROUP BY dg.degree
+"""
     sql["doc_square_clustering"] = G.square_clustering_sql(EDGES_CTE_MAT)
     sql["doc_nf_heuristic"] = G.nf_heuristic_sql(EDGES_CTE_MAT, hops=12)
     sql["doc_cover_f1"] = """
