@@ -80,12 +80,12 @@ def eigenvector_centrality(
             )
         )
 
-    def metric(state: DataFrame) -> float:
-        r = state.agg(F.sqrt(F.sum(F.col("delta") * F.col("delta")))).collect()[0][0]
-        return float(r or 0.0)
-
     res = Superstep(spark, work_dir, "eigenvector").run(
-        init, step, metric, tol=tol, max_iter=max_iter
+        init,
+        step,
+        tol=tol,
+        max_iter=max_iter,
+        metric_exprs=[F.sqrt(F.sum(F.col("delta") * F.col("delta"))).alias("r")],
     )
     e.unpersist()
     nodes.unpersist()
@@ -142,11 +142,13 @@ def katz_centrality(
             )
         )
 
-    def metric(state: DataFrame) -> float:
-        r = state.agg(F.sqrt(F.sum(F.col("delta") * F.col("delta")))).collect()[0][0]
-        return float(r or 0.0)
-
-    res = Superstep(spark, work_dir, "katz").run(init, step, metric, tol=tol, max_iter=max_iter)
+    res = Superstep(spark, work_dir, "katz").run(
+        init,
+        step,
+        tol=tol,
+        max_iter=max_iter,
+        metric_exprs=[F.sqrt(F.sum(F.col("delta") * F.col("delta"))).alias("r")],
+    )
     e.unpersist()
     nodes.unpersist()
     return res.state.select("id", "score")

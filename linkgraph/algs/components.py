@@ -72,11 +72,15 @@ def connected_components(
             )
         )
 
-    def metric(state: DataFrame) -> float:
-        return float(state.agg(F.sum("changed")).collect()[0][0] or 0)
-
     result = Superstep(spark, work_dir, "cc").run(
-        init, step, metric, tol=0.0, max_iter=max_iter, resume=resume
+        init,
+        step,
+        tol=0.0,
+        max_iter=max_iter,
+        resume=resume,
+        # changed-count observed during the materialization job itself —
+        # one driver action per superstep (see superstep.py)
+        metric_exprs=[F.sum("changed").alias("c")],
     )
     sym.unpersist()
     return result.state.select("id", F.col("label").alias("component"))

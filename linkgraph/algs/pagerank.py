@@ -207,22 +207,35 @@ def pagerank(
             )
         )
 
-    def metric(state: DataFrame) -> float:
-        resid_expr = (
-            F.sqrt(F.sum(F.col("delta") * F.col("delta")))
-            if norm == "l2"
-            else F.sum(F.abs(F.col("delta")))
-        )
-        row = state.agg(
-            resid_expr.alias("resid"),
-            F.sum(F.when(F.col("sink"), F.col("rank")).otherwise(0.0)).alias("smass"),
-        ).collect()[0]
+    # The residual AND the next step's sink mass are observed DURING the
+    # superstep materialization job (DataFrame.observe → CollectMetrics
+    # accumulators): one driver action per superstep instead of two. The
+    # same aggregates used to run as a second (cached-input) action; at
+    # cluster scale the saved fixed job cost is the dominant term of
+    # small-state supersteps.
+    resid_expr = (
+        F.sqrt(F.sum(F.col("delta") * F.col("delta")))
+        if norm == "l2"
+        else F.sum(F.abs(F.col("delta")))
+    )
+    metric_exprs = [
+        resid_expr.alias("resid"),
+        F.sum(F.when(F.col("sink"), F.col("rank")).otherwise(0.0)).alias("smass"),
+    ]
+
+    def metric_of(row: dict) -> float:
         holder["sink_mass"] = float(row["smass"] or 0.0)
         return float(row["resid"] or 0.0)
 
     try:
         result = Superstep(spark, work_dir, "pagerank").run(
-            init, step, metric, tol=tol, max_iter=max_iter, resume=resume
+            init,
+            step,
+            tol=tol,
+            max_iter=max_iter,
+            resume=resume,
+            metric_exprs=metric_exprs,
+            metric_of=metric_of,
         )
     finally:
         # release everything persisted above (a long-lived session would

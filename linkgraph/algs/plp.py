@@ -193,13 +193,13 @@ def label_propagation(
             F.when((F.col("pend") == 1) & ~moved, 1).otherwise(0).alias("blocked"),
         )
 
-    def metric(state: DataFrame) -> float:
-        # applied moves + gate-deferred pending moves: 0 ⇔ fully stable
-        # (every pending node gets gate==0 with fresh hashes within a
-        # couple of rounds, so deferral cannot stall convergence)
-        row = state.agg(
-            F.sum("changed").alias("c"), F.sum("blocked").alias("b")
-        ).collect()[0]
+    # applied moves + gate-deferred pending moves: 0 ⇔ fully stable
+    # (every pending node gets gate==0 with fresh hashes within a couple of
+    # rounds, so deferral cannot stall convergence). Observed during the
+    # superstep materialization job itself — one action per superstep.
+    metric_exprs = [F.sum("changed").alias("c"), F.sum("blocked").alias("b")]
+
+    def metric_of(row: dict) -> float:
         m = float((row["c"] or 0) + (row["b"] or 0))
         last_changed[0] = m
         return m
@@ -207,10 +207,11 @@ def label_propagation(
     result = Superstep(spark, work_dir, "plp").run(
         init,
         step,
-        metric,
         tol=float(update_threshold),
         max_iter=max_iter,
         resume=resume,
+        metric_exprs=metric_exprs,
+        metric_of=metric_of,
     )
     sym.unpersist()
     return canonicalize_labels(result.state)

@@ -28,7 +28,7 @@ import time
 from dataclasses import dataclass
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 
 @dataclass
@@ -101,17 +101,35 @@ class Superstep:
         self,
         init: Callable[[], DataFrame],
         step: Callable[[DataFrame, int], DataFrame],
-        metric: Callable[[DataFrame], float],
+        metric: Callable[[DataFrame], float] | None = None,
         tol: float = 0.0,
         max_iter: int = 100,
         resume: bool = True,
+        metric_exprs: list | None = None,
+        metric_of: Callable[[dict], float] | None = None,
     ) -> SuperstepResult:
         """``step(state, k) -> new_state`` builds the superstep plan (it may
         carry helper columns, e.g. a per-row delta); the state is
-        MATERIALIZED first (checkpoint), then ``metric(state)`` runs one
-        cheap action on the materialized O(n)-row result. Computing the
-        metric before materialization would execute the whole join/agg
-        plan twice per superstep — the classic iterative-Spark trap."""
+        MATERIALIZED first (checkpoint), then the convergence metric is
+        computed. Computing the metric before materialization would execute
+        the whole join/agg plan twice per superstep — the classic
+        iterative-Spark trap.
+
+        Two metric modes:
+
+        - ``metric(state) -> float`` — a separate (cheap, cached-input)
+          aggregation ACTION after materialization. Two driver actions per
+          superstep.
+        - ``metric_exprs`` (list of aggregate Columns over the new state's
+          columns) + optional ``metric_of(observed_row_dict) -> float`` —
+          the metric rides the materialization job itself via
+          ``DataFrame.observe`` (CollectMetrics accumulators), so each
+          superstep is ONE driver action. ``metric_of`` defaults to the
+          first observed value; use it to unpack/stash extra observed
+          aggregates (e.g. PageRank folds sink mass into the same pass).
+          At 1000-executor scale this halves the per-superstep job count —
+          the fixed scheduling+barrier cost that dominates small-state
+          supersteps."""
         manifest = self._read_manifest() if resume else []
         if not resume and os.path.exists(self.dir):
             shutil.rmtree(self.dir, ignore_errors=True)
@@ -135,18 +153,41 @@ class Superstep:
             self._append_manifest(entry)
             manifest = [entry]
 
+        if metric is None and metric_exprs is None:
+            raise ValueError("provide metric or metric_exprs")
+
         converged = False
         while k < max_iter:
             t0 = time.time()
             new_state = step(state, k)
             k += 1
+            obs = None
+            if metric_exprs is not None and not os.environ.get("LINKGRAPH_NO_OBSERVE"):
+                # fresh Observation per superstep (single-use by contract);
+                # the CollectMetrics node is dropped from downstream lineage
+                # by the checkpoint/write truncation right below
+                obs = Observation(f"ss_{k}")
+                new_state = new_state.observe(obs, *metric_exprs)
             make_durable = k % self.checkpoint_every == 0
             if make_durable:
                 state = self._write_state(new_state, k)
             else:
                 # eager local checkpoint: truncates lineage, no disk round-trip
                 state = new_state.localCheckpoint(eager=True)
-            m = float(metric(state))
+            if obs is not None or metric_exprs is not None:
+                if obs is not None:
+                    row = obs.get  # populated by the materialization action
+                else:
+                    # LINKGRAPH_NO_OBSERVE escape hatch / A-B harness: the
+                    # same aggregates as a separate post-checkpoint action
+                    row = state.agg(*metric_exprs).collect()[0].asDict()
+                if metric_of is not None:
+                    m = float(metric_of(row))
+                else:
+                    first = next(iter(row.values()))
+                    m = float(first if first is not None else 0.0)
+            else:
+                m = float(metric(state))
             converged = m <= tol
             if converged and not make_durable:
                 # converged on a non-durable iteration: persist it after all
