@@ -587,6 +587,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _register(spark, sf)
         return language_id(spark.table("documents")).select("doc_id", "lang_pred")
 
+    def doc_lang_nb(spark, sf):
+        # trained char-trigram NB language ID: fit on doc_id%5!=0, classify
+        # the held-out fifth, return the confusion rollup (integer counts —
+        # raw log-posteriors stay engine-internal floats)
+        from linkgraph.text.langid import classify_language, train_langid
+
+        _register(spark, sf)
+        docs = spark.table("documents")
+        model = train_langid(docs.where("doc_id % 5 != 0"), vocab_size=500, n=3)
+        pred = classify_language(docs.where("doc_id % 5 = 0"), model)
+        return (
+            pred.join(docs.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+            .groupBy("true_lang", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
     def minhash_dups(spark, sf):
         _register(spark, sf)
         return minhash_dedup_pairs(
@@ -1959,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_dup_ngrams": doc_gopher_dup_ngrams,
         "ngram_dups": ngram_dups,
         "doc_lang_id": doc_lang_id,
+        "doc_lang_nb": doc_lang_nb,
         "doc_normalize": doc_normalize,
         "doc_redact_pii": doc_redact_pii,
         "eval_contamination": eval_contamination,
@@ -3243,6 +3260,7 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     # --- round-2 additions: unrolled / portable-hash / independent oracles
     import gate_sql as G
 
+    sql["doc_lang_nb"] = G.langid_nb_sql(n=3, vocab_size=500, alpha=1.0, holdout_mod=5)
     sql["doc_plp"] = G.plp_sql(EDGES_CTE_MAT, iters=30)
     sql["doc_kcore"] = G.kcore_sql(EDGES_CTE_MAT, iters=10)
     sql["doc_eigenvector"] = G.eigenvector_sql(EDGES_CTE_MAT, iters=12)

@@ -2640,3 +2640,70 @@ SELECT url, host, reason,
        CAST(CASE WHEN reason IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
 FROM r
 """
+
+
+def langid_nb_sql(
+    n: int = 3, vocab_size: int = 500, alpha: float = 1.0, holdout_mod: int = 5
+) -> str:
+    """text/langid replay: train multinomial NB char-n-gram language ID on
+    the doc_id % holdout_mod != 0 split, classify the held-out split, and
+    roll up the confusion matrix. Same normalization (lower + \\s+ collapse
+    + trim), same top-V vocabulary tie-break (count DESC, gram ASC), same
+    6dp-rounded model values, same (score DESC, lang ASC) argmax as
+    linkgraph.text.langid — so predictions (integer counts) match exactly
+    while raw scores stay engine-internal floats."""
+    a = float(alpha)
+    return f"""
+WITH norm AS (
+  SELECT doc_id, lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents),
+tr AS (SELECT * FROM norm WHERE doc_id % {holdout_mod} <> 0),
+te AS (SELECT * FROM norm WHERE doc_id % {holdout_mod} = 0),
+trg AS (
+  SELECT lang, UNNEST(list_transform(range(1, greatest(length(t) - {n - 1}, 0) + 1),
+                i -> substr(t, i, {n}))) AS gram
+  FROM tr),
+gc AS (SELECT lang, gram, count(*)::DOUBLE AS c FROM trg GROUP BY 1, 2),
+vocab AS (
+  SELECT gram FROM (SELECT gram, sum(c) AS tot FROM gc GROUP BY 1)
+  ORDER BY tot DESC, gram ASC LIMIT {vocab_size}),
+vn AS (SELECT count(*)::DOUBLE AS v FROM vocab),
+tl AS (SELECT lang, sum(c) AS t_mass FROM gc JOIN vocab USING (gram) GROUP BY 1),
+pri AS (
+  SELECT lang, round(ln(count(*) / (SELECT count(*)::DOUBLE FROM tr)), 6) AS prior_lp
+  FROM tr GROUP BY 1),
+lg AS (
+  SELECT tl.lang, prior_lp,
+         round(ln({a} / (t_mass + {a} * (v + 1))), 6) AS oov_lp, t_mass, v
+  FROM tl JOIN pri USING (lang) CROSS JOIN vn),
+model AS (
+  SELECT lg.lang, vocab.gram,
+         round(ln((coalesce(gc.c, 0) + {a}) / (lg.t_mass + {a} * (lg.v + 1))), 6) AS logp
+  FROM lg CROSS JOIN vocab
+  LEFT JOIN gc ON gc.lang = lg.lang AND gc.gram = vocab.gram),
+teg AS (
+  SELECT doc_id, lang AS true_lang,
+         list_transform(range(1, greatest(length(t) - {n - 1}, 0) + 1),
+                        i -> substr(t, i, {n})) AS gs
+  FROM te),
+ten AS (SELECT doc_id, true_lang, len(gs)::DOUBLE AS n_grams FROM teg),
+tec AS (
+  SELECT doc_id, gram, count(*)::DOUBLE AS cnt
+  FROM (SELECT doc_id, UNNEST(gs) AS gram FROM teg) GROUP BY 1, 2),
+mt AS (
+  SELECT tec.doc_id, model.lang,
+         sum(tec.cnt * model.logp) AS s_match, sum(tec.cnt) AS c_match
+  FROM tec JOIN model USING (gram) GROUP BY 1, 2),
+sc AS (
+  SELECT ten.doc_id, ten.true_lang, lg.lang,
+         lg.prior_lp + coalesce(mt.s_match, 0)
+         + (ten.n_grams - coalesce(mt.c_match, 0)) * lg.oov_lp AS score
+  FROM ten CROSS JOIN lg
+  LEFT JOIN mt ON mt.doc_id = ten.doc_id AND mt.lang = lg.lang),
+win AS (
+  SELECT doc_id, true_lang, lang AS lang_pred
+  FROM sc
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1)
+SELECT true_lang, lang_pred, count(*) AS n
+FROM win GROUP BY 1, 2
+"""

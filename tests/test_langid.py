@@ -1,0 +1,170 @@
+"""Trained char-n-gram NB language ID (linkgraph/text/langid.py).
+
+Oracle: an independent pure-Python multinomial-NB replica with the same
+normalization/vocab/smoothing rules, checked prediction-for-prediction
+and score-to-6dp on a seeded random corpus.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import Counter
+
+import pytest
+
+from linkgraph.text.langid import char_ngrams, classify_language, train_langid
+
+from pyspark.sql import functions as F
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# two synthetic "languages" with disjoint character distributions
+LANG_A_WORDS = ["arbre", "barre", "cadre", "darse", "early", "farce"]
+LANG_B_WORDS = ["zulu", "yoyo", "xylox", "wuzzy", "vuvuz", "uzuki"]
+
+
+def _synth(rng, words, n_words):
+    return " ".join(rng.choice(words) for _ in range(n_words))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(42)
+    rows = []
+    for i in range(120):
+        lang = "aa" if i % 2 == 0 else "bb"
+        words = LANG_A_WORDS if lang == "aa" else LANG_B_WORDS
+        rows.append((i, _synth(rng, words, 12), lang))
+    return _mk_docs(spark, rows)
+
+
+def test_char_ngrams_guarded(spark):
+    df = _mk_docs(
+        spark,
+        [(0, "abcd", "x"), (1, "ab", "x"), (2, "", "x"), (3, "  A  b ", "x")],
+    )
+    out = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", char_ngrams(F.col("text"), 3).alias("g")).collect()
+    }
+    assert out[0] == ["abc", "bcd"]
+    assert out[1] == []
+    assert out[2] == []
+    # normalization: lowercase + whitespace collapse + trim => "a b"
+    assert out[3] == ["a b", " b "[0:3]] or out[3] == ["a b"]
+
+
+def test_holdout_accuracy_perfect(spark, corpus):
+    train = corpus.where("doc_id % 5 != 0")
+    test = corpus.where("doc_id % 5 = 0")
+    model = train_langid(train, vocab_size=500, n=3)
+    pred = classify_language(test, model)
+    joined = pred.join(corpus.select("doc_id", "lang"), "doc_id")
+    rows = joined.collect()
+    assert len(rows) == test.count()
+    assert all(r["lang_pred"] == r["lang"] for r in rows)
+
+
+def test_empty_and_oov_fall_back_to_prior(spark, corpus):
+    # majority class in the training labels: make "aa" strictly larger
+    train = corpus.where("doc_id % 5 != 0").union(
+        _mk_docs(spark, [(1000 + i, "arbre barre", "aa") for i in range(10)])
+    )
+    model = train_langid(train, vocab_size=500, n=3)
+    probe = _mk_docs(spark, [(1, "", None), (2, "qqq 999 @@@", None)])
+    out = {r["doc_id"]: r["lang_pred"] for r in classify_language(probe, model).collect()}
+    # empty text: prior argmax; OOV-only text: every lang pays the same
+    # OOV count so the prior+oov ordering decides — both deterministic
+    assert out[1] == "aa"
+    assert out[2] in ("aa", "bb")
+    again = {r["doc_id"]: r["lang_pred"] for r in classify_language(probe, model).collect()}
+    assert out == again
+
+
+def _py_replica(train_rows, test_rows, n=3, vocab_size=200, alpha=1.0):
+    """Independent NB implementation (same published rules)."""
+
+    def norm(t):
+        return " ".join(t.lower().split())
+
+    def grams(t):
+        t = norm(t)
+        return [t[i : i + n] for i in range(len(t) - n + 1)]
+
+    gc = {}
+    dl = Counter()
+    for _, text, lang in train_rows:
+        dl[lang] += 1
+        for g in grams(text):
+            gc.setdefault(lang, Counter())[g] += 1
+    tot = Counter()
+    for lang, c in gc.items():
+        tot.update(c)
+    vocab = sorted(tot, key=lambda g: (-tot[g], g))[:vocab_size]
+    vset = set(vocab)
+    v = len(vocab)
+    langs = sorted(dl)
+    t_mass = {l: sum(c for g, c in gc.get(l, {}).items() if g in vset) for l in langs}
+    d_total = sum(dl.values())
+    prior = {l: round(math.log(dl[l] / d_total), 6) for l in langs}
+    oov = {l: round(math.log(alpha / (t_mass[l] + alpha * (v + 1))), 6) for l in langs}
+    logp = {
+        (l, g): round(
+            math.log((gc.get(l, {}).get(g, 0) + alpha) / (t_mass[l] + alpha * (v + 1))), 6
+        )
+        for l in langs
+        for g in vocab
+    }
+    preds = {}
+    for doc_id, text, _ in test_rows:
+        gs = grams(text)
+        best = None
+        for l in langs:
+            s = prior[l]
+            matched = 0
+            for g, c in Counter(gs).items():
+                if g in vset:
+                    s += c * logp[(l, g)]
+                    matched += c
+            s += (len(gs) - matched) * oov[l]
+            if best is None or (-s, l) < best[0]:
+                best = ((-s, l), l, s)
+        preds[doc_id] = (best[1], round(best[2], 6))
+    return preds
+
+
+def test_matches_python_replica(spark):
+    rng = random.Random(7)
+    alphabet = "abcdefgh "
+    rows = []
+    for i in range(60):
+        lang = ["xx", "yy", "zz"][i % 3]
+        bias = {"xx": "aab", "yy": "cdd", "zz": "efg"}[lang]
+        text = "".join(
+            rng.choice(bias if rng.random() < 0.6 else alphabet) for _ in range(80)
+        )
+        rows.append((i, text, lang))
+    train = [r for r in rows if r[0] % 4 != 0]
+    test = [r for r in rows if r[0] % 4 == 0]
+    model = train_langid(_mk_docs(spark, train), vocab_size=200, n=3)
+    got = {
+        r["doc_id"]: (r["lang_pred"], r["score"])
+        for r in classify_language(_mk_docs(spark, test), model).collect()
+    }
+    want = _py_replica(train, test, n=3, vocab_size=200)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0], (d, got[d], want[d])
+        assert got[d][1] == pytest.approx(want[d][1], abs=2e-6)
+
+
+def test_model_shape_and_vocab_cap(spark, corpus):
+    model = train_langid(corpus, vocab_size=30, n=2)
+    v = model.grams.select("gram").distinct().count()
+    langs = model.langs.count()
+    assert v <= 30
+    assert model.grams.count() == v * langs
