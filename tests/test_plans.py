@@ -275,3 +275,34 @@ def test_gopher_dup_ngrams_window_free(spark):
     assert "Window" not in plan
     assert "SinglePartition" not in plan
     assert "partial" in plan.lower()
+
+
+def test_superstep_observe_cuts_job_count(spark, monkeypatch):
+    """The convergence metric rides the materialization job via
+    DataFrame.observe (superstep.py metric_exprs): a CC run must schedule
+    strictly fewer driver jobs than the LINKGRAPH_NO_OBSERVE two-action
+    fallback on the same graph — one job per superstep, not two."""
+    from linkgraph.algs.components import connected_components
+    from linkgraph.graph import Graph
+
+    rows = [(i, i + 1, 1.0) for i in range(16)]
+    e = spark.createDataFrame(rows, "src bigint, dst bigint, weight double")
+    g = Graph.from_edges(e, directed=False)
+    sc = spark.sparkContext
+
+    def run(group, no_observe):
+        if no_observe:
+            monkeypatch.setenv("LINKGRAPH_NO_OBSERVE", "1")
+        else:
+            monkeypatch.delenv("LINKGRAPH_NO_OBSERVE", raising=False)
+        sc.setJobGroup(group, group)
+        out = connected_components(g).collect()
+        sc.setJobGroup(None, None)
+        assert len({r["component"] for r in out}) == 1
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    fused = run("cc_obs_fused", no_observe=False)
+    two_action = run("cc_obs_two_action", no_observe=True)
+    # path graph: ~16 min-label supersteps; the fallback pays one extra
+    # metric job per superstep
+    assert fused + 10 <= two_action, (fused, two_action)
