@@ -307,6 +307,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
         )
 
+    def events_funnel(spark, sf):
+        """Ordered-funnel analysis (view → click → purchase): per step,
+        how many users completed the prefix with STRICTLY increasing
+        timestamps. Cascaded min-ts aggregations joined back per stage —
+        every shuffle is on user_id (co-partitioned, partial agg), no
+        windows, no per-user arrays; heavy users cost one agg row."""
+        _register(spark, sf)
+        ev = spark.table("events").select(
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").cast("long").alias("tsl"),
+        )
+        steps = ["view", "click", "purchase"]
+        prev = None
+        counts = []
+        for s in steps:
+            cur = ev.where(F.col("event_type") == s)
+            if prev is not None:
+                cur = cur.join(prev, "user_id").where(F.col("tsl") > F.col("t"))
+            prev = cur.groupBy("user_id").agg(F.min("tsl").alias("t"))
+            counts.append(
+                prev.agg(
+                    F.lit(s).alias("step"), F.count(F.lit(1)).alias("users")
+                )
+            )
+        out = counts[0]
+        for c in counts[1:]:
+            out = out.unionByName(c)
+        return out
+
     # --- iterative ops with UNROLLED / portable-hash SQL oracles ----------
     def doc_plp(spark, sf):
         # portable tie hash → the 30 synchronous rounds unroll to an exact
@@ -1928,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_modularity_fixed": doc_modularity_fixed,
         "doc_map_equation_fixed": doc_map_equation_fixed,
         "events_sessions": events_sessions,
+        "events_funnel": events_funnel,
         "doc_plp": doc_plp,
         "doc_kcore": doc_kcore,
         "doc_eigenvector": doc_eigenvector,
@@ -2640,6 +2671,19 @@ SELECT user_id,
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM ev GROUP BY user_id
+"""
+
+    sql["events_funnel"] = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tsl FROM events),
+s1 AS (SELECT user_id, min(tsl) AS t FROM ev WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.tsl) AS t FROM ev e JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.tsl > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.tsl) AS t FROM ev e JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.tsl > s2.t GROUP BY 1)
+SELECT 'view' AS step, count(*) AS users FROM s1
+UNION ALL SELECT 'click' AS step, count(*) AS users FROM s2
+UNION ALL SELECT 'purchase' AS step, count(*) AS users FROM s3
 """
 
     sql["dup_groups"] = """
