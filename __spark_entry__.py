@@ -1698,6 +1698,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return topological_levels(dag)
 
+    def doc_reachable_counts(spark, sf):
+        """Exact per-vertex reachable-set sizes on the sparsified mod-60
+        DAG contraction of the doc graph (reachability/ReachableNodes.cpp
+        exact mode; undirected graphs reduce to component sizes, so the
+        gate exercises the directed closure). Oracle: recursive
+        transitive-closure CTE (gate_sql.reachable_counts_sql)."""
+        from linkgraph.algs.reachability import reachable_nodes
+        from linkgraph.graph import Graph
+
+        _register(spark, sf)
+        c = spark.sql(
+            f"WITH {EDGES_CTE} "
+            "SELECT src % 60 AS src, dst % 60 AS dst FROM edges "
+            "WHERE src % 60 < dst % 60 "
+            "AND ((src % 60) * 7 + (dst % 60) * 11) % 3 = 0 "
+            "GROUP BY 1, 2"
+        )
+        g = Graph.from_edges(c, directed=True)
+        return reachable_nodes(g)
+
+    def doc_simple_paths(spark, sf):
+        """All simple 1→17 paths (cutoff 5 edges) on the sparsified mod-24
+        contraction — cycles kept, so the simple-path revisit filter is
+        exercised (reachability/AllSimplePaths.cpp; the (7s+11d)%8 filter
+        confines reachability to the d≡3s-mod-8 class orbit, and 17 is in
+        vertex 1's orbit at every sf). Oracle: recursive list-growth CTE
+        (gate_sql.simple_paths_sql)."""
+        from linkgraph.algs.reachability import all_simple_paths
+        from linkgraph.graph import Graph
+
+        _register(spark, sf)
+        c = spark.sql(
+            f"WITH {EDGES_CTE} "
+            "SELECT src % 24 AS src, dst % 24 AS dst FROM edges "
+            "WHERE src % 24 <> dst % 24 "
+            "AND ((src % 24) * 7 + (dst % 24) * 11) % 8 = 0 "
+            "GROUP BY 1, 2"
+        )
+        g = Graph.from_edges(c, directed=True)
+        return all_simple_paths(g, 1, 17, cutoff=5).select(
+            F.concat_ws("->", F.col("path").cast("array<string>")).alias("path"),
+            "hops",
+        )
+
     def doc_clique_hist(spark, sf):
         """Maximal-clique size histogram (MaximalCliques, distributed
         ego-net Bron-Kerbosch). Oracle: recursive clique-growth CTE
@@ -1965,6 +2009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_katz": doc_katz,
         "doc_bfs": doc_bfs,
         "doc_bfs_path": doc_bfs_path,
+        "doc_reachable_counts": doc_reachable_counts,
+        "doc_simple_paths": doc_simple_paths,
         "doc_sssp": doc_sssp,
         "algebraic_sssp": algebraic_sssp,
         "algebraic_pagerank": algebraic_pagerank_q,
@@ -3311,6 +3357,10 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["doc_katz"] = G.katz_sql(EDGES_CTE_MAT, alpha=0.01, beta=1.0, iters=12)
     sql["doc_bfs"] = G.bfs_sql(EDGES_CTE_MAT, source=0, hops=12)
     sql["doc_bfs_path"] = G.bfs_path_sql(EDGES_CTE_MAT, source=0, hops=12)
+    sql["doc_reachable_counts"] = G.reachable_counts_sql(EDGES_CTE_MAT, mod=60, keep=3)
+    sql["doc_simple_paths"] = G.simple_paths_sql(
+        EDGES_CTE_MAT, mod=24, keep=8, source=1, target=17, cutoff=5
+    )
     sql["doc_sssp"] = G.sssp_sql(EDGES_CTE_MAT, source=0, rounds=16)
     sql["algebraic_sssp"] = G.sssp_sql(EDGES_CTE_MAT, source=0, rounds=16)
     sql["doc_sfigality"] = G.sfigality_sql(EDGES_CTE_MAT)

@@ -1228,6 +1228,58 @@ SELECT id, CAST(MAX(lvl) AS INT) AS level FROM lv GROUP BY id
 """
 
 
+def reachable_counts_sql(cte: str, mod: int = 60, keep: int = 3) -> str:
+    """Exact reachable-set sizes (self included) on the sparsified mod-N
+    DAG contraction of the doc graph (reachability/ReachableNodes.cpp
+    exact mode) — recursive transitive-closure CTE, UNION dedup."""
+    return f"""
+WITH RECURSIVE {cte},
+cg AS MATERIALIZED (
+  SELECT src % {mod} AS src, dst % {mod} AS dst FROM edges
+  WHERE src % {mod} < dst % {mod}
+    AND ((src % {mod}) * 7 + (dst % {mod}) * 11) % {keep} = 0
+  GROUP BY 1, 2
+),
+cn AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM cg UNION SELECT dst FROM cg) u
+),
+reach(source, id) AS (
+  SELECT id, id FROM cn
+  UNION
+  SELECT r.source, e.dst FROM reach r JOIN cg e ON e.src = r.id
+)
+SELECT source AS id, count(*) AS reachable FROM reach GROUP BY source
+"""
+
+
+def simple_paths_sql(
+    cte: str, mod: int = 24, keep: int = 8, source: int = 0,
+    target: int = 7, cutoff: int = 5,
+) -> str:
+    """All simple source→target paths under the cutoff on the sparsified
+    mod-N contraction (cycles kept — the revisit filter is the point);
+    recursive CTE growing vertex lists, path emitted as '->' string."""
+    return f"""
+WITH RECURSIVE {cte},
+cg AS MATERIALIZED (
+  SELECT src % {mod} AS src, dst % {mod} AS dst FROM edges
+  WHERE src % {mod} <> dst % {mod}
+    AND ((src % {mod}) * 7 + (dst % {mod}) * 11) % {keep} = 0
+  GROUP BY 1, 2
+),
+walk(last, path, hops) AS (
+  SELECT CAST({source} AS BIGINT), [CAST({source} AS BIGINT)], 0
+  UNION ALL
+  SELECT e.dst, list_append(w.path, e.dst), w.hops + 1
+  FROM walk w JOIN cg e ON e.src = w.last
+  WHERE w.last <> {target} AND w.hops < {cutoff}
+    AND NOT list_contains(w.path, e.dst)
+)
+SELECT array_to_string(path, '->') AS path, CAST(hops AS INT) AS hops
+FROM walk WHERE last = {target}
+"""
+
+
 def clique_hist_sql(cte: str) -> str:
     """Maximal-clique size histogram. Enumerates all cliques as sorted member
     lists grown one id at a time (recursive CTE; list_has_all = adjacency-to-

@@ -970,6 +970,57 @@ def multi_target_bfs(
     return dist.join(tgt, "id", "left_semi")
 
 
+def multi_target_sssp(
+    graph: Graph, source: int, targets: list, max_iter: int = 10_000
+) -> DataFrame:
+    """(id, dist) shortest WEIGHTED distances from ``source`` to each
+    reachable target (distance/MultiTargetDijkstra.cpp) — the weighted
+    sibling of :func:`multi_target_bfs`. Early exit mirrors spsp: with
+    non-negative weights, once every target is settled and the minimum
+    tentative frontier distance is >= the worst settled target distance,
+    no target can improve."""
+    spark = graph.edges.sparkSession
+    e = (graph.edges if graph.directed else graph.symmetric_edges()).select(
+        "src", "dst", "weight"
+    ).persist()
+    tgt = spark.createDataFrame([(int(t),) for t in targets], "id bigint").persist()
+    n_targets = tgt.count()
+    dist = spark.createDataFrame(
+        [(int(source), 0.0)], "id bigint, dist double"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(e, frontier.id == e.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("nd"))
+        )
+        improved = (
+            cand.join(dist.select("id", F.col("dist").alias("old")), "id", "left")
+            .where(F.col("old").isNull() | (F.col("nd") < F.col("old")))
+            .select("id", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select("id"), "id", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+        settled = dist.join(tgt, "id", "left_semi")
+        if settled.count() >= n_targets:
+            worst = settled.agg(F.max("dist")).collect()[0][0]
+            fmin = frontier.agg(F.min("dist")).collect()[0][0]
+            if fmin is None or fmin >= worst:
+                break
+    e.unpersist()
+    out = dist.join(tgt, "id", "left_semi")
+    tgt.unpersist()
+    return out
+
+
 def bidirectional_bfs(graph: Graph, source: int, target: int, max_iter: int = 10_000):
     """Hop distance source→target or None (distance/BidirectionalBFS.cpp):
     frontiers expand from BOTH endpoints (backward over the transpose on

@@ -246,6 +246,67 @@ def write_graphml(graph: Graph, path: str) -> None:
         f.write("\n".join(out) + "\n")
 
 
+def read_gexf(spark: SparkSession, path: str) -> Graph:
+    """GEXF reader (io/GEXFReader.cpp scope — the Gephi interchange
+    format): <nodes><node id>, <edges><edge source target [weight]>,
+    defaultedgetype honored. Fixture-scale driver-side parse, same
+    disposition as GraphML. String node ids map to dense ints in document
+    order (reference parity)."""
+    import xml.etree.ElementTree as ET
+
+    raw = spark.read.text(path, wholetext=True).collect()[0]["value"]
+    root = ET.fromstring(raw)
+    ns = ""
+    if root.tag.startswith("{"):
+        ns = root.tag[: root.tag.index("}") + 1]
+    g = root.find(f"{ns}graph")
+    directed = (g.get("defaultedgetype", "undirected") == "directed")
+    ids: dict[str, int] = {}
+    nodes_el = g.find(f"{ns}nodes")
+    if nodes_el is not None:
+        for node in nodes_el.findall(f"{ns}node"):
+            ids.setdefault(node.get("id"), len(ids))
+    edges, weighted = [], False
+    edges_el = g.find(f"{ns}edges")
+    if edges_el is not None:
+        for e in edges_el.findall(f"{ns}edge"):
+            u = ids.setdefault(e.get("source"), len(ids))
+            v = ids.setdefault(e.get("target"), len(ids))
+            w = e.get("weight")
+            if w is not None:
+                weighted = True
+            edges.append((u, v, float(w) if w is not None else 1.0))
+    df = spark.createDataFrame(edges or [], "src bigint, dst bigint, weight double")
+    return Graph.from_edges(df, directed=directed, weighted=weighted)
+
+
+def write_gexf(graph: Graph, path: str) -> None:
+    """GEXF 1.2 writer (io/GEXFWriter.cpp scope) — fixture-scale
+    driver-side serialize; weight emitted as the edge ``weight``
+    attribute when the graph is weighted."""
+    nodes = sorted(r["id"] for r in graph.nodes().collect())
+    edges = graph.edges.collect()
+    dflt = "directed" if graph.directed else "undirected"
+    out = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<gexf xmlns="http://www.gexf.net/1.2draft" version="1.2">',
+        f'  <graph defaultedgetype="{dflt}">',
+        "    <nodes>",
+    ]
+    for n in nodes:
+        out.append(f'      <node id="{n}"/>')
+    out.append("    </nodes>")
+    out.append("    <edges>")
+    for i, e in enumerate(edges):
+        w = f' weight="{e["weight"]}"' if graph.weighted else ""
+        out.append(
+            f'      <edge id="{i}" source="{e["src"]}" target="{e["dst"]}"{w}/>'
+        )
+    out += ["    </edges>", "  </graph>", "</gexf>"]
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+
+
 def write_dot(graph: Graph, path: str) -> None:
     """Graphviz DOT writer (io/DotGraphWriter.cpp) — fixture-scale
     visualization hand-off."""

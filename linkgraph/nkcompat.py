@@ -147,6 +147,12 @@ __all__ = [
     "GroupHarmonicCloseness",
     "NeighborhoodFunctionHeuristic",
     "CoverF1Similarity",
+    # reachability / dynamics / multi-target tail --------------------------------
+    "ReachableNodes",
+    "AllSimplePaths",
+    "MultiTargetBFS",
+    "MultiTargetDijkstra",
+    "GraphDifference",
 ]
 
 # module default seed (networkit.setSeed analogue): generators constructed
@@ -804,6 +810,7 @@ class Format:
     ThrillBinary = "thrill"
     NetworkitBinary = "networkit"
     DOT = "dot"
+    GEXF = "gexf"
 
 
 _READERS = {
@@ -815,6 +822,7 @@ _READERS = {
     Format.GraphToolBinary: "read_graphtool",
     Format.ThrillBinary: "read_thrill",
     Format.NetworkitBinary: "read_networkit_binary",
+    Format.GEXF: "read_gexf",
 }
 
 _WRITERS = {
@@ -825,6 +833,7 @@ _WRITERS = {
     Format.ThrillBinary: "write_thrill",
     Format.NetworkitBinary: "write_networkit_binary",
     Format.DOT: "write_dot",
+    Format.GEXF: "write_gexf",
 }
 
 
@@ -2632,6 +2641,154 @@ class _GraphTools:
                 picked.append(v)
             i += 1
         return picked
+
+
+class ReachableNodes:
+    """REF⚠ reachability/ReachableNodes.cpp — per-vertex reachable-set
+    sizes. ``exact=True`` runs the exact closure (component sizes on
+    undirected graphs); ``exact=False`` the FM-sketch estimator, whose
+    values feed both bounds (the reference keeps sampled LB/UB; the
+    sketch analogue is a point estimate, so LB = UB = round(est))."""
+
+    def __init__(self, G: Graph, exact: bool = True):
+        self._G, self._exact = G, exact
+        self._r: dict[int, float] | None = None
+
+    def run(self):
+        from linkgraph.algs.reachability import (
+            reachable_nodes,
+            reachable_nodes_estimate,
+        )
+
+        if self._exact:
+            rows = reachable_nodes(self._G._engine()).collect()
+            self._r = {int(r.id): float(r.reachable) for r in rows}
+        else:
+            rows = reachable_nodes_estimate(self._G._engine()).collect()
+            self._r = {int(r.id): float(r.est) for r in rows}
+        return self
+
+    def numberOfReachableNodes(self, u: int) -> int:
+        assert self._r is not None, "call run() first"
+        if self._exact and u not in self._r:
+            return 1  # isolated facade vertex reaches only itself
+        return int(round(self._r.get(u, 1.0)))
+
+    def numberOfReachableNodesLB(self, u: int) -> int:
+        return self.numberOfReachableNodes(u)
+
+    def numberOfReachableNodesUB(self, u: int) -> int:
+        return self.numberOfReachableNodes(u)
+
+    def exact(self) -> bool:
+        return self._exact
+
+
+class AllSimplePaths:
+    """REF⚠ reachability/AllSimplePaths.cpp — every simple source→target
+    path under ``cutoff`` edges."""
+
+    def __init__(self, G: Graph, source: int, target: int, cutoff: int = 8):
+        self._G = G
+        self._s, self._t, self._cutoff = int(source), int(target), int(cutoff)
+        self._paths: list[list[int]] | None = None
+
+    def run(self):
+        from linkgraph.algs.reachability import all_simple_paths
+
+        rows = all_simple_paths(
+            self._G._engine(), self._s, self._t, cutoff=self._cutoff
+        ).collect()
+        self._paths = sorted([int(v) for v in r.path] for r in rows)
+        return self
+
+    def numberOfSimplePaths(self) -> int:
+        assert self._paths is not None, "call run() first"
+        return len(self._paths)
+
+    def getAllSimplePaths(self) -> list:
+        assert self._paths is not None, "call run() first"
+        return self._paths
+
+    def forAllSimplePaths(self, callback) -> None:
+        for p in self.getAllSimplePaths():
+            callback(p)
+
+
+class MultiTargetBFS:
+    """REF⚠ distance/MultiTargetBFS.cpp — hop distances source→targets,
+    stopping once every target settles (STSP protocol: getDistances()
+    aligned with getTargetIndexMap())."""
+
+    _weighted = False
+
+    def __init__(self, G: Graph, source: int, targets: list):
+        self._G, self._source = G, int(source)
+        self._targets = [int(t) for t in targets]
+        self._d: dict[int, float] | None = None
+
+    def run(self):
+        from linkgraph.algs.bfs import multi_target_bfs, multi_target_sssp
+
+        fn = multi_target_sssp if self._weighted else multi_target_bfs
+        rows = fn(self._G._engine(), self._source, self._targets).collect()
+        self._d = {int(r.id): float(r.dist) for r in rows}
+        return self
+
+    def getTargetIndexMap(self) -> dict:
+        return {t: i for i, t in enumerate(self._targets)}
+
+    def distance(self, t: int) -> float:
+        assert self._d is not None, "call run() first"
+        return self._d.get(int(t), math.inf)
+
+    def getDistances(self) -> list:
+        return [self.distance(t) for t in self._targets]
+
+
+class MultiTargetDijkstra(MultiTargetBFS):
+    """REF⚠ distance/MultiTargetDijkstra.cpp — weighted multi-target
+    distances (distributed relaxation rounds with the settled-targets
+    early exit)."""
+
+    _weighted = True
+
+
+class GraphDifference:
+    """REF⚠ dynamics/GraphDifference.cpp — the edit script transforming
+    G1 into G2, as (op, src, dst, weight) tuples compatible with the
+    streaming delta schema (op ∈ add_edge / remove_edge / update_weight)."""
+
+    def __init__(self, G1: Graph, G2: Graph):
+        self._G1, self._G2 = G1, G2
+        self._edits: list[tuple] | None = None
+
+    def run(self):
+        from linkgraph.streaming.deltas import graph_difference
+
+        rows = graph_difference(
+            self._G1._engine().edges, self._G2._engine().edges
+        ).collect()
+        self._edits = sorted(
+            (r.op, int(r.src), int(r.dst), float(r.weight)) for r in rows
+        )
+        return self
+
+    def getEdits(self) -> list:
+        assert self._edits is not None, "call run() first"
+        return self._edits
+
+    def getNumberOfEdits(self) -> int:
+        return len(self.getEdits())
+
+    def getNumberOfEdgeAdditions(self) -> int:
+        return sum(1 for e in self.getEdits() if e[0] == "add_edge")
+
+    def getNumberOfEdgeRemovals(self) -> int:
+        return sum(1 for e in self.getEdits() if e[0] == "remove_edge")
+
+    def getNumberOfEdgeWeightUpdates(self) -> int:
+        return sum(1 for e in self.getEdits() if e[0] == "update_weight")
 
 
 graphtools = _GraphTools()

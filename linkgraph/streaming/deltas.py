@@ -81,6 +81,40 @@ def apply_deltas(edges: DataFrame, deltas: DataFrame) -> DataFrame:
     return kept.unionByName(upserts)
 
 
+def graph_difference(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """(op, src, dst, weight, ts) — the event stream transforming
+    ``old_edges`` into ``new_edges`` (dynamics/GraphDifference.cpp: edge
+    additions, removals and weight updates; node events are implied by
+    their edges in the edge-table data model).
+
+    Round-trip contract: ``apply_deltas(old_edges, graph_difference(old,
+    new))`` equals ``new`` as a set of (src, dst, weight) rows. Undirected
+    graphs should be passed in their canonical stored orientation (one row
+    per pair) — the diff is a full-outer join on (src, dst), two shuffles
+    total, deterministic ts so replays are idempotent."""
+    o = old_edges.select(
+        "src", "dst", F.coalesce(F.col("weight"), F.lit(1.0)).alias("ow")
+    )
+    n = new_edges.select(
+        "src", "dst", F.coalesce(F.col("weight"), F.lit(1.0)).alias("nw")
+    )
+    j = o.join(n, ["src", "dst"], "full_outer")
+    ts = F.to_timestamp(F.lit("2000-01-01 00:00:00"))
+    return (
+        j.where(F.col("ow").isNull() | F.col("nw").isNull() | (F.col("ow") != F.col("nw")))
+        .select(
+            F.when(F.col("ow").isNull(), F.lit("add_edge"))
+            .when(F.col("nw").isNull(), F.lit("remove_edge"))
+            .otherwise(F.lit("update_weight"))
+            .alias("op"),
+            "src",
+            "dst",
+            F.coalesce("nw", "ow").alias("weight"),
+            ts.alias("ts"),
+        )
+    )
+
+
 def stream_apply_deltas(
     spark: SparkSession,
     delta_path: str,
