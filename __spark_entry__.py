@@ -1742,6 +1742,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "hops",
         )
 
+    def doc_scd_truth(spark, sf):
+        """SCDGroundTruthComparison (scd/SCDGroundTruthComparison.cpp):
+        detected = 2-hop out-balls of seeds {1,2,5} on the sparsified
+        mod-24 contraction; truth cover = id%6 labels. Oracle: full
+        metric re-derivation in SQL (gate_sql.scd_truth_sql)."""
+        from linkgraph.algs.bfs import multi_source_bfs
+        from linkgraph.algs.scd import ground_truth_comparison
+        from linkgraph.graph import Graph
+
+        _register(spark, sf)
+        c = spark.sql(
+            f"WITH {EDGES_CTE} "
+            "SELECT src % 24 AS src, dst % 24 AS dst FROM edges "
+            "WHERE src % 24 <> dst % 24 "
+            "AND ((src % 24) * 7 + (dst % 24) * 11) % 8 = 0 "
+            "GROUP BY 1, 2"
+        )
+        g = Graph.from_edges(c, directed=True)
+        det = multi_source_bfs(g, [1, 2, 5], max_iter=2).select(
+            F.col("source").alias("seed"), "id"
+        )
+        cov = g.nodes().select("id", (F.col("id") % 6).alias("label"))
+        return ground_truth_comparison(det, cov)
+
     def doc_clique_hist(spark, sf):
         """Maximal-clique size histogram (MaximalCliques, distributed
         ego-net Bron-Kerbosch). Oracle: recursive clique-growth CTE
@@ -2011,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bfs_path": doc_bfs_path,
         "doc_reachable_counts": doc_reachable_counts,
         "doc_simple_paths": doc_simple_paths,
+        "doc_scd_truth": doc_scd_truth,
         "doc_sssp": doc_sssp,
         "algebraic_sssp": algebraic_sssp,
         "algebraic_pagerank": algebraic_pagerank_q,
@@ -3361,6 +3386,7 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["doc_simple_paths"] = G.simple_paths_sql(
         EDGES_CTE_MAT, mod=24, keep=8, source=1, target=17, cutoff=5
     )
+    sql["doc_scd_truth"] = G.scd_truth_sql(EDGES_CTE_MAT, mod=24, keep=8, seeds=(1, 2, 5))
     sql["doc_sssp"] = G.sssp_sql(EDGES_CTE_MAT, source=0, rounds=16)
     sql["algebraic_sssp"] = G.sssp_sql(EDGES_CTE_MAT, source=0, rounds=16)
     sql["doc_sfigality"] = G.sfigality_sql(EDGES_CTE_MAT)

@@ -1280,6 +1280,61 @@ FROM walk WHERE last = {target}
 """
 
 
+def scd_truth_sql(cte: str, mod: int = 24, keep: int = 8, seeds=(1, 2, 5)) -> str:
+    """SCDGroundTruthComparison replay: detected = 2-hop out-balls of the
+    seeds on the sparsified mod-N contraction; truth cover = id%6 labels;
+    per-seed tp/sizes/precision/recall/f1/jaccard re-derived in SQL
+    (rounding applied AFTER f1, matching the engine)."""
+    seed_vals = ", ".join(f"(CAST({s} AS BIGINT))" for s in seeds)
+    return f"""
+WITH {cte},
+cg AS MATERIALIZED (
+  SELECT src % {mod} AS src, dst % {mod} AS dst FROM edges
+  WHERE src % {mod} <> dst % {mod}
+    AND ((src % {mod}) * 7 + (dst % {mod}) * 11) % {keep} = 0
+  GROUP BY 1, 2
+),
+cn AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM cg UNION SELECT dst FROM cg) u
+),
+seeds(seed) AS (VALUES {seed_vals}),
+h0 AS (SELECT seed, seed AS id FROM seeds),
+h1 AS (SELECT seed, id FROM h0
+       UNION SELECT h.seed, e.dst FROM h0 h JOIN cg e ON e.src = h.id),
+h2 AS (SELECT seed, id FROM h1
+       UNION SELECT h.seed, e.dst FROM h1 h JOIN cg e ON e.src = h.id),
+cov AS (SELECT id, id % 6 AS label FROM cn),
+sl AS (SELECT DISTINCT s.seed, c.label FROM seeds s JOIN cov c ON c.id = s.seed),
+gt AS (SELECT DISTINCT sl.seed, c.id FROM sl JOIN cov c ON c.label = sl.label),
+tpx AS (SELECT d.seed, count(*) AS tp FROM h2 d
+        JOIN gt g ON g.seed = d.seed AND g.id = d.id GROUP BY d.seed),
+dsx AS (SELECT seed, count(*) AS det_size FROM h2 GROUP BY seed),
+tsx AS (SELECT seed, count(*) AS truth_size FROM gt GROUP BY seed),
+m AS (
+  SELECT s.seed,
+         COALESCE(tpx.tp, 0) AS tp,
+         COALESCE(dsx.det_size, 0) AS det_size,
+         COALESCE(tsx.truth_size, 0) AS truth_size
+  FROM seeds s
+  LEFT JOIN dsx USING (seed) LEFT JOIN tsx USING (seed) LEFT JOIN tpx USING (seed)
+),
+pr AS (
+  SELECT seed, tp, det_size, truth_size,
+         CASE WHEN det_size > 0 THEN tp * 1.0 / det_size ELSE 0.0 END AS p,
+         CASE WHEN truth_size > 0 THEN tp * 1.0 / truth_size ELSE 0.0 END AS r
+  FROM m
+)
+SELECT seed, tp, det_size, truth_size,
+       ROUND(p, 6) AS "precision",
+       ROUND(r, 6) AS recall,
+       ROUND(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END, 6) AS f1,
+       ROUND(CASE WHEN det_size + truth_size - tp > 0
+                  THEN tp * 1.0 / (det_size + truth_size - tp) ELSE 0.0 END, 6)
+         AS jaccard
+FROM pr
+"""
+
+
 def clique_hist_sql(cte: str) -> str:
     """Maximal-clique size histogram. Enumerates all cliques as sorted member
     lists grown one id at a time (recursive CTE; list_has_all = adjacency-to-

@@ -420,6 +420,70 @@ def _greedy_expand(
     )
 
 
+def ground_truth_comparison(
+    detected: DataFrame, truth_cover: DataFrame, ignore_seeds: bool = False
+) -> DataFrame:
+    """(seed, tp, det_size, truth_size, precision, recall, f1, jaccard)
+    per seed — scd/SCDGroundTruthComparison.cpp: the ground truth for a
+    seed is the UNION of cover subsets containing that seed; each
+    detected community is scored against it. ``ignore_seeds`` drops the
+    seed vertex from both sides before scoring (the reference's flag).
+
+    Inputs: ``detected`` (seed, id) — one row per detected member per
+    seed; ``truth_cover`` (id, label) — overlapping cover. Empty sides
+    score 0 (reference convention). Plan: three hash-aggs + three joins
+    keyed on seed — no windows, scale-safe in the number of seeds ×
+    community sizes."""
+    seeds = detected.select("seed").distinct()
+    seed_labels = seeds.join(
+        truth_cover.select(F.col("id").alias("seed"), "label"), "seed"
+    ).select("seed", "label").distinct()
+    gt = (
+        seed_labels.join(truth_cover, "label")
+        .select("seed", "id")
+        .distinct()
+    )
+    det = detected.select("seed", "id").distinct()
+    if ignore_seeds:
+        det = det.where(F.col("id") != F.col("seed"))
+        gt = gt.where(F.col("id") != F.col("seed"))
+    tp = det.join(gt, ["seed", "id"]).groupBy("seed").agg(
+        F.count("*").alias("tp")
+    )
+    ds = det.groupBy("seed").agg(F.count("*").alias("det_size"))
+    ts = gt.groupBy("seed").agg(F.count("*").alias("truth_size"))
+    m = (
+        seeds.join(ds, "seed", "left")
+        .join(ts, "seed", "left")
+        .join(tp, "seed", "left")
+        .select(
+            "seed",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("det_size", F.lit(0)).alias("det_size"),
+            F.coalesce("truth_size", F.lit(0)).alias("truth_size"),
+        )
+    )
+    p = F.when(
+        F.col("det_size") > 0, F.col("tp") / F.col("det_size")
+    ).otherwise(F.lit(0.0))
+    r = F.when(
+        F.col("truth_size") > 0, F.col("tp") / F.col("truth_size")
+    ).otherwise(F.lit(0.0))
+    f1 = F.when((p + r) > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+    union_sz = F.col("det_size") + F.col("truth_size") - F.col("tp")
+    jac = F.when(union_sz > 0, F.col("tp") / union_sz).otherwise(F.lit(0.0))
+    return m.select(
+        "seed",
+        "tp",
+        "det_size",
+        "truth_size",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        F.round(jac, 6).alias("jaccard"),
+    )
+
+
 def gce(graph: Graph, seeds: list, max_size: int = 100) -> DataFrame:
     """Greedy Community Expansion (scd/GCE.cpp)."""
     return _greedy_expand(graph, seeds, "conductance", max_size)

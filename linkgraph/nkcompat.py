@@ -153,6 +153,7 @@ __all__ = [
     "MultiTargetBFS",
     "MultiTargetDijkstra",
     "GraphDifference",
+    "SCDGroundTruthComparison",
 ]
 
 # module default seed (networkit.setSeed analogue): generators constructed
@@ -2789,6 +2790,57 @@ class GraphDifference:
 
     def getNumberOfEdgeWeightUpdates(self) -> int:
         return sum(1 for e in self.getEdits() if e[0] == "update_weight")
+
+
+class SCDGroundTruthComparison:
+    """REF⚠ scd/SCDGroundTruthComparison.cpp — score seed-set detection
+    results against a ground-truth cover. Inputs are the engine's
+    DataFrame shapes: ``detected`` (seed, id), ``truth_cover``
+    (id, label)."""
+
+    def __init__(self, detected, truth_cover, ignore_seeds: bool = False):
+        self._det, self._cov, self._ign = detected, truth_cover, ignore_seeds
+        self._rows: list | None = None
+
+    def run(self):
+        from linkgraph.algs.scd import ground_truth_comparison
+
+        self._rows = ground_truth_comparison(
+            self._det, self._cov, ignore_seeds=self._ign
+        ).collect()
+        return self
+
+    def _col(self, name) -> dict:
+        assert self._rows is not None, "call run() first"
+        return {int(r.seed): float(r[name]) for r in self._rows}
+
+    def getIndividualPrecision(self) -> dict:
+        return self._col("precision")
+
+    def getIndividualRecall(self) -> dict:
+        return self._col("recall")
+
+    def getIndividualF1(self) -> dict:
+        return self._col("f1")
+
+    def getIndividualJaccard(self) -> dict:
+        return self._col("jaccard")
+
+    def _avg(self, name) -> float:
+        vals = self._col(name).values()
+        return sum(vals) / len(vals) if vals else 0.0
+
+    def getAveragePrecision(self) -> float:
+        return self._avg("precision")
+
+    def getAverageRecall(self) -> float:
+        return self._avg("recall")
+
+    def getAverageF1(self) -> float:
+        return self._avg("f1")
+
+    def getAverageJaccard(self) -> float:
+        return self._avg("jaccard")
 
 
 graphtools = _GraphTools()
