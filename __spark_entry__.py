@@ -249,6 +249,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         return jaccard_index(g).select("u", "v", F.round("score", 6).alias("score"))
 
+    def doc_adjusted_rand(spark, sf):
+        """AdjustedRandIndex link-pred scores (ARI of neighborhood
+        indicator partitions) over the common-neighbor candidate set.
+        Oracle: closed form re-derived in SQL from the wedge agg +
+        degrees + n."""
+        from linkgraph.algs.linkpred import adjusted_rand_index
+
+        g = _doc_graph(spark, sf)
+        return adjusted_rand_index(g).select(
+            "u", "v", F.round("score", 6).alias("score")
+        )
+
+    def doc_neighbors_measure(spark, sf):
+        """NeighborsMeasureIndex (Friends measure): common neighbors +
+        connected-neighbor ordered pairs (3-path count). Oracle: wedge
+        agg + triple self-join in SQL."""
+        from linkgraph.algs.linkpred import neighbors_measure
+
+        g = _doc_graph(spark, sf)
+        return neighbors_measure(g).select("u", "v", "score")
+
     def doc_assortativity(spark, sf):
         from linkgraph.algs.centrality import assortativity
 
@@ -2021,6 +2042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pagerank": doc_pagerank,
         "doc_common_neighbors": doc_common_neighbors,
         "doc_adamic_adar": doc_adamic_adar,
+        "doc_adjusted_rand": doc_adjusted_rand,
+        "doc_neighbors_measure": doc_neighbors_measure,
         "doc_jaccard_lp": doc_jaccard_lp,
         "doc_assortativity": doc_assortativity,
         "doc_modularity_fixed": doc_modularity_fixed,
@@ -2654,6 +2677,44 @@ WITH {EDGES_CTE},
 {lp_cte}
 SELECT w.u, w.v, ROUND(SUM(1.0 / LN(CAST(d.d AS DOUBLE))), 6) AS score
 FROM wedge w JOIN deg d ON d.id = w.w GROUP BY w.u, w.v
+"""
+
+    sql["doc_adjusted_rand"] = f"""
+WITH {EDGES_CTE},
+{lp_cte},
+cn AS (SELECT u, v, count(*) AS c FROM wedge GROUP BY u, v),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+parts AS (
+  SELECT cn.u, cn.v,
+         CAST(cn.c AS DOUBLE) AS i,
+         CAST(du.d - cn.c AS DOUBLE) AS a,
+         CAST(dv.d - cn.c AS DOUBLE) AS b,
+         (SELECT n FROM nn) - CAST(du.d + dv.d - cn.c AS DOUBLE) AS dd
+  FROM cn JOIN deg du ON du.id = cn.u JOIN deg dv ON dv.id = cn.v
+)
+SELECT u, v,
+       ROUND(CASE WHEN (i + a) * (a + dd) + (i + b) * (b + dd) <> 0
+                  THEN 2.0 * (i * dd - a * b)
+                       / ((i + a) * (a + dd) + (i + b) * (b + dd))
+                  ELSE 0.0 END, 6) AS score
+FROM parts
+"""
+
+    sql["doc_neighbors_measure"] = f"""
+WITH {EDGES_CTE},
+{lp_cte},
+cn AS (SELECT u, v, CAST(count(*) AS DOUBLE) AS c FROM wedge GROUP BY u, v),
+p3 AS (
+  SELECT e1.src AS u, e3.src AS v, CAST(count(*) AS DOUBLE) AS c
+  FROM symn e1
+  JOIN symn e2 ON e2.src = e1.dst
+  JOIN symn e3 ON e3.dst = e2.dst
+  WHERE e1.src < e3.src
+  GROUP BY e1.src, e3.src
+)
+SELECT COALESCE(cn.u, p3.u) AS u, COALESCE(cn.v, p3.v) AS v,
+       COALESCE(cn.c, 0) + COALESCE(p3.c, 0) AS score
+FROM cn FULL OUTER JOIN p3 ON cn.u = p3.u AND cn.v = p3.v
 """
 
     sql["doc_jaccard_lp"] = f"""

@@ -747,6 +747,38 @@ def algebraic_distance(
     Plan shape: state is one (id, n_systems-wide) row per vertex; each
     sweep is ONE edges⋈state join + ONE hash agg keyed on vertex id for
     all systems together (columns, not rows — no per-system loop)."""
+    state, cols = algebraic_coordinates(graph, n_systems, n_iters, omega, seed)
+    half = graph.symmetric_edges().where(F.col("src") < F.col("dst")).select(
+        "src", "dst"
+    )
+    su = state.select(
+        F.col("id").alias("src"), *[F.col(c).alias(f"u{c}") for c in cols]
+    )
+    sv = state.select(
+        F.col("id").alias("dst"), *[F.col(c).alias(f"v{c}") for c in cols]
+    )
+    diff2 = sum(
+        ((F.col(f"u{c}") - F.col(f"v{c}")) * (F.col(f"u{c}") - F.col(f"v{c}")))
+        for c in cols
+    )
+    return (
+        half.join(su, "src")
+        .join(sv, "dst")
+        .select("src", "dst", F.sqrt(diff2).alias("dist"))
+    )
+
+
+def algebraic_coordinates(
+    graph: Graph,
+    n_systems: int = 8,
+    n_iters: int = 20,
+    omega: float = 0.5,
+    seed: int = 42,
+) -> tuple:
+    """(state (id, a0..a{k-1}), cols) — the JOR-smoothed test vectors
+    behind :func:`algebraic_distance`; shared with the
+    AlgebraicDistanceIndex link-prediction scorer (which measures
+    arbitrary pairs, not just stored edges)."""
     sym = (
         graph.symmetric_edges()
         .where(F.col("src") != F.col("dst"))
@@ -800,27 +832,9 @@ def algebraic_distance(
             )
             .localCheckpoint(eager=True)
         )
-    half = graph.symmetric_edges().where(F.col("src") < F.col("dst")).select(
-        "src", "dst"
-    )
-    su = state.select(
-        F.col("id").alias("src"), *[F.col(c).alias(f"u{c}") for c in cols]
-    )
-    sv = state.select(
-        F.col("id").alias("dst"), *[F.col(c).alias(f"v{c}") for c in cols]
-    )
-    diff2 = sum(
-        ((F.col(f"u{c}") - F.col(f"v{c}")) * (F.col(f"u{c}") - F.col(f"v{c}")))
-        for c in cols
-    )
-    out = (
-        half.join(su, "src")
-        .join(sv, "dst")
-        .select("src", "dst", F.sqrt(diff2).alias("dist"))
-    )
     sym.unpersist()
     wdeg.unpersist()
-    return out
+    return state, cols
 
 
 def jaccard_distance(graph: Graph) -> DataFrame:
@@ -1080,6 +1094,74 @@ def bidirectional_bfs(graph: Graph, source: int, target: int, max_iter: int = 10
     fwd.unpersist()
     bwd.unpersist()
     return None
+
+
+def bidirectional_dijkstra(
+    graph: Graph, source: int, target: int, max_iter: int = 10_000
+):
+    """Weighted source→target distance or None (distance/
+    BidirectionalDijkstra.cpp): relaxation frontiers expand from both
+    endpoints (backward over the transpose on directed graphs),
+    alternating the SMALLER side. Correctness at μ = best meeting
+    distance: with non-negative weights any tentative distance ≥ μ can
+    only produce paths of length ≥ μ, so such candidates are pruned and
+    the loop runs until both frontiers drain — each side touches only
+    the region within μ of its endpoint (the bidirectional win) and the
+    final μ is exact."""
+    spark = graph.edges.sparkSession
+    fwd = (graph.edges if graph.directed else graph.symmetric_edges()).select(
+        "src", "dst", "weight"
+    ).persist()
+    bwd = fwd.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+    ).persist()
+    if int(source) == int(target):
+        fwd.unpersist()
+        bwd.unpersist()
+        return 0.0
+    ds = spark.createDataFrame([(int(source), 0.0)], "id bigint, dist double")
+    dt = spark.createDataFrame([(int(target), 0.0)], "id bigint, dist double")
+    fs, ft = ds, dt
+    sz_s = sz_t = 1
+    best = None
+    for _ in range(max_iter):
+        meet = (
+            ds.join(dt.withColumnRenamed("dist", "db"), "id")
+            .agg(F.min(F.col("dist") + F.col("db")))
+            .collect()[0][0]
+        )
+        if meet is not None:
+            best = float(meet) if best is None else min(best, float(meet))
+        if sz_s == 0 and sz_t == 0:
+            break
+        expand_s = (sz_s > 0) and (sz_t == 0 or sz_s <= sz_t)
+        edges, dist, frontier = (fwd, ds, fs) if expand_s else (bwd, dt, ft)
+        cand = (
+            frontier.join(edges, frontier.id == edges.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("nd"))
+        )
+        if best is not None:
+            cand = cand.where(F.col("nd") < F.lit(best))
+        improved = (
+            cand.join(dist.select("id", F.col("dist").alias("old")), "id", "left")
+            .where(F.col("old").isNull() | (F.col("nd") < F.col("old")))
+            .select("id", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        n_new = improved.count()
+        dist = (
+            dist.join(improved.select("id"), "id", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        if expand_s:
+            ds, fs, sz_s = dist, improved, n_new
+        else:
+            dt, ft, sz_t = dist, improved, n_new
+    fwd.unpersist()
+    bwd.unpersist()
+    return best
 
 
 def astar_landmarks(

@@ -308,6 +308,112 @@ def katz_index(graph: Graph, beta: float = 0.005, max_length: int = 3) -> DataFr
     )
 
 
+def adjusted_rand_index(graph: Graph, max_wedge_degree: int | None = None) -> DataFrame:
+    """(u, v, score) — Adjusted Rand Index of the two neighborhood
+    indicator partitions over the n vertices (REF⚠
+    linkprediction/AdjustedRandIndex.cpp [TBV] — reference repo empty;
+    the public ARI-for-two-binary-partitions closed form): with
+    i = |Γ(u)∩Γ(v)|, a = deg(u)−i, b = deg(v)−i, d = n−(i+a+b),
+    score = 2(i·d − a·b) / ((i+a)(a+d) + (i+b)(b+d)), 0 when the
+    denominator vanishes. Candidate set: common-neighbor pairs (u < v).
+
+    Plan: the common-neighbors wedge agg + two broadcast-sized degree
+    joins + pure expressions — no extra shuffles over common_neighbors."""
+    n = graph.num_nodes()
+    cn = common_neighbors(graph, max_wedge_degree).withColumnRenamed("score", "i")
+    deg = graph.degrees().select("id", "degree")
+    j = (
+        cn.join(deg.select(F.col("id").alias("u"), F.col("degree").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("degree").alias("dv")), "v")
+    )
+    i = F.col("i")
+    a = F.col("du") - i
+    b = F.col("dv") - i
+    d = F.lit(float(n)) - (i + a + b)
+    num = 2.0 * (i * d - a * b)
+    den = (i + a) * (a + d) + (i + b) * (b + d)
+    return j.select(
+        "u", "v", F.when(den != 0, num / den).otherwise(F.lit(0.0)).alias("score")
+    )
+
+
+def neighbors_measure(graph: Graph, max_wedge_degree: int | None = None) -> DataFrame:
+    """(u, v, score) — Friends measure (Fire et al. 2011; REF⚠
+    linkprediction/NeighborsMeasureIndex.cpp): the number of ordered
+    pairs (x, y) ∈ Γ(u)×Γ(v) with x = y or x~y — i.e. common neighbors
+    plus the count of u–x–y–v 3-paths. Candidate set: pairs with
+    score > 0, canonical u < v (the measure is symmetric).
+
+    Plan: the wedge agg (common neighbors) + one 3-path double join;
+    ``max_wedge_degree`` caps BOTH intermediate endpoints, which bounds
+    the 3-path fan-out to Σ min(deg,cap)² — the hub-skew discipline the
+    other indices use."""
+    cn = common_neighbors(graph, max_wedge_degree).withColumnRenamed("score", "cnt")
+    e_ux = _sym(graph, max_wedge_degree).select(
+        F.col("src").alias("u"), F.col("dst").alias("x")
+    )
+    e_xy = (
+        graph.symmetric_edges()
+        .where(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    )
+    e_yv = _sym(graph, max_wedge_degree).select(
+        F.col("dst").alias("y"), F.col("src").alias("v")
+    )
+    p3 = (
+        e_ux.join(e_xy, "x")
+        .join(e_yv, "y")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("double").alias("p3"))
+    )
+    return (
+        cn.join(p3, ["u", "v"], "full_outer")
+        .select(
+            "u",
+            "v",
+            (F.coalesce("cnt", F.lit(0.0)) + F.coalesce("p3", F.lit(0.0))).alias(
+                "score"
+            ),
+        )
+    )
+
+
+def algebraic_distance_index(
+    graph: Graph,
+    pairs: DataFrame | None = None,
+    n_systems: int = 8,
+    n_iters: int = 20,
+    omega: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """(u, v, score) — ℓ2 algebraic distance between the JOR-smoothed
+    coordinates of u and v (REF⚠ linkprediction/AlgebraicDistanceIndex.cpp:
+    AlgebraicDistance preprocessing, then per-pair distance; SMALLER =
+    more similar, unlike the other indices — the reference has the same
+    inversion). ``pairs`` (u, v) defaults to the common-neighbor
+    candidate set; coordinates come from
+    :func:`linkgraph.algs.bfs.algebraic_coordinates` (one smoothing run
+    for ALL scored pairs)."""
+    from linkgraph.algs.bfs import algebraic_coordinates
+
+    state, cols = algebraic_coordinates(graph, n_systems, n_iters, omega, seed)
+    if pairs is None:
+        pairs = common_neighbors(graph).select("u", "v")
+    su = state.select(F.col("id").alias("u"), *[F.col(c).alias(f"u{c}") for c in cols])
+    sv = state.select(F.col("id").alias("v"), *[F.col(c).alias(f"v{c}") for c in cols])
+    diff2 = sum(
+        ((F.col(f"u{c}") - F.col(f"v{c}")) * (F.col(f"u{c}") - F.col(f"v{c}")))
+        for c in cols
+    )
+    return (
+        pairs.select("u", "v")
+        .join(su, "u")
+        .join(sv, "v")
+        .select("u", "v", F.sqrt(diff2).alias("score"))
+    )
+
+
 def link_thresholder(scores: DataFrame, threshold: float) -> DataFrame:
     """Predicted links with score ≥ threshold (LinkThresholder.cpp)."""
     return scores.where(F.col("score") >= threshold).select("u", "v", "score")

@@ -154,6 +154,11 @@ __all__ = [
     "MultiTargetDijkstra",
     "GraphDifference",
     "SCDGroundTruthComparison",
+    "AdjustedRandIndex",
+    "NeighborsMeasureIndex",
+    "AlgebraicDistanceIndex",
+    "ReverseBFS",
+    "BidirectionalDijkstra",
 ]
 
 # module default seed (networkit.setSeed analogue): generators constructed
@@ -2790,6 +2795,95 @@ class GraphDifference:
 
     def getNumberOfEdgeWeightUpdates(self) -> int:
         return sum(1 for e in self.getEdits() if e[0] == "update_weight")
+
+
+class AdjustedRandIndex(_LinkPredictor):
+    """REF⚠ linkprediction/AdjustedRandIndex.cpp — ARI of the two
+    neighborhood indicator partitions."""
+
+    def _score_df(self):
+        from linkgraph.algs.linkpred import adjusted_rand_index
+
+        return adjusted_rand_index(self._G._engine())
+
+
+class NeighborsMeasureIndex(_LinkPredictor):
+    """REF⚠ linkprediction/NeighborsMeasureIndex.cpp — Friends measure
+    (common neighbors + connected neighbor pairs)."""
+
+    def _score_df(self):
+        from linkgraph.algs.linkpred import neighbors_measure
+
+        return neighbors_measure(self._G._engine())
+
+
+class AlgebraicDistanceIndex(_LinkPredictor):
+    """REF⚠ linkprediction/AlgebraicDistanceIndex.cpp — ℓ2 algebraic
+    distance between JOR-smoothed coordinates (smaller = more similar;
+    pairs outside the candidate set score 0.0 per the facade contract,
+    so compare within the candidate set)."""
+
+    def __init__(self, G: Graph, n_systems: int = 8, n_iters: int = 20,
+                 omega: float = 0.5, seed: int | None = None):
+        super().__init__(G)
+        self._kw = dict(
+            n_systems=n_systems, n_iters=n_iters, omega=omega,
+            seed=_SEED if seed is None else seed,
+        )
+
+    def preprocess(self):
+        """Reference protocol: explicit preprocessing hook (coordinates
+        are computed lazily on first lookup either way)."""
+        return self
+
+    def _score_df(self):
+        from linkgraph.algs.linkpred import algebraic_distance_index
+
+        return algebraic_distance_index(self._G._engine(), **self._kw)
+
+
+class ReverseBFS:
+    """REF⚠ distance/ReverseBFS.cpp — BFS along REVERSED edge direction
+    (distances TO the source); same protocol as BFS."""
+
+    def __init__(self, G: Graph, source: int):
+        self._G, self._source = G, int(source)
+        self._d: dict[int, float] | None = None
+
+    def run(self):
+        from linkgraph.algs.bfs import bfs
+
+        eng = self._G._engine().transpose() if self._G.isDirected() else self._G._engine()
+        self._d = {
+            int(r.id): float(r.dist) for r in bfs(eng, self._source).collect()
+        }
+        return self
+
+    def distance(self, v: int) -> float:
+        assert self._d is not None, "call run() first"
+        return self._d.get(int(v), math.inf)
+
+    def getDistances(self) -> list:
+        n = self._G.numberOfNodes()
+        return [self.distance(v) for v in range(n)]
+
+
+class BidirectionalDijkstra:
+    """REF⚠ distance/BidirectionalDijkstra.cpp — weighted point-to-point
+    distance via meeting frontiers."""
+
+    def __init__(self, G: Graph, source: int, target: int):
+        self._G, self._s, self._t = G, int(source), int(target)
+        self._dist: float | None = None
+
+    def run(self):
+        from linkgraph.algs.bfs import bidirectional_dijkstra
+
+        self._dist = bidirectional_dijkstra(self._G._engine(), self._s, self._t)
+        return self
+
+    def getDistance(self) -> float:
+        return math.inf if self._dist is None else float(self._dist)
 
 
 class SCDGroundTruthComparison:
