@@ -1142,6 +1142,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = host_rank(pages, damping=0.85, tol=0.0, max_iter=15)
         return out.select("host", F.round("rank", 6).alias("rank"))
 
+    def url_canonical(spark, sf):
+        """URL canonicalization + canonical-dedup marking (RFC 3986 §6
+        case/port/path normalization, fragment + tracking-param stripping,
+        query sort) over the committed gate_pages URLs plus a literal
+        adversarial set; oracle replays the full rule chain in DuckDB."""
+        import gate_sql as G
+        from linkgraph.crawl import canonical_duplicates
+
+        pages = spark.read.parquet("/root/repo/tests/fixtures/gate_pages")
+        urls = pages.select("url").unionAll(
+            spark.createDataFrame([(u,) for u in G.CRAWL_CANON_URLS], ["url"])
+        )
+        return canonical_duplicates(urls)
+
+    def robots_admission(spark, sf):
+        """RFC 9309 robots.txt parse + longest-match admission for the
+        'linkbot' agent over the gate_pages URL population plus literal
+        wildcard/$-anchor probes; the literal robots corpus covers group
+        selection, allow-wins-ties, anchors, and LIKE-metachar escaping.
+        Oracle replays parse + precedence in DuckDB windows/LIKE."""
+        import gate_sql as G
+        from linkgraph.crawl import parse_robots, robots_allowed
+
+        pages = spark.read.parquet("/root/repo/tests/fixtures/gate_pages")
+        urls = pages.select("url").unionAll(
+            spark.createDataFrame(
+                [(u,) for u in G.CRAWL_ROBOTS_EXTRA_URLS], ["url"]
+            )
+        )
+        robots = spark.createDataFrame(G.CRAWL_ROBOTS, ["host", "robots_txt"])
+        return robots_allowed(urls, parse_robots(robots), G.CRAWL_UA)
+
+    def sitemap_locs(spark, sf):
+        """sitemaps.org 0.9 extraction (urlset/index kinds, lastmod
+        pairing, entity decode, whitespace trim) over the literal corpus;
+        oracle replays with DuckDB regexp_extract_all."""
+        import gate_sql as G
+        from linkgraph.crawl import sitemap_entries
+
+        sm = spark.createDataFrame(G.CRAWL_SITEMAPS, ["url", "xml"])
+        return sitemap_entries(sm)
+
     def pipeline_edges(spark, sf):
         """END-TO-END STREAM gate: the gate_pages fixture is split into
         two parquet files and driven through stream_pages_pipeline (a
@@ -2136,6 +2178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_host_stats": doc_host_stats,
         "doc_host_rank": doc_host_rank,
         "anchor_text": anchor_text,
+        "url_canonical": url_canonical,
+        "robots_admission": robots_admission,
+        "sitemap_locs": sitemap_locs,
         "pipeline_edges": pipeline_edges,
         "events_rollup": events_rollup,
         "events_stream_replay": events_stream_replay,
@@ -3498,6 +3543,13 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["anchor_text"] = G.anchor_text_sql(
         "/root/repo/tests/fixtures/gate_pages/*.parquet"
     )
+    sql["url_canonical"] = G.url_canonical_sql(
+        "/root/repo/tests/fixtures/gate_pages/*.parquet"
+    )
+    sql["robots_admission"] = G.robots_admission_sql(
+        "/root/repo/tests/fixtures/gate_pages/*.parquet"
+    )
+    sql["sitemap_locs"] = G.sitemap_locs_sql()
     sql["pipeline_edges"] = G.extraction_edges_url_sql(
         "/root/repo/tests/fixtures/gate_pages/*.parquet"
     )

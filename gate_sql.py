@@ -2814,3 +2814,279 @@ win AS (
 SELECT true_lang, lang_pred, count(*) AS n
 FROM win GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Crawl hygiene (linkgraph/crawl.py): URL canonicalization, robots, sitemaps
+# ---------------------------------------------------------------------------
+
+# Deterministic literal fixtures shared byte-identically by the Spark
+# queries (__spark_entry__) and these DuckDB replays. Hosts align with the
+# committed gate_pages fixture (d{0..19}.example.org) so robots admission
+# runs over the real crawl URL population.
+
+CRAWL_UA = "linkbot"
+
+CRAWL_CANON_URLS = [
+    "HTTPS://Canon.Example.NET:443/A/B?utm_source=x&b=2&a=1#frag",
+    "http://canon.example.net:80",
+    "http://canon.example.net:8080/a?z=1&y=2",
+    "http://u:p@Canon.example.net/x",
+    "https://canon.example.net:80/a",
+    "http://canon.example.net/a?x=1&&x=1&gclid=z",
+    "http://canon.example.net/a/?ref=home",
+    "ftp://canon.example.net/x",
+    "not a url",
+    "http://canon.example.net/dup?utm_c=1",
+    "HTTP://CANON.EXAMPLE.NET/dup",
+]
+
+CRAWL_ROBOTS = [
+    (
+        "d0.example.org",
+        "# policy\nUser-agent: linkbot\nUser-agent: otherbot\n"
+        "Disallow: /p1\nAllow: /p1*\nCrawl-delay: 5\n\n"
+        "User-agent: *\nDisallow: /\n",
+    ),
+    (
+        "d1.example.org",
+        "User-agent: *\nDisallow: /p2$\nDisallow: /p3*\nAllow: /p33\nDisallow:\n",
+    ),
+    ("d2.example.org", "User-agent: *\nDisallow: /\nAllow: /p1\n"),
+    ("d3.example.org", "Disallow: /orphan\nUser-agent: googlebot\nDisallow: /\n"),
+    (
+        "d4.example.org",
+        "User-agent: *\nAllow: /\nUser-agent: linkbot\nDisallow: /p*0$\n",
+    ),
+]
+
+CRAWL_ROBOTS_EXTRA_URLS = [
+    "https://d1.example.org/p3?sid=9",
+    "https://d1.example.org/p2",
+    "https://d1.example.org/p2x",
+    "https://d1.example.org/p33z",
+    "https://d4.example.org/p70",
+    "https://d4.example.org/p701",
+]
+
+CRAWL_SITEMAPS = [
+    (
+        "https://d0.example.org/sitemap.xml",
+        '<?xml version="1.0" encoding="UTF-8"?>\n<urlset>\n'
+        "<url><loc> https://d0.example.org/p1?a=1&amp;b=2 </loc>"
+        "<lastmod>2026-01-05</lastmod></url>\n"
+        "<url><loc>https://d0.example.org/p2</loc></url>\n"
+        "<url><lastmod>2026-01-06</lastmod></url>\n</urlset>",
+    ),
+    (
+        "https://d1.example.org/sitemap_index.xml",
+        "<sitemapindex><sitemap><loc>https://d1.example.org/sm/a.xml</loc>"
+        "<lastmod>2026-02-01</lastmod></sitemap>\n"
+        "<sitemap><loc>https://d1.example.org/sm/b.xml</loc></sitemap>"
+        "</sitemapindex>",
+    ),
+    (
+        "https://d2.example.org/sitemap.xml",
+        "<urlset><url><loc>https://d2.example.org/x&#39;y&quot;&lt;&gt;</loc></url>\n"
+        "<url>\n<loc>\nhttps://d2.example.org/multi\nline\n</loc>\n</url></urlset>",
+    ),
+]
+
+
+def _sq(s: str) -> str:
+    """SQL single-quoted literal (embedded newlines stay literal)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _canon_expr(url: str) -> str:
+    """DuckDB expression replaying linkgraph.crawl.canonicalize_url
+    (sort_query=True, strip_trailing_slash=False) over column ``url``."""
+    scheme_re = "'^([A-Za-z][A-Za-z0-9+.\\-]*)://'"
+    return f"""(
+  SELECT CASE WHEN scheme IN ('http','https') AND hostport2 <> '' THEN
+    scheme || '://' || userinfo || hostport2 || path2 ||
+    (CASE WHEN qstr <> '' THEN '?' || qstr ELSE '' END)
+  END FROM (
+    SELECT scheme, userinfo, path2, hostport2,
+      array_to_string(list_sort(list_filter(string_split(query, '&'),
+        p -> p <> ''
+         AND NOT starts_with(lower(regexp_extract(p, '^([^=]*)', 1)), 'utm_')
+         AND lower(regexp_extract(p, '^([^=]*)', 1)) NOT IN
+             ('gclid','fbclid','msclkid','mc_eid','igshid','ref','ref_src'))),
+        '&') AS qstr
+    FROM (
+      SELECT scheme, userinfo,
+        CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+               THEN regexp_replace(hostport, ':80$', '')
+             WHEN scheme = 'https' AND hostport LIKE '%:443'
+               THEN regexp_replace(hostport, ':443$', '')
+             ELSE hostport END AS hostport2,
+        CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path2,
+        CASE WHEN contains(path_query, '?')
+             THEN regexp_replace(path_query, '^[^?]*\\?', '')
+             ELSE '' END AS query
+      FROM (
+        SELECT scheme,
+          regexp_extract(authority, '^([^@]*@)', 1) AS userinfo,
+          lower(regexp_replace(authority, '^[^@]*@', '')) AS hostport,
+          regexp_extract(path_query, '^([^?]*)', 1) AS path0, path_query
+        FROM (
+          SELECT lower(regexp_extract(no_frag, {scheme_re}, 1)) AS scheme,
+            regexp_extract(rest, '^([^/?]*)', 1) AS authority,
+            substr(rest, length(regexp_extract(rest, '^([^/?]*)', 1)) + 1)
+              AS path_query, rest
+          FROM (SELECT regexp_replace({url}, '#.*$', '') AS no_frag,
+                       regexp_replace(regexp_replace({url}, '#.*$', ''),
+                                      {scheme_re}, '') AS rest)
+        )
+      )
+    )
+  )
+)"""
+
+
+def url_canonical_sql(pages_glob: str) -> str:
+    """canonical_duplicates over gate_pages urls ∪ the literal adversarial
+    set — full RFC 3986 §6 canonicalization replayed in DuckDB."""
+    vals = ", ".join(f"({_sq(u)})" for u in CRAWL_CANON_URLS)
+    return f"""
+WITH urlsrc(url) AS (
+  SELECT url FROM read_parquet('{pages_glob}')
+  UNION ALL SELECT * FROM (VALUES {vals})
+),
+canon AS (
+  SELECT url, COALESCE({_canon_expr('url')}, url) AS canonical_url FROM urlsrc
+),
+reps AS (SELECT canonical_url, MIN(url) AS rep FROM canon GROUP BY 1)
+SELECT c.url, c.canonical_url,
+       CASE WHEN c.url = r.rep THEN 1 ELSE 0 END AS keep
+FROM canon c JOIN reps r USING (canonical_url)
+"""
+
+
+def robots_admission_sql(pages_glob: str, user_agent: str = CRAWL_UA) -> str:
+    """RFC 9309 parse + longest-match admission replayed in DuckDB over
+    the same literal robots corpus and the gate_pages URL population."""
+    rvals = ", ".join(f"({_sq(h)}, {_sq(t)})" for h, t in CRAWL_ROBOTS)
+    uvals = ", ".join(f"({_sq(u)})" for u in CRAWL_ROBOTS_EXTRA_URLS)
+    ua = _sq(user_agent.lower())
+    return f"""
+WITH robots(host, txt) AS (VALUES {rvals}),
+urlsrc(url) AS (
+  SELECT url FROM read_parquet('{pages_glob}')
+  UNION ALL SELECT * FROM (VALUES {uvals})
+),
+lines AS (
+  SELECT host,
+    unnest(generate_series(1, len(string_split(txt, chr(10))))) AS pos,
+    unnest(string_split(txt, chr(10))) AS raw
+  FROM robots
+),
+parsed AS (
+  SELECT host, pos, line,
+    lower(regexp_extract(line, '^([A-Za-z\\-]+)\\s*:', 1)) AS field,
+    trim(regexp_replace(line, '^[A-Za-z\\-]+\\s*:', '')) AS value
+  FROM (SELECT host, pos, trim(regexp_replace(raw, '#.*$', '')) AS line FROM lines)
+  WHERE line <> ''
+),
+kept AS (
+  SELECT host, pos, field, value,
+    CASE WHEN field = 'user-agent' THEN 1 ELSE 0 END AS is_ua
+  FROM parsed WHERE field IN ('user-agent', 'allow', 'disallow')
+),
+marks AS (
+  SELECT *, CASE WHEN is_ua = 1 AND COALESCE(
+      LAG(is_ua) OVER (PARTITION BY host ORDER BY pos), 0) = 0
+    THEN 1 ELSE 0 END AS ua_start
+  FROM kept
+),
+grp AS (
+  SELECT *, SUM(ua_start) OVER (PARTITION BY host ORDER BY pos) AS group_id
+  FROM marks
+),
+agents AS (
+  SELECT DISTINCT host, group_id, lower(value) AS agent
+  FROM grp WHERE is_ua = 1 AND group_id > 0
+),
+rul AS (
+  SELECT DISTINCT r.host, a.agent, r.field AS rule, r.value AS pattern,
+         length(r.value) AS pattern_len
+  FROM grp r JOIN agents a ON a.host = r.host AND a.group_id = r.group_id
+  WHERE r.is_ua = 0 AND r.group_id > 0 AND r.value <> ''
+),
+cand AS (
+  SELECT host, rule, pattern, pattern_len,
+    CASE WHEN agent = {ua} THEN 1 ELSE 0 END AS is_mine
+  FROM rul WHERE agent IN ({ua}, '*')
+),
+pick AS (
+  SELECT host, rule, pattern, pattern_len,
+    (CASE WHEN pattern LIKE '%$' THEN esc
+          ELSE esc || '%' END) AS lk
+  FROM (
+    SELECT *, replace(replace(replace(replace(
+        CASE WHEN pattern LIKE '%$'
+             THEN regexp_replace(pattern, '\\$$', '') ELSE pattern END,
+        '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%') AS esc
+    FROM (SELECT *, MAX(is_mine) OVER (PARTITION BY host) AS has_mine FROM cand)
+    WHERE is_mine = has_mine
+  )
+),
+u AS (
+  SELECT url, lower(regexp_extract(url, '^https?://([^/:?#]+)', 1)) AS host,
+    (CASE WHEN p = '' THEN '/' ELSE p END) ||
+    (CASE WHEN contains(url, '?')
+          THEN '?' || regexp_extract(url, '\\?([^#]*)', 1) ELSE '' END) AS path
+  FROM (SELECT url,
+          regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1) AS p
+        FROM urlsrc)
+),
+m AS (
+  SELECT u.url, u.host, r.rule, r.pattern,
+    (r.lk IS NOT NULL AND u.path LIKE r.lk ESCAPE '\\') AS hit,
+    CASE WHEN (r.lk IS NOT NULL AND u.path LIKE r.lk ESCAPE '\\') THEN
+      lpad(CAST(r.pattern_len AS VARCHAR), 6, '0') ||
+      (CASE WHEN r.rule = 'allow' THEN '1' ELSE '0' END) || '|' || r.pattern
+    END AS key
+  FROM u LEFT JOIN pick r ON u.host = r.host
+),
+ranked AS (
+  SELECT url, host, rule, pattern,
+    ROW_NUMBER() OVER (PARTITION BY url ORDER BY key DESC NULLS LAST) AS rn,
+    MAX(CASE WHEN hit THEN 1 ELSE 0 END) OVER (PARTITION BY url) AS any_hit
+  FROM m
+)
+SELECT url, host,
+  CASE WHEN any_hit = 1 THEN rule END AS matched_rule,
+  CASE WHEN any_hit = 1 THEN pattern END AS matched_pattern,
+  CASE WHEN any_hit = 1 THEN
+    (CASE WHEN rule = 'allow' THEN 1 ELSE 0 END) ELSE 1 END AS allowed
+FROM ranked WHERE rn = 1
+"""
+
+
+def sitemap_locs_sql() -> str:
+    """sitemaps.org extraction replayed in DuckDB over the literal corpus."""
+    vals = ", ".join(f"({_sq(u)}, {_sq(x)})" for u, x in CRAWL_SITEMAPS)
+    return f"""
+WITH sm(url, xml) AS (VALUES {vals}),
+blocks AS (
+  SELECT url,
+    CASE WHEN contains(xml, '<sitemapindex') THEN 'index' ELSE 'urlset' END AS kind,
+    unnest(regexp_extract_all(xml,
+      '(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1)) AS b
+  FROM sm
+),
+entries AS (
+  SELECT url AS sitemap_url, kind,
+    trim(regexp_extract(b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1)) AS loc_raw,
+    trim(regexp_extract(b, '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1)) AS lastmod_raw
+  FROM blocks
+)
+SELECT sitemap_url, kind,
+  replace(replace(replace(replace(replace(loc_raw,
+    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+    '&amp;', '&') AS loc,
+  CASE WHEN lastmod_raw <> '' THEN lastmod_raw END AS lastmod
+FROM entries WHERE loc_raw <> ''
+"""
