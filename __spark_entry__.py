@@ -1174,6 +1174,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         robots = spark.createDataFrame(G.CRAWL_ROBOTS, ["host", "robots_txt"])
         return robots_allowed(urls, parse_robots(robots), G.CRAWL_UA)
 
+    def warc_pages(spark, sf):
+        """WARC (ISO 28500) fast-path reader over the committed fixture
+        (gate_pages re-encoded as spec-shaped response records): the
+        multi-char-lineSep splittable scan + expression parse; oracle
+        replays via DuckDB read_text + the same regexp contract. Hashes
+        the decoded HTML body (md5) for value identity."""
+        from linkgraph.warc import read_warc
+
+        w = read_warc(spark, "/root/repo/tests/fixtures/gate_warc/pages.warc")
+        return w.select(
+            "url",
+            "warc_type",
+            "warc_date",
+            "http_status",
+            F.length("html").alias("html_len"),
+            F.md5(F.encode("html", "utf-8")).alias("html_md5"),
+        )
+
     def sitemap_locs(spark, sf):
         """sitemaps.org 0.9 extraction (urlset/index kinds, lastmod
         pairing, entity decode, whitespace trim) over the literal corpus;
@@ -2181,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": url_canonical,
         "robots_admission": robots_admission,
         "sitemap_locs": sitemap_locs,
+        "warc_pages": warc_pages,
         "pipeline_edges": pipeline_edges,
         "events_rollup": events_rollup,
         "events_stream_replay": events_stream_replay,
@@ -3550,6 +3569,9 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
         "/root/repo/tests/fixtures/gate_pages/*.parquet"
     )
     sql["sitemap_locs"] = G.sitemap_locs_sql()
+    sql["warc_pages"] = G.warc_pages_sql(
+        "/root/repo/tests/fixtures/gate_warc/pages.warc"
+    )
     sql["pipeline_edges"] = G.extraction_edges_url_sql(
         "/root/repo/tests/fixtures/gate_pages/*.parquet"
     )

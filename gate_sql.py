@@ -3090,3 +3090,43 @@ SELECT sitemap_url, kind,
   CASE WHEN lastmod_raw <> '' THEN lastmod_raw END AS lastmod
 FROM entries WHERE loc_raw <> ''
 """
+
+
+def warc_pages_sql(warc_file: str) -> str:
+    """Fast-path WARC parse replayed in DuckDB: read_text → split on the
+    record magic → regexp header/body extraction (same trailing-CRLF-run
+    strip contract as linkgraph.warc.read_warc)."""
+    return f"""
+WITH f AS (SELECT content FROM read_text('{warc_file}')),
+recs AS (
+  SELECT unnest(string_split(content, 'WARC/1.0' || chr(13) || chr(10))) AS rec
+  FROM f
+),
+good AS (
+  SELECT rec FROM recs
+  WHERE contains(rec, chr(13) || chr(10) || chr(13) || chr(10))
+),
+parsed AS (
+  SELECT
+    nullif(regexp_extract(rec, '(?im)^WARC-Target-URI:\\s*(\\S+)', 1), '') AS url,
+    nullif(regexp_extract(rec, '(?im)^WARC-Type:\\s*(\\S+)', 1), '') AS warc_type,
+    nullif(regexp_extract(rec, '(?im)^WARC-Date:\\s*(\\S+)', 1), '') AS warc_date,
+    regexp_replace(rec, '(?s)^.*?\\r\\n\\r\\n', '') AS payload
+  FROM good
+),
+body AS (
+  SELECT url, warc_type, warc_date,
+    CASE WHEN starts_with(payload, 'HTTP/')
+      THEN TRY_CAST(regexp_extract(payload, '^HTTP/[0-9.]+\\s+([0-9]+)', 1) AS INT)
+    END AS http_status,
+    regexp_replace(
+      CASE WHEN starts_with(payload, 'HTTP/')
+           THEN regexp_replace(payload, '(?s)^.*?\\r\\n\\r\\n', '')
+           ELSE payload END,
+      '(?s)(\\r\\n|\\n)+$', '') AS html
+  FROM parsed
+)
+SELECT url, warc_type, warc_date, http_status,
+       length(html) AS html_len, md5(html) AS html_md5
+FROM body
+"""

@@ -1,0 +1,164 @@
+"""WARC (ISO 28500) pages source/sink — the webtext-native ingest format.
+
+Public-knowledge anchors (REF⚠, no internal systems): the WARC 1.0/1.1
+record grammar (``WARC/1.0`` magic, CRLF header block, ``Content-Length``
+octet count, two-CRLF record terminator) is ISO 28500 / the IIPC WARC
+specification; Common Crawl publishes its corpus in exactly this shape
+(response records whose payload is an HTTP/1.1 message).
+
+Two readers, two scale stories:
+
+- :func:`read_warc` (fast path) — ``spark.read.text`` with the record
+  magic as a multi-character ``lineSep``. The Hadoop line reader splits
+  UNCOMPRESSED warc files at arbitrary byte offsets and scans to the next
+  delimiter, so a single 100-GB warc parallelizes across executors with
+  NO per-file ceiling; parsing is then pure expression work (regexps in
+  whole-stage codegen). Caveats, documented not hidden: payloads that
+  themselves contain the magic sequence split early (vanishingly rare in
+  text corpora, impossible in our fixtures), and a trailing CR/LF run of
+  the record terminator is stripped from the body rather than honoring
+  ``Content-Length`` octet-exactly.
+- :func:`read_warc_strict` — ``binaryFile`` source + Arrow-batched
+  ``mapInPandas``; walks each file's bytes honoring ``Content-Length``
+  exactly, so arbitrary binary payloads are safe. Parallelism is
+  per-file (the right story for ``.warc.gz`` anyway, whose gzip members
+  don't split); this is the documented slow-but-exact path.
+
+:func:`write_warc` emits spec-shaped response records (minimal HTTP/1.1
+envelope, octet-correct Content-Length) for round-trips and fixtures.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["read_warc", "read_warc_strict", "write_warc", "WARC_MAGIC"]
+
+WARC_MAGIC = "WARC/1.0\r\n"
+
+
+def _header(rec, name: str):
+    # (?i) case-insensitive field names per spec; (?m)^ anchors each line
+    return F.nullif(
+        F.regexp_extract(rec, rf"(?im)^{name}:\s*(\S+)", 1), F.lit("")
+    )
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """(url, warc_type, warc_date, http_status, html) — fast splittable
+    reader (see module docstring for the fast-vs-strict contract).
+
+    ``html`` is the HTTP message body for response records (HTTP header
+    block stripped), the raw payload otherwise; the record-terminator
+    CR/LF run is trimmed. Non-record preamble pieces are dropped."""
+    raw = spark.read.option("lineSep", WARC_MAGIC).text(path)
+    rec = F.col("value")
+    payload = F.regexp_replace(rec, r"(?s)^.*?\r\n\r\n", "")
+    is_http = payload.startswith("HTTP/")
+    body = F.when(
+        is_http, F.regexp_replace(payload, r"(?s)^.*?\r\n\r\n", "")
+    ).otherwise(payload)
+    body = F.regexp_replace(body, r"(?s)(\r\n|\n)+$", "")
+    return (
+        raw.where(rec.contains("\r\n\r\n"))
+        .select(
+            _header(rec, "WARC-Target-URI").alias("url"),
+            _header(rec, "WARC-Type").alias("warc_type"),
+            _header(rec, "WARC-Date").alias("warc_date"),
+            F.when(
+                is_http,
+                F.regexp_extract(payload, r"^HTTP/[0-9.]+\s+(\d+)", 1).cast("int"),
+            ).alias("http_status"),
+            body.alias("html"),
+        )
+    )
+
+
+def read_warc_strict(spark: SparkSession, path: str) -> DataFrame:
+    """Content-Length-exact WARC reader over the binaryFile source —
+    per-file parallelism, arbitrary payload bytes safe. Same columns as
+    :func:`read_warc`; ``html`` is utf-8-decoded with replacement."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches) -> Iterator:
+        import pandas as pd
+
+        magic = b"WARC/1.0\r\n"
+        for pdf in batches:
+            out = {k: [] for k in ("url", "warc_type", "warc_date", "http_status", "html")}
+            for content in pdf["content"]:
+                data = bytes(content)
+                i = data.find(magic)
+                while i != -1:
+                    h_end = data.find(b"\r\n\r\n", i)
+                    if h_end == -1:
+                        break
+                    headers = data[i + len(magic): h_end].decode("utf-8", "replace")
+                    fields = {}
+                    for line in headers.split("\r\n"):
+                        if ":" in line:
+                            k, v = line.split(":", 1)
+                            fields[k.strip().lower()] = v.strip()
+                    n = int(fields.get("content-length", "0"))
+                    payload = data[h_end + 4: h_end + 4 + n]
+                    status = None
+                    if payload.startswith(b"HTTP/"):
+                        sp = payload.split(b"\r\n", 1)[0].split()
+                        status = int(sp[1]) if len(sp) > 1 and sp[1].isdigit() else None
+                        b_start = payload.find(b"\r\n\r\n")
+                        payload = payload[b_start + 4:] if b_start != -1 else b""
+                    out["url"].append(fields.get("warc-target-uri"))
+                    out["warc_type"].append(fields.get("warc-type"))
+                    out["warc_date"].append(fields.get("warc-date"))
+                    out["http_status"].append(status)
+                    out["html"].append(payload.decode("utf-8", "replace"))
+                    i = data.find(magic, h_end + 4 + n)
+            yield pd.DataFrame(out)
+
+    return files.select("content").mapInPandas(
+        parse,
+        schema="url string, warc_type string, warc_date string, "
+        "http_status int, html string",
+    )
+
+
+def write_warc(
+    pages: DataFrame,
+    path: str,
+    url_col: str = "url",
+    html_col: str = "html",
+    date_col: str | None = "warc_ts",
+) -> None:
+    """Write spec-shaped WARC response records (HTTP/1.1 200 envelope,
+    octet-correct Content-Length, two-CRLF terminator). ``html`` may be
+    string or binary; ``date_col`` (timestamp) is optional. One text part
+    file per partition — records never split across rows because the row
+    separator is part of the record terminator the readers strip."""
+    html = F.col(html_col)
+    html_s = html.cast("string")
+    date = (
+        F.date_format(F.col(date_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        if date_col and date_col in pages.columns
+        else F.lit("2026-01-01T00:00:00Z")
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "),
+        F.octet_length(html_s).cast("string"),
+        F.lit("\r\n\r\n"),
+        html_s,
+    )
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        F.col(url_col),
+        F.lit("\r\nWARC-Date: "),
+        date,
+        F.lit("\r\nContent-Type: application/http;msgtype=response"),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),  # spec record terminator (the text sink's own \n follows)
+    )
+    pages.select(record.alias("value")).write.mode("overwrite").text(path)
