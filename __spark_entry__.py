@@ -370,6 +370,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         return core_decomposition(g).select("id", F.col("core").cast("bigint").alias("core"))
 
+    def doc_luby_mis(spark, sf):
+        from linkgraph.algs.independentset import luby_rounds_fixed
+
+        g = _doc_graph(spark, sf)
+        return luby_rounds_fixed(g, rounds=8, seed=42, portable=True).select(
+            "id",
+            F.col("in_mis").cast("int").alias("in_mis"),
+            F.col("undecided").cast("int").alias("undecided"),
+        )
+
     def doc_eigenvector(spark, sf):
         from linkgraph.algs.centrality import eigenvector_centrality
 
@@ -2112,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events_funnel,
         "doc_plp": doc_plp,
         "doc_kcore": doc_kcore,
+        "doc_luby_mis": doc_luby_mis,
         "doc_eigenvector": doc_eigenvector,
         "doc_katz": doc_katz,
         "doc_bfs": doc_bfs,
@@ -3503,6 +3514,7 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["doc_lang_nb"] = G.langid_nb_sql(n=3, vocab_size=500, alpha=1.0, holdout_mod=5)
     sql["doc_plp"] = G.plp_sql(EDGES_CTE_MAT, iters=30)
     sql["doc_kcore"] = G.kcore_sql(EDGES_CTE_MAT, iters=10)
+    sql["doc_luby_mis"] = G.luby_sql(EDGES_CTE_MAT, rounds=8, seed=42)
     sql["doc_eigenvector"] = G.eigenvector_sql(EDGES_CTE_MAT, iters=12)
     sql["doc_katz"] = G.katz_sql(EDGES_CTE_MAT, alpha=0.01, beta=1.0, iters=12)
     sql["doc_bfs"] = G.bfs_sql(EDGES_CTE_MAT, source=0, hops=12)

@@ -3130,3 +3130,57 @@ SELECT url, warc_type, warc_date, http_status,
        length(html) AS html_len, md5(html) AS html_md5
 FROM body
 """
+
+
+# ---------------------------------------------------------------------------
+# Luby maximal independent set — unrolled rounds with portable priorities
+# ---------------------------------------------------------------------------
+
+
+def luby_sql(cte: str, rounds: int = 8, seed: int = 42) -> str:
+    """Replay linkgraph.algs.independentset.luby_rounds_fixed exactly:
+    per-round priorities are the portable hash phash(id, seed, round);
+    the engine's strict lexicographic (priority, id) struct-max tie-break
+    is reproduced as a two-stage max (max priority, then max id among
+    neighbors at that priority)."""
+    parts = [
+        "symn AS MATERIALIZED (SELECT DISTINCT src, dst FROM sym WHERE src <> dst)",
+        "ms0 AS MATERIALIZED (SELECT id, 0 AS st FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        pri = phash_sql("id", str(seed), str(i))
+        parts.append(
+            f"mu{i} AS MATERIALIZED (SELECT id, {pri} AS pri FROM ms{p} WHERE st = 0)"
+        )
+        parts.append(
+            f"mr{i} AS MATERIALIZED (SELECT e.src AS id, MAX(q.pri) AS mp "
+            f"FROM symn e JOIN mu{i} s ON s.id = e.src "
+            f"JOIN mu{i} q ON q.id = e.dst GROUP BY e.src)"
+        )
+        parts.append(
+            f"mr2{i} AS MATERIALIZED (SELECT e.src AS id, r.mp, MAX(e.dst) AS mid "
+            f"FROM symn e JOIN mu{i} q ON q.id = e.dst "
+            f"JOIN mr{i} r ON r.id = e.src AND q.pri = r.mp GROUP BY e.src, r.mp)"
+        )
+        parts.append(
+            f"mw{i} AS MATERIALIZED (SELECT u.id FROM mu{i} u "
+            f"LEFT JOIN mr2{i} r ON r.id = u.id "
+            f"WHERE r.id IS NULL OR u.pri > r.mp OR (u.pri = r.mp AND u.id > r.mid))"
+        )
+        parts.append(
+            f"mx{i} AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM symn e "
+            f"JOIN mw{i} w ON w.id = e.src JOIN mu{i} u ON u.id = e.dst "
+            f"WHERE e.dst NOT IN (SELECT id FROM mw{i}))"
+        )
+        parts.append(
+            f"ms{i} AS MATERIALIZED (SELECT s.id, "
+            f"CASE WHEN w.id IS NOT NULL THEN 1 WHEN x.id IS NOT NULL THEN 2 "
+            f"ELSE s.st END AS st FROM ms{p} s "
+            f"LEFT JOIN mw{i} w ON w.id = s.id LEFT JOIN mx{i} x ON x.id = s.id)"
+        )
+    return (
+        f"WITH {cte},\n" + ",\n".join(parts) +
+        f"\nSELECT id, CASE WHEN st = 1 THEN 1 ELSE 0 END AS in_mis, "
+        f"CASE WHEN st = 0 THEN 1 ELSE 0 END AS undecided FROM ms{rounds}"
+    )
