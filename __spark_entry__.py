@@ -564,6 +564,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _register(spark, sf)
         return token_count(spark.table("documents"))
 
+    def doc_unigram_pieces(spark, sf):
+        """Unigram-LM Viterbi segmentation of the distinct-word table with
+        an SQL-derivable vocabulary: all chars + top-60 substrings (len
+        2-4) of the doc_id%10 subset's words, costs = round(-ln p, 6) so
+        the DuckDB lattice-DP replay (gate_sql.unigram_sql) is exact."""
+        from linkgraph.text.unigram import substring_counts, unigram_segment_words
+
+        _register(spark, sf)
+        words = spark.sql(
+            """
+            SELECT DISTINCT w AS word
+            FROM (SELECT explode(split(lower(text), ' ')) AS w
+                  FROM documents WHERE doc_id % 10 = 0)
+            WHERE length(w) BETWEEN 3 AND 12
+            """
+        )
+        cnts = substring_counts(
+            words.withColumn("freq", F.lit(1)), max_piece_len=4
+        ).persist()
+        vocab = cnts.where(F.length("piece") == 1).unionByName(
+            cnts.where(F.length("piece") >= 2)
+            .orderBy(F.desc("cnt"), F.asc("piece"))
+            .limit(60)
+        )
+        total = float(vocab.agg(F.sum("cnt")).collect()[0][0])
+        model = vocab.select(
+            "piece",
+            F.round(-F.log(F.col("cnt") / F.lit(total)), 6).alias("nll"),
+        )
+        nll = {r["piece"]: r["nll"] for r in model.collect()}
+        cnts.unpersist()
+        seg = unigram_segment_words(words, nll, max_piece_len=4)
+        return seg.select(
+            "word",
+            F.size("pieces").cast("bigint").alias("n_pieces"),
+            F.concat_ws("|", "pieces").alias("seg"),
+        )
+
     def lang_dist(spark, sf):
         _register(spark, sf)
         return spark.table("documents").groupBy("lang").agg(F.count("*").alias("n"))
@@ -2123,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_plp": doc_plp,
         "doc_kcore": doc_kcore,
         "doc_luby_mis": doc_luby_mis,
+        "doc_unigram_pieces": doc_unigram_pieces,
         "doc_eigenvector": doc_eigenvector,
         "doc_katz": doc_katz,
         "doc_bfs": doc_bfs,
@@ -3515,6 +3554,7 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["doc_plp"] = G.plp_sql(EDGES_CTE_MAT, iters=30)
     sql["doc_kcore"] = G.kcore_sql(EDGES_CTE_MAT, iters=10)
     sql["doc_luby_mis"] = G.luby_sql(EDGES_CTE_MAT, rounds=8, seed=42)
+    sql["doc_unigram_pieces"] = G.unigram_sql(mod=10, top_multi=60, max_wlen=12)
     sql["doc_eigenvector"] = G.eigenvector_sql(EDGES_CTE_MAT, iters=12)
     sql["doc_katz"] = G.katz_sql(EDGES_CTE_MAT, alpha=0.01, beta=1.0, iters=12)
     sql["doc_bfs"] = G.bfs_sql(EDGES_CTE_MAT, source=0, hops=12)

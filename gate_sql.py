@@ -3184,3 +3184,80 @@ def luby_sql(cte: str, rounds: int = 8, seed: int = 42) -> str:
         f"\nSELECT id, CASE WHEN st = 1 THEN 1 ELSE 0 END AS in_mis, "
         f"CASE WHEN st = 0 THEN 1 ELSE 0 END AS undecided FROM ms{rounds}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM Viterbi segmentation — SQL-derived vocab + lattice DP unroll
+# ---------------------------------------------------------------------------
+
+
+def unigram_sql(
+    mod: int = 50, top_multi: int = 60, max_wlen: int = 12
+) -> str:
+    """Replay __spark_entry__.doc_unigram_pieces: vocabulary = every
+    single character + the top-``top_multi`` substrings (length 2-4,
+    ties piece-asc) over the distinct words (length 3..``max_wlen``) of
+    the doc_id%``mod`` subset; piece cost = ROUND(-ln(cnt/total), 6);
+    segmentation = min-NLL Viterbi with the engine's pinned tie-break
+    (smallest split point at equal cost). The DP runs as ``max_wlen``
+    Bellman-Ford rounds over the position lattice, then backpointers
+    (min start at exact dp equality — doubles are bit-identical because
+    both engines accumulate path sums left-to-right) rebuild the pieces
+    in ``max_wlen`` reverse rounds."""
+    sub_sel = "\n  UNION ALL ".join(
+        f"SELECT word, i, substr(word, i, {p}) AS piece "
+        f"FROM w0, unnest(generate_series(1, length(word) - {p - 1})) AS g(i)"
+        for p in range(1, 5)
+    )
+    parts = [
+        f"""w0 AS MATERIALIZED (
+  SELECT DISTINCT w AS word
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE doc_id % {mod} = 0)
+  WHERE length(w) BETWEEN 3 AND {max_wlen})""",
+        f"subs AS MATERIALIZED (SELECT piece FROM ({sub_sel}))",
+        "cnts AS MATERIALIZED (SELECT piece, count(*) AS cnt FROM subs GROUP BY piece)",
+        f"""vocab AS MATERIALIZED (
+  SELECT piece, cnt FROM cnts WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+    FROM cnts WHERE length(piece) >= 2) t WHERE rn <= {top_multi})""",
+        "model AS MATERIALIZED (SELECT piece, "
+        "ROUND(-ln(cnt / (SELECT SUM(cnt) * 1.0 FROM vocab)), 6) AS nll FROM vocab)",
+        f"""arcs AS MATERIALIZED (
+  SELECT s.word, s.i - 1 AS i, s.i - 1 + length(s.piece) AS j, m.nll
+  FROM ({sub_sel}) s JOIN model m ON m.piece = s.piece)""",
+        "vd0 AS MATERIALIZED (SELECT word, 0 AS pos, CAST(0 AS DOUBLE) AS nll FROM w0)",
+    ]
+    for r in range(1, max_wlen + 1):
+        parts.append(
+            f"vd{r} AS MATERIALIZED (SELECT word, pos, MIN(nll) AS nll FROM ("
+            f"SELECT word, pos, nll FROM vd{r - 1} UNION ALL "
+            f"SELECT a.word, a.j AS pos, d.nll + a.nll FROM vd{r - 1} d "
+            f"JOIN arcs a ON a.word = d.word AND a.i = d.pos) u GROUP BY word, pos)"
+        )
+    parts.append(
+        f"bp AS MATERIALIZED (SELECT a.word, a.j, MIN(a.i) AS i FROM arcs a "
+        f"JOIN vd{max_wlen} di ON di.word = a.word AND di.pos = a.i "
+        f"JOIN vd{max_wlen} dj ON dj.word = a.word AND dj.pos = a.j "
+        f"WHERE di.nll + a.nll = dj.nll GROUP BY a.word, a.j)"
+    )
+    parts.append(
+        "sg0 AS MATERIALIZED (SELECT word, length(word) AS pos, '' AS seg FROM w0)"
+    )
+    for r in range(1, max_wlen + 1):
+        parts.append(
+            f"sg{r} AS MATERIALIZED ("
+            f"SELECT word, pos, seg FROM sg{r - 1} WHERE pos = 0 "
+            f"UNION ALL SELECT p.word, b.i AS pos, "
+            f"substr(p.word, b.i + 1, p.pos - b.i) || "
+            f"CASE WHEN p.seg = '' THEN '' ELSE '|' END || p.seg AS seg "
+            f"FROM sg{r - 1} p JOIN bp b ON b.word = p.word AND b.j = p.pos "
+            f"WHERE p.pos > 0)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) +
+        f"\nSELECT word, CAST(length(seg) - length(replace(seg, '|', '')) + 1 AS BIGINT)"
+        f" AS n_pieces, seg FROM sg{max_wlen}"
+    )
