@@ -154,6 +154,8 @@ __all__ = [
     "MultiTargetDijkstra",
     "GraphDifference",
     "SCDGroundTruthComparison",
+    "Luby",
+    "GephiStreamingClient",
     "AdjustedRandIndex",
     "NeighborsMeasureIndex",
     "AlgebraicDistanceIndex",
@@ -2938,3 +2940,83 @@ class SCDGroundTruthComparison:
 
 
 graphtools = _GraphTools()
+
+
+class Luby:
+    """Luby maximal independent set (REF⚠ independentset/Luby.cpp): the
+    reference's ``run(G)`` returns a boolean membership vector and
+    ``isIndependentSet`` re-checks a candidate set."""
+
+    def run(self, G: Graph) -> list[bool]:
+        from linkgraph.algs.independentset import luby_independent_set
+
+        df = luby_independent_set(G._engine())
+        got = {int(r.id): bool(r.in_mis) for r in df.collect()}
+        # vertices absent from the edge table are isolated → always in MIS
+        return [got.get(v, True) for v in range(G.numberOfNodes())]
+
+    def isIndependentSet(self, candidate, G: Graph) -> bool:
+        from pyspark.sql import functions as F
+
+        s = (
+            {v for v, b in enumerate(candidate) if b}
+            if isinstance(candidate, (list, tuple))
+            else set(candidate)
+        )
+        rows = (
+            G._engine()
+            .symmetric_edges()
+            .where(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .collect()
+        )
+        return not any(r.src in s and r.dst in s for r in rows)
+
+
+class GephiStreamingClient:
+    """REF⚠ gephi/streaming.py::GephiStreamingClient — push a graph and
+    per-node attribute values to a Gephi master through the Graph
+    Streaming JSON protocol. Pass ``out_dir=`` to write each export as an
+    ordered JSON-lines file instead of POSTing (the sandbox has no Gephi
+    server; the bytes are identical — replay later with curl)."""
+
+    def __init__(
+        self,
+        url: str = "http://localhost:8080/workspace0?operation=updateGraph",
+        out_dir: str | None = None,
+    ):
+        self._url = url
+        self._dir = out_dir
+        self._n = 0
+
+    def _sink(self, events) -> None:
+        from linkgraph.gephi import post_events, write_event_stream
+
+        if self._dir is not None:
+            self._n += 1
+            write_event_stream(events, f"{self._dir}/export_{self._n}")
+        else:  # pragma: no cover - needs a live Gephi master
+            post_events(events, self._url)
+
+    def exportGraph(self, G: Graph) -> None:
+        from linkgraph.gephi import graph_events
+
+        self._sink(graph_events(G._engine()))
+
+    def exportNodeValues(self, G: Graph, values, name: str) -> None:
+        from linkgraph.gephi import attribute_events
+
+        df = _spark().createDataFrame(
+            [(int(v), float(x)) for v, x in enumerate(values)],
+            f"id bigint, {name} double",
+        )
+        self._sink(attribute_events(df))
+
+    def clearGraph(self) -> None:
+        from pyspark.sql import functions as F
+
+        ev = _spark().range(1).select(
+            F.lit(0).cast("bigint").alias("seq"),
+            F.lit('{"dn":{"filter":"ALL"}}').alias("event"),
+        )
+        self._sink(ev)

@@ -590,3 +590,41 @@ def test_cover_f1_facade(spark):
     assert cf.getUnweightedAverage() == pytest.approx(2 / 3)
     assert cf.getWeightedAverage() == pytest.approx(2 / 3)
     assert cf.getValue(0) == pytest.approx(2 / 3)
+
+
+def test_luby_facade(karate):
+    luby = nk.Luby()
+    member = luby.run(karate)
+    assert len(member) == 34 and any(member)
+    assert luby.isIndependentSet(member, karate)
+    # maximality: flipping any outside vertex in breaks independence
+    s = {v for v, b in enumerate(member) if b}
+    for v in range(34):
+        if v not in s:
+            assert not luby.isIndependentSet(s | {v}, karate)
+
+
+def test_gephi_client_facade(two_triangles, tmp_path):
+    import glob
+    import json
+
+    cli = nk.GephiStreamingClient(out_dir=str(tmp_path))
+    cli.exportGraph(two_triangles)
+    cli.exportNodeValues(two_triangles, [0.1 * v for v in range(6)], "score")
+    cli.clearGraph()
+    exports = sorted(glob.glob(str(tmp_path) + "/export_*"))
+    assert len(exports) == 3
+
+    def lines(d):
+        out = []
+        for f in sorted(glob.glob(d + "/part-*")):
+            out += [json.loads(l) for l in open(f) if l.strip()]
+        return out
+
+    g = lines(exports[0])
+    assert sum(1 for l in g if "an" in l) == 6
+    assert sum(1 for l in g if "ae" in l) == 7
+    vals = lines(exports[1])
+    cn = {k: v for l in vals for k, v in l["cn"].items()}
+    assert cn["3"]["score"] == pytest.approx(0.3)
+    assert lines(exports[2]) == [{"dn": {"filter": "ALL"}}]
