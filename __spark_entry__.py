@@ -959,6 +959,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             portable=True,
         ).select("doc_id", "lang")
 
+    def doc_source_quota(spark, sf):
+        from linkgraph.text.pipeline import source_quota_sample
+
+        _register(spark, sf)
+        return source_quota_sample(
+            spark.table("documents"), 20, group_col="source", seed=42,
+            portable=True,
+        ).select("doc_id", "source")
+
+    def doc_snapshot_diff(spark, sf):
+        from linkgraph.crawl import snapshot_diff
+
+        _register(spark, sf)
+        d = spark.table("documents")
+        old = d.where(F.col("doc_id") % 3 != 0).select(
+            F.col("doc_id").alias("url"), "text"
+        )
+        new = d.where(F.col("doc_id") % 2 == 0).select(
+            F.col("doc_id").alias("url"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return snapshot_diff(old, new, key_col="url")
+
     # --- partition quality metrics over the fixed labeling id % 7 --------
     def doc_hub_dominance(spark, sf):
         from linkgraph.algs.community import hub_dominance
@@ -2237,6 +2264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_logloss": doc_unigram_logloss,
         "doc_perplexity_buckets": doc_perplexity_buckets,
         "doc_stratified_sample": doc_stratified_sample,
+        "doc_source_quota": doc_source_quota,
+        "doc_snapshot_diff": doc_snapshot_diff,
         "minhash_dups": minhash_dups,
         "minhash_dup_groups": minhash_dup_groups,
         "simhash_dups": simhash_dups,
@@ -3492,6 +3521,34 @@ SELECT doc_id, lang FROM documents
 WHERE {_pph("doc_id", "42")} % 1000000 <
       (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
             WHEN 'zh' THEN 0.25 ELSE 0.0 END) * 1000000
+"""
+
+    sql["doc_source_quota"] = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {_pph("doc_id", "42")} ASC, doc_id ASC) AS rn
+  FROM documents) t
+WHERE rn <= 20
+"""
+
+    sql["doc_snapshot_diff"] = """
+WITH o AS (
+  SELECT doc_id AS key, MIN(sha256(COALESCE(text, ''))) AS old_digest
+  FROM documents WHERE doc_id % 3 <> 0 GROUP BY doc_id),
+n AS (
+  SELECT doc_id AS key,
+         MIN(sha256(COALESCE(
+           CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END, '')))
+           AS new_digest
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY doc_id)
+SELECT COALESCE(o.key, n.key) AS key,
+       CASE WHEN o.key IS NULL THEN 'added'
+            WHEN n.key IS NULL THEN 'removed'
+            WHEN old_digest = new_digest THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old_digest, new_digest
+FROM o FULL OUTER JOIN n ON n.key = o.key
 """
 
     # argmax parity with array_max(struct(score, lang)): max score, then

@@ -398,3 +398,50 @@ def sitemap_entries(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff — crawl-to-crawl change detection
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """(key, status, old_digest, new_digest) — classify every page across
+    two crawl snapshots: ``added`` (key only in new), ``removed`` (only in
+    old), ``changed`` (both, different content digest), ``unchanged``.
+    The shape every incremental-crawl pipeline consumes (re-extract only
+    added+changed, tombstone removed).
+
+    One full outer join on the key after reducing each side to
+    (key, sha256 digest) — no text leaves the scan, so the shuffle
+    carries 2×(key+32B) per page regardless of page size. Duplicate keys
+    within a snapshot are first collapsed to their min digest
+    (deterministic, order-independent)."""
+
+    def digests(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(key_col).alias("key"),
+                F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("d"),
+            )
+            .groupBy("key")
+            .agg(F.min("d").alias(alias))
+        )
+
+    o = digests(old, "old_digest")
+    n = digests(new, "new_digest")
+    return o.join(n, "key", "full_outer").select(
+        "key",
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        "old_digest",
+        "new_digest",
+    )

@@ -848,3 +848,32 @@ def c4_filters(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).cast("int"),
         )
     )
+
+
+def source_quota_sample(
+    docs: DataFrame,
+    max_per_group: int,
+    group_col: str = "source",
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Cap every group at ``max_per_group`` documents — the per-domain
+    quota pass that stops hub sites from dominating a crawl-derived
+    corpus. Kept rows are the ``max_per_group`` smallest by seeded
+    (hash, doc_id) order inside each group: deterministic and
+    partitioning-invariant (unlike limit/sample), and a FIXED subset —
+    re-running on a superset keeps previously-kept docs only as far as
+    the hash order allows, so quotas stay stable under re-crawls.
+
+    Plan: one window rank partitioned BY THE GROUP KEY (each group sorts
+    independently — no global sort, no single-partition exchange; skewed
+    mega-groups bound the task, and they are exactly the groups the quota
+    is for). For heavy-hitter protection beyond the window, pre-filter
+    with ``stratified_sample`` at fraction quota/|group|."""
+    h = _seeded_hash("doc_id", seed, portable)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(max_per_group))
+        .drop("_rn")
+    )

@@ -380,3 +380,73 @@ def test_c4_counts_exclamatory_sentences(spark):
     df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
     r = c4_filters(df).collect()[0]
     assert r.n_lines_kept == 3 and r.n_sentences == 3 and r.c4_passes == 1
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff + source_quota_sample (round-3 session-3 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_all_statuses(spark):
+    from linkgraph.crawl import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", "one"), ("b", "two"), ("c", "three")], "url string, text string"
+    )
+    new = spark.createDataFrame(
+        [("b", "two"), ("c", "THREE"), ("d", "four")], "url string, text string"
+    )
+    got = {r.key: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        "a": "removed", "b": "unchanged", "c": "changed", "d": "added",
+    }
+
+
+def test_snapshot_diff_duplicate_keys_collapse(spark):
+    from linkgraph.crawl import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", "x"), ("a", "y")], "url string, text string"
+    )
+    new = spark.createDataFrame([("a", "x")], "url string, text string")
+    rows = snapshot_diff(old, new).collect()
+    assert len(rows) == 1
+    # min-digest collapse is deterministic: whichever of sha(x)/sha(y) is
+    # smaller decides changed-vs-unchanged, identically on every run
+    again = snapshot_diff(old, new).collect()
+    assert rows[0].status == again[0].status
+
+
+def test_source_quota_cap_and_determinism(spark):
+    from linkgraph.text.pipeline import source_quota_sample
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 40 else "small", f"t{i}") for i in range(43)],
+        "doc_id bigint, source string, text string",
+    )
+    kept = source_quota_sample(docs, 5, seed=1)
+    counts = {r.source: r.n for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["big"] == 5 and counts["small"] == 3  # small under quota
+    a = {r.doc_id for r in kept.collect()}
+    b = {r.doc_id for r in source_quota_sample(docs, 5, seed=1).collect()}
+    assert a == b
+    # different seed re-draws the big group's winners
+    c = {r.doc_id for r in source_quota_sample(docs, 5, seed=2).collect()}
+    assert {d for d in c if d < 40} != {d for d in a if d < 40}
+
+
+def test_source_quota_stable_under_growth(spark):
+    from linkgraph.text.pipeline import source_quota_sample
+
+    small = spark.createDataFrame(
+        [(i, "s", "t") for i in range(30)], "doc_id bigint, source string, text string"
+    )
+    big = spark.createDataFrame(
+        [(i, "s", "t") for i in range(60)], "doc_id bigint, source string, text string"
+    )
+    ks = {r.doc_id for r in source_quota_sample(small, 8, seed=3).collect()}
+    kb = {r.doc_id for r in source_quota_sample(big, 8, seed=3).collect()}
+    # hash order is global: the superset's winners are a prefix of the
+    # same order, so overlap equals the old winners that stay in the top 8
+    assert kb & set(range(30)) <= ks
