@@ -959,6 +959,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             portable=True,
         ).select("doc_id", "lang")
 
+    def dup_groups_best(spark, sf):
+        """Quality-aware dedup: exact groups re-elect their kept copy as
+        the max-score member (arbitrary deterministic per-doc score so
+        identical-text members actually differ). The synthetic corpus has
+        no byte-identical pairs, so every doc_id%25==0 doc gets a planted
+        clone at doc_id+1_000_000 (same convention as the embedding
+        gate's _embed_with_clones)."""
+        from linkgraph.portable import phash
+        from linkgraph.text.dedup import keep_representative
+
+        _register(spark, sf)
+        base = spark.table("documents")
+        d = base.select("doc_id", "text").unionByName(
+            base.where(F.col("doc_id") % 25 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+        groups = exact_duplicate_groups(d)
+        prefer = d.select(
+            "doc_id",
+            F.pmod(phash(F.col("doc_id"), F.lit(7)), F.lit(1000))
+            .cast("double")
+            .alias("score"),
+        )
+        return keep_representative(groups, prefer)
+
     def doc_source_quota(spark, sf):
         from linkgraph.text.pipeline import source_quota_sample
 
@@ -2265,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_perplexity_buckets": doc_perplexity_buckets,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_source_quota": doc_source_quota,
+        "dup_groups_best": dup_groups_best,
         "doc_snapshot_diff": doc_snapshot_diff,
         "minhash_dups": minhash_dups,
         "minhash_dup_groups": minhash_dup_groups,
@@ -3521,6 +3548,24 @@ SELECT doc_id, lang FROM documents
 WHERE {_pph("doc_id", "42")} % 1000000 <
       (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
             WHEN 'zh' THEN 0.25 ELSE 0.0 END) * 1000000
+"""
+
+    sql["dup_groups_best"] = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0),
+grp AS (SELECT text, MIN(doc_id) AS group_id FROM aug
+        GROUP BY text HAVING count(*) > 1),
+mem AS (SELECT g.group_id, k.doc_id,
+               {_pph("k.doc_id", "7")} % 1000 AS p
+        FROM aug k JOIN grp g ON g.text = k.text),
+rk AS (SELECT group_id, doc_id,
+              ROW_NUMBER() OVER (PARTITION BY group_id
+                                 ORDER BY p DESC, doc_id ASC) AS rn
+       FROM mem)
+SELECT doc_id, group_id, CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
+FROM rk
 """
 
     sql["doc_source_quota"] = f"""

@@ -639,3 +639,33 @@ def dedup_lines(
             F.coalesce("n_dup_lines", F.lit(0)).cast("bigint").alias("n_dup_lines"),
         )
     )
+
+
+def keep_representative(
+    groups: DataFrame, prefer: DataFrame, prefer_col: str = "score"
+) -> DataFrame:
+    """(doc_id, group_id, keep) — re-elect each dedup group's kept copy as
+    the member MAXIMIZING ``prefer_col`` (ties → min doc_id), replacing
+    the default min-doc_id rule of :func:`near_duplicate_groups` /
+    :func:`exact_duplicate_groups`. This is the quality-aware dedup
+    decision real pipelines apply (keep the longest / highest-quality /
+    most-recent copy); ``prefer`` is any (doc_id, score) table — a
+    quality scorer's output, n_chars, a recency stamp.
+
+    One join against the score table + one per-group min_by agg (map-side
+    partial, no window): docs missing a score sort last."""
+    j = groups.select("doc_id", "group_id").join(
+        prefer.select("doc_id", F.col(prefer_col).cast("double").alias("_p")),
+        "doc_id",
+        "left",
+    ).withColumn("_p", F.coalesce("_p", F.lit(float("-inf"))))
+    rep = j.groupBy("group_id").agg(
+        F.min_by(
+            F.col("doc_id"), F.struct((-F.col("_p")).alias("np"), F.col("doc_id"))
+        ).alias("_rep")
+    )
+    return j.join(rep, "group_id").select(
+        "doc_id",
+        "group_id",
+        (F.col("doc_id") == F.col("_rep")).cast("int").alias("keep"),
+    )

@@ -450,3 +450,18 @@ def test_source_quota_stable_under_growth(spark):
     # hash order is global: the superset's winners are a prefix of the
     # same order, so overlap equals the old winners that stay in the top 8
     assert kb & set(range(30)) <= ks
+
+
+def test_keep_representative_quality_rule(spark):
+    from linkgraph.text.dedup import keep_representative
+
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)], "doc_id bigint, group_id bigint"
+    )
+    prefer = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.9), (9, 0.5)], "doc_id bigint, score double"
+    )
+    got = {r.doc_id: r.keep for r in keep_representative(groups, prefer).collect()}
+    # group 1: max score 0.9 tied between 2 and 3 → min doc_id 2 kept
+    # group 7: doc 7 has NO score → sorts last; 9 kept
+    assert got == {1: 0, 2: 1, 3: 0, 7: 0, 9: 1}
