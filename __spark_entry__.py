@@ -985,6 +985,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return keep_representative(groups, prefer)
 
+    def doc_wordpiece_pieces(spark, sf):
+        """WordPiece greedy longest-match over the same SQL-derivable
+        substring vocabulary as doc_unigram_pieces, every piece usable
+        initially and as a ##-continuation; DuckDB replays the pointer
+        walk exactly (gate_sql.wordpiece_sql)."""
+        from linkgraph.text.unigram import substring_counts
+        from linkgraph.text.wordpiece import wordpiece_segment_words
+
+        _register(spark, sf)
+        words = spark.sql(
+            """
+            SELECT DISTINCT w AS word
+            FROM (SELECT explode(split(lower(text), ' ')) AS w
+                  FROM documents WHERE doc_id % 10 = 0)
+            WHERE length(w) BETWEEN 3 AND 12
+            """
+        )
+        cnts = substring_counts(
+            words.withColumn("freq", F.lit(1)), max_piece_len=4
+        ).persist()
+        vocab_rows = (
+            cnts.where(F.length("piece") == 1)
+            .select("piece")
+            .unionByName(
+                cnts.where(F.length("piece") >= 2)
+                .orderBy(F.desc("cnt"), F.asc("piece"))
+                .limit(60)
+                .select("piece")
+            )
+            .collect()
+        )
+        cnts.unpersist()
+        pieces = {r["piece"] for r in vocab_rows}
+        vset = pieces | {"##" + p for p in pieces}
+        seg = wordpiece_segment_words(words, vset, max_piece_len=4)
+        return seg.select(
+            "word",
+            F.size("pieces").cast("bigint").alias("n_pieces"),
+            F.concat_ws("|", "pieces").alias("seg"),
+        )
+
     def doc_source_quota(spark, sf):
         from linkgraph.text.pipeline import source_quota_sample
 
@@ -2215,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_kcore": doc_kcore,
         "doc_luby_mis": doc_luby_mis,
         "doc_unigram_pieces": doc_unigram_pieces,
+        "doc_wordpiece_pieces": doc_wordpiece_pieces,
         "doc_eigenvector": doc_eigenvector,
         "doc_katz": doc_katz,
         "doc_bfs": doc_bfs,
@@ -3657,6 +3699,7 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["doc_kcore"] = G.kcore_sql(EDGES_CTE_MAT, iters=10)
     sql["doc_luby_mis"] = G.luby_sql(EDGES_CTE_MAT, rounds=8, seed=42)
     sql["doc_unigram_pieces"] = G.unigram_sql(mod=10, top_multi=60, max_wlen=12)
+    sql["doc_wordpiece_pieces"] = G.wordpiece_sql(mod=10, top_multi=60, max_wlen=12)
     sql["doc_eigenvector"] = G.eigenvector_sql(EDGES_CTE_MAT, iters=12)
     sql["doc_katz"] = G.katz_sql(EDGES_CTE_MAT, alpha=0.01, beta=1.0, iters=12)
     sql["doc_bfs"] = G.bfs_sql(EDGES_CTE_MAT, source=0, hops=12)

@@ -3261,3 +3261,61 @@ def unigram_sql(
         f"\nSELECT word, CAST(length(seg) - length(replace(seg, '|', '')) + 1 AS BIGINT)"
         f" AS n_pieces, seg FROM sg{max_wlen}"
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece greedy longest-match — SQL-derived vocab + pointer-walk unroll
+# ---------------------------------------------------------------------------
+
+
+def wordpiece_sql(
+    mod: int = 10, top_multi: int = 60, max_wlen: int = 12
+) -> str:
+    """Replay __spark_entry__.doc_wordpiece_pieces: the same substring
+    vocabulary as unigram_sql (every char + top-``top_multi`` length-2..4
+    substrings, ties piece-asc), every piece usable initially AND as a
+    ##-continuation; segmentation = greedy longest-match-first, one
+    pointer step per unrolled round (non-DP, so the walk is exact —
+    longest match via a per-(word,pos) MAX over matching piece lengths)."""
+    sub_sel = "\n  UNION ALL ".join(
+        f"SELECT word, i, substr(word, i, {p}) AS piece "
+        f"FROM w0, unnest(generate_series(1, length(word) - {p - 1})) AS g(i)"
+        for p in range(1, 5)
+    )
+    parts = [
+        f"""w0 AS MATERIALIZED (
+  SELECT DISTINCT w AS word
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE doc_id % {mod} = 0)
+  WHERE length(w) BETWEEN 3 AND {max_wlen})""",
+        f"subs AS MATERIALIZED (SELECT piece FROM ({sub_sel}))",
+        "cnts AS MATERIALIZED (SELECT piece, count(*) AS cnt FROM subs GROUP BY piece)",
+        f"""vocab AS MATERIALIZED (
+  SELECT piece FROM cnts WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece FROM (
+    SELECT piece, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+    FROM cnts WHERE length(piece) >= 2) t WHERE rn <= {top_multi})""",
+        "gw0 AS MATERIALIZED (SELECT word, 1 AS pos, '' AS seg FROM w0)",
+    ]
+    for r in range(1, max_wlen + 1):
+        parts.append(
+            f"gc{r} AS MATERIALIZED (SELECT g.word, g.pos, g.seg, "
+            f"MAX(length(v.piece)) AS ln FROM gw{r - 1} g "
+            f"JOIN vocab v ON v.piece = substr(g.word, g.pos, length(v.piece)) "
+            f"AND g.pos + length(v.piece) - 1 <= length(g.word) "
+            f"WHERE g.pos <= length(g.word) GROUP BY g.word, g.pos, g.seg)"
+        )
+        parts.append(
+            f"gw{r} AS MATERIALIZED ("
+            f"SELECT word, pos, seg FROM gw{r - 1} WHERE pos > length(word) "
+            f"UNION ALL SELECT c.word, c.pos + c.ln, "
+            f"c.seg || CASE WHEN c.seg = '' THEN '' ELSE '|' END || "
+            f"CASE WHEN c.pos > 1 THEN '##' ELSE '' END || "
+            f"substr(c.word, c.pos, c.ln) AS seg FROM gc{r} c)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) +
+        f"\nSELECT word, CAST(length(seg) - length(replace(seg, '|', '')) + 1 AS BIGINT)"
+        f" AS n_pieces, seg FROM gw{max_wlen}"
+    )

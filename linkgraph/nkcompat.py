@@ -156,6 +156,8 @@ __all__ = [
     "SCDGroundTruthComparison",
     "Luby",
     "GephiStreamingClient",
+    "GraphEvent",
+    "GraphUpdater",
     "AdjustedRandIndex",
     "NeighborsMeasureIndex",
     "AlgebraicDistanceIndex",
@@ -3020,3 +3022,55 @@ class GephiStreamingClient:
             F.lit('{"dn":{"filter":"ALL"}}').alias("event"),
         )
         self._sink(ev)
+
+
+class GraphEvent:
+    """REF⚠ dynamics/GraphEvent.hpp — one timestamped mutation record.
+    Types mirror the reference enum; TIME_STEP is a barrier marker."""
+
+    NODE_ADDITION = "NODE_ADDITION"
+    NODE_REMOVAL = "NODE_REMOVAL"
+    EDGE_ADDITION = "EDGE_ADDITION"
+    EDGE_REMOVAL = "EDGE_REMOVAL"
+    EDGE_WEIGHT_UPDATE = "EDGE_WEIGHT_UPDATE"
+    TIME_STEP = "TIME_STEP"
+
+    def __init__(self, type: str, u: int = 0, v: int = 0, w: float = 1.0):
+        self.type = type
+        self.u = int(u)
+        self.v = int(v)
+        self.w = float(w)
+
+    def __repr__(self):  # pragma: no cover - debugging nicety
+        return f"GraphEvent({self.type}, {self.u}, {self.v}, {self.w})"
+
+
+class GraphUpdater:
+    """REF⚠ dynamics/GraphUpdater.cpp — replay a GraphEvent stream onto a
+    graph. Driver-side by design (it mutates the facade's edge buffer;
+    the DataFrame materializes on the next algorithm run). For
+    corpus-scale delta streams use linkgraph.streaming.deltas
+    (apply_deltas / stream_apply_deltas) instead."""
+
+    def __init__(self, G: Graph):
+        self._G = G
+        self._n_events = 0
+
+    def update(self, events) -> None:
+        for e in events:
+            self._n_events += 1
+            if e.type == GraphEvent.NODE_ADDITION:
+                self._G.addNodes(1)
+            elif e.type == GraphEvent.EDGE_ADDITION:
+                self._G.addEdge(e.u, e.v, e.w)
+            elif e.type == GraphEvent.EDGE_REMOVAL:
+                self._G.removeEdge(e.u, e.v)
+            elif e.type == GraphEvent.EDGE_WEIGHT_UPDATE:
+                self._G.setWeight(e.u, e.v, e.w)
+            elif e.type == GraphEvent.TIME_STEP:
+                pass
+            else:
+                raise ValueError(f"unsupported event type: {e.type}")
+
+    def getNumberOfGraphEvents(self) -> int:
+        return self._n_events

@@ -628,3 +628,21 @@ def test_gephi_client_facade(two_triangles, tmp_path):
     cn = {k: v for l in vals for k, v in l["cn"].items()}
     assert cn["3"]["score"] == pytest.approx(0.3)
     assert lines(exports[2]) == [{"dn": {"filter": "ALL"}}]
+
+
+def test_graph_updater_facade(spark):
+    G = nk.Graph(3)
+    G.addEdge(0, 1)
+    up = nk.GraphUpdater(G)
+    up.update([
+        nk.GraphEvent(nk.GraphEvent.NODE_ADDITION),
+        nk.GraphEvent(nk.GraphEvent.EDGE_ADDITION, 1, 2, 2.0),
+        nk.GraphEvent(nk.GraphEvent.EDGE_ADDITION, 2, 3),
+        nk.GraphEvent(nk.GraphEvent.EDGE_REMOVAL, 0, 1),
+        nk.GraphEvent(nk.GraphEvent.TIME_STEP),
+    ])
+    assert up.getNumberOfGraphEvents() == 5
+    assert G.numberOfNodes() == 4
+    assert G.numberOfEdges() == 2
+    cc = nk.ConnectedComponents(G).run()
+    assert cc.numberOfComponents() == 2  # {0} isolated after removal
