@@ -1026,6 +1026,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat_ws("|", "pieces").alias("seg"),
         )
 
+    def doc_neighbor_sample(spark, sf):
+        """GraphSAGE-style layered neighbor sample (fanouts 3,2) from the
+        id%50 seed set, portable-hash ranked so DuckDB replays the exact
+        per-vertex top-k at each hop."""
+        from linkgraph.algs.sampling import layered_neighbor_sample
+
+        g = _doc_graph(spark, sf)
+        seeds = g.nodes().where(F.col("id") % 50 == 0)
+        return layered_neighbor_sample(
+            g, seeds, fanouts=(3, 2), seed=42, portable=True
+        )
+
     def doc_source_quota(spark, sf):
         from linkgraph.text.pipeline import source_quota_sample
 
@@ -2334,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": doc_stratified_sample,
         "doc_source_quota": doc_source_quota,
         "dup_groups_best": dup_groups_best,
+        "doc_neighbor_sample": doc_neighbor_sample,
         "doc_snapshot_diff": doc_snapshot_diff,
         "minhash_dups": minhash_dups,
         "minhash_dup_groups": minhash_dup_groups,
@@ -3700,6 +3713,23 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["doc_luby_mis"] = G.luby_sql(EDGES_CTE_MAT, rounds=8, seed=42)
     sql["doc_unigram_pieces"] = G.unigram_sql(mod=10, top_multi=60, max_wlen=12)
     sql["doc_wordpiece_pieces"] = G.wordpiece_sql(mod=10, top_multi=60, max_wlen=12)
+    sql["doc_neighbor_sample"] = f"""
+WITH {EDGES_CTE_MAT},
+symn AS MATERIALIZED (SELECT DISTINCT src, dst FROM sym WHERE src <> dst),
+nf0 AS MATERIALIZED (SELECT id AS src FROM nodes WHERE id % 50 = 0),
+nl1 AS MATERIALIZED (SELECT 1 AS hop, src, dst FROM (
+  SELECT e.src, e.dst,
+         ROW_NUMBER() OVER (PARTITION BY e.src
+           ORDER BY {_pph("e.src", "e.dst", "42", "1")} ASC, e.dst ASC) AS rn
+  FROM symn e JOIN nf0 f ON f.src = e.src) t WHERE rn <= 3),
+nf1 AS MATERIALIZED (SELECT DISTINCT dst AS src FROM nl1),
+nl2 AS MATERIALIZED (SELECT 2 AS hop, src, dst FROM (
+  SELECT e.src, e.dst,
+         ROW_NUMBER() OVER (PARTITION BY e.src
+           ORDER BY {_pph("e.src", "e.dst", "42", "2")} ASC, e.dst ASC) AS rn
+  FROM symn e JOIN nf1 f ON f.src = e.src) t WHERE rn <= 2)
+SELECT hop, src, dst FROM nl1 UNION ALL SELECT hop, src, dst FROM nl2
+"""
     sql["doc_eigenvector"] = G.eigenvector_sql(EDGES_CTE_MAT, iters=12)
     sql["doc_katz"] = G.katz_sql(EDGES_CTE_MAT, alpha=0.01, beta=1.0, iters=12)
     sql["doc_bfs"] = G.bfs_sql(EDGES_CTE_MAT, source=0, hops=12)
