@@ -328,6 +328,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
         )
 
+    def events_retention(spark, sf):
+        """Weekly retention cohorts: users grouped by first-active week,
+        counted per week offset — two user_id-keyed aggs (cohort assign,
+        then distinct-user count per cell), no windows. Offsets use
+        floor((active−cohort)/7) on both engines (DuckDB casts ROUND, so
+        the oracle uses // integer division instead of CAST)."""
+        _register(spark, sf)
+        ev = spark.table("events").select(
+            "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+        )
+        first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+        return (
+            ev.join(first, "user_id")
+            .groupBy(
+                F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+                F.floor(F.datediff(F.col("wk"), F.col("cohort")) / 7)
+                .cast("int")
+                .alias("week_offset"),
+            )
+            .agg(F.countDistinct("user_id").alias("n_users"))
+        )
+
     def events_funnel(spark, sf):
         """Ordered-funnel analysis (view → click → purchase): per step,
         how many users completed the prefix with STRICTLY increasing
@@ -2264,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_map_equation_fixed": doc_map_equation_fixed,
         "events_sessions": events_sessions,
         "events_funnel": events_funnel,
+        "events_retention": events_retention,
         "doc_plp": doc_plp,
         "doc_kcore": doc_kcore,
         "doc_luby_mis": doc_luby_mis,
@@ -3014,6 +3037,16 @@ vol AS (SELECT sl, SUM(weight) AS v FROM le GROUP BY sl),
 v2 AS (SELECT SUM(v * v) AS vv FROM vol)
 SELECT ROUND(tot.intra / tot.two_w - v2.vv / (tot.two_w * tot.two_w), 6) AS modularity
 FROM tot, v2
+"""
+
+    sql["events_retention"] = """
+WITH ew AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+fw AS (SELECT user_id, MIN(wk) AS cohort FROM ew GROUP BY user_id)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cohort, wk) // 7 AS INT) AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM ew e JOIN fw USING (user_id)
+GROUP BY 1, 2
 """
 
     sql["events_sessions"] = """
