@@ -1060,6 +1060,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             g, seeds, fanouts=(3, 2), seed=42, portable=True
         )
 
+    def doc_fm_distinct(spark, sf):
+        """Per-language FM distinct-doc estimates; the sketch itself is
+        bit-exact under the portable hash, so the oracle replays registers
+        AND estimator."""
+        from linkgraph.sketches import fm_distinct, fm_sketch
+
+        _register(spark, sf)
+        sk = fm_sketch(
+            spark.table("documents"), "doc_id", ["lang"], registers=8,
+            portable=True,
+        )
+        return fm_distinct(sk).select("lang", F.round("est", 6).alias("est"))
+
+    def doc_cms_counts(spark, sf):
+        """Count-min point queries for every language over a 4x64 portable
+        sketch — min over depth rows of the hashed cell, replayed exactly."""
+        from linkgraph.sketches import cms_query, count_min_sketch
+
+        _register(spark, sf)
+        d = spark.table("documents")
+        sk = count_min_sketch(d, "lang", depth=4, width=64, portable=True)
+        return cms_query(sk, d.select("lang"), "lang", width=64, portable=True)
+
     def doc_source_quota(spark, sf):
         from linkgraph.text.pipeline import source_quota_sample
 
@@ -2370,6 +2393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_quota": doc_source_quota,
         "dup_groups_best": dup_groups_best,
         "doc_neighbor_sample": doc_neighbor_sample,
+        "doc_fm_distinct": doc_fm_distinct,
+        "doc_cms_counts": doc_cms_counts,
         "doc_snapshot_diff": doc_snapshot_diff,
         "minhash_dups": minhash_dups,
         "minhash_dup_groups": minhash_dup_groups,
@@ -3746,6 +3771,31 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["doc_luby_mis"] = G.luby_sql(EDGES_CTE_MAT, rounds=8, seed=42)
     sql["doc_unigram_pieces"] = G.unigram_sql(mod=10, top_multi=60, max_wlen=12)
     sql["doc_wordpiece_pieces"] = G.wordpiece_sql(mod=10, top_multi=60, max_wlen=12)
+    sql["doc_fm_distinct"] = f"""
+WITH regs AS (SELECT unnest(generate_series(0, 7)) AS r),
+hv AS (SELECT d.lang, rg.r, {_pph("d.doc_id", "rg.r")} AS h
+       FROM documents d, regs rg),
+bits AS (SELECT lang, r,
+                (CAST(1 AS BIGINT) << LEAST(bit_count((h & -h) - 1), 62)) AS b
+         FROM hv),
+sk AS (SELECT lang, r, bit_or(b) AS bits FROM bits GROUP BY lang, r)
+SELECT lang,
+       ROUND(POWER(2.0, AVG(CAST(bit_count(((bits + 1) & ~bits) - 1) AS DOUBLE)))
+             / 0.77351, 6) AS est
+FROM sk GROUP BY lang
+"""
+
+    sql["doc_cms_counts"] = f"""
+WITH dd AS (SELECT unnest(generate_series(0, 3)) AS d),
+cnts AS (SELECT dd.d, {_pph("doc.lang", "dd.d")} % 64 AS cell, count(*) AS c
+         FROM documents doc, dd GROUP BY dd.d, cell),
+q AS (SELECT DISTINCT lang FROM documents),
+probes AS (SELECT q.lang, dd.d, {_pph("q.lang", "dd.d")} % 64 AS cell FROM q, dd)
+SELECT p.lang, MIN(COALESCE(c.c, 0)) AS est
+FROM probes p LEFT JOIN cnts c ON c.d = p.d AND c.cell = p.cell
+GROUP BY p.lang
+"""
+
     sql["doc_neighbor_sample"] = f"""
 WITH {EDGES_CTE_MAT},
 symn AS MATERIALIZED (SELECT DISTINCT src, dst FROM sym WHERE src <> dst),
