@@ -1060,6 +1060,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             g, seeds, fanouts=(3, 2), seed=42, portable=True
         )
 
+    def doc_surt_keys(spark, sf):
+        """SURT index keys over URLs synthesized from the documents table
+        (scheme/www/port/path shapes exercised); replayed with DuckDB
+        string/list functions."""
+        from linkgraph.warc import surt_key
+
+        _register(spark, sf)
+        url = F.concat(
+            F.lit("http://www."),
+            F.col("source"),
+            F.lit(".Example.com:80/Doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?lang="),
+            F.col("lang"),
+        )
+        return spark.table("documents").select(
+            "doc_id", surt_key(url).alias("surt")
+        )
+
     def doc_fm_distinct(spark, sf):
         """Per-language FM distinct-doc estimates; the sketch itself is
         bit-exact under the portable hash, so the oracle replays registers
@@ -2394,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_groups_best": dup_groups_best,
         "doc_neighbor_sample": doc_neighbor_sample,
         "doc_fm_distinct": doc_fm_distinct,
+        "doc_surt_keys": doc_surt_keys,
         "doc_cms_counts": doc_cms_counts,
         "doc_snapshot_diff": doc_snapshot_diff,
         "minhash_dups": minhash_dups,
@@ -3771,6 +3791,32 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["doc_luby_mis"] = G.luby_sql(EDGES_CTE_MAT, rounds=8, seed=42)
     sql["doc_unigram_pieces"] = G.unigram_sql(mod=10, top_multi=60, max_wlen=12)
     sql["doc_wordpiece_pieces"] = G.wordpiece_sql(mod=10, top_multi=60, max_wlen=12)
+    sql["doc_surt_keys"] = """
+WITH u AS (
+  SELECT doc_id,
+         lower('http://www.' || source || '.Example.com:80/Doc/' ||
+               CAST(doc_id AS VARCHAR) || '?lang=' || lang) AS lu
+  FROM documents),
+p AS (
+  SELECT doc_id,
+         regexp_replace(lu, '^https?://', '') AS rest
+  FROM u),
+hp AS (
+  SELECT doc_id, rest,
+         regexp_extract(rest, '^([^/]*)', 1) AS hostport
+  FROM p),
+h AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), '^www\\.', '')
+           AS host,
+         substr(rest, length(hostport) + 1) AS path
+  FROM hp)
+SELECT doc_id,
+       array_to_string(list_reverse(string_split(host, '.')), ',') || ')' ||
+       CASE WHEN path = '' THEN '/' ELSE path END AS surt
+FROM h
+"""
+
     sql["doc_fm_distinct"] = f"""
 WITH regs AS (SELECT unnest(generate_series(0, 7)) AS r),
 hv AS (SELECT d.lang, rg.r, {_pph("d.doc_id", "rg.r")} AS h

@@ -162,3 +162,85 @@ def write_warc(
         F.lit("\r\n\r\n"),  # spec record terminator (the text sink's own \n follows)
     )
     pages.select(record.alias("value")).write.mode("overwrite").text(path)
+
+
+# ---------------------------------------------------------------------------
+# CDX index surface (pywb CDXJ convention; the Common Crawl index shape)
+# ---------------------------------------------------------------------------
+
+
+def surt_key(url) -> "F.Column":
+    """SURT (Sort-friendly URI Reordering Transform) key of a URL — the
+    canonical index key of CDX files: host reversed comma-wise and
+    lowercased, port/scheme/www dropped, path lowercased;
+    ``http://www.Example.com:80/Path?q=1`` → ``com,example)/path?q=1``.
+    Pure expressions (split/reverse/concat), no UDF; pair with
+    linkgraph.crawl.canonicalize_url for full URL hygiene first."""
+    u = F.lower(url.cast("string"))
+    rest = F.regexp_replace(u, r"^https?://", "")
+    hostport = F.regexp_extract(rest, r"^([^/]*)", 1)
+    path = rest.substr(F.length(hostport) + 1, F.lit(1 << 30))
+    host = F.regexp_replace(hostport, r":[0-9]+$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    return F.concat(
+        rev, F.lit(")"), F.when(path == "", F.lit("/")).otherwise(path)
+    )
+
+
+def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
+    """Read CDXJ index lines — ``<surt key> <14-digit timestamp>
+    <json fields>`` — into (surt, ts, url, status, mime, digest, length,
+    offset, filename). Splittable text scan + one from_json; the json
+    block is pywb's standard field set (missing fields null)."""
+    lines = spark.read.text(path).where(F.col("value") != "")
+    key = F.regexp_extract("value", r"^(\S+)", 1)
+    ts = F.regexp_extract("value", r"^\S+ (\d{14})", 1)
+    js = F.regexp_extract("value", r"^\S+ \d{14} (.*)$", 1)
+    schema = (
+        "url string, status string, mime string, digest string, "
+        "length string, offset string, filename string"
+    )
+    parsed = lines.select(
+        key.alias("surt"),
+        ts.alias("ts"),
+        F.from_json(js, schema).alias("j"),
+    )
+    return parsed.select(
+        "surt",
+        "ts",
+        F.col("j.url").alias("url"),
+        F.col("j.status").cast("int").alias("status"),
+        F.col("j.mime").alias("mime"),
+        F.col("j.digest").alias("digest"),
+        F.col("j.length").cast("bigint").alias("length"),
+        F.col("j.offset").cast("bigint").alias("offset"),
+        F.col("j.filename").alias("filename"),
+    )
+
+
+def write_cdxj(index: DataFrame, path: str) -> None:
+    """Write (surt, ts, url, status, mime, digest, length, offset,
+    filename) as sorted CDXJ lines (single file: an index is consumed by
+    binary search, so the fixture-scale writer emits one sorted shard; at
+    scale write per-prefix shards by range-partitioning on surt first)."""
+    js = F.to_json(
+        F.struct(
+            F.col("url"),
+            F.col("status").cast("string").alias("status"),
+            "mime",
+            "digest",
+            F.col("length").cast("string").alias("length"),
+            F.col("offset").cast("string").alias("offset"),
+            "filename",
+        )
+    )
+    (
+        index.select(
+            F.concat_ws(" ", F.col("surt"), F.col("ts"), js).alias("value")
+        )
+        .orderBy("value")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )

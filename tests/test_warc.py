@@ -52,3 +52,45 @@ def test_date_header_and_resource_payload(spark, tmp_path):
     write_warc(pages, out)
     row = read_warc(spark, out).where(F.col("warc_date").isNotNull()).first()
     assert row.warc_date.endswith("Z") and "T" in row.warc_date
+
+
+# ---------------------------------------------------------------------------
+# SURT + CDXJ (round-3 session-3 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_surt_key_forms(spark):
+    from linkgraph.warc import surt_key
+
+    cases = {
+        "http://www.Example.com:80/Path?q=1": "com,example)/path?q=1",
+        "https://sub.host.org/": "org,host,sub)/",
+        "http://example.com": "com,example)/",
+        "https://a.b.c.de/x/y": "de,c,b,a)/x/y",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r.url: r.k for r in df.select("url", surt_key(F.col("url")).alias("k")).collect()}
+    assert got == cases
+
+
+def test_cdxj_roundtrip(spark, tmp_path):
+    from linkgraph.warc import read_cdxj, surt_key, write_cdxj
+
+    rows = [
+        ("com,example)/a", "20240101120000", "http://example.com/a", 200,
+         "text/html", "sha1:AAAA", 1234, 0, "crawl-00.warc.gz"),
+        ("org,test)/", "20240102130000", "https://test.org/", 301,
+         "text/html", "sha1:BBBB", 55, 4096, "crawl-01.warc.gz"),
+    ]
+    idx = spark.createDataFrame(
+        rows,
+        "surt string, ts string, url string, status int, mime string, "
+        "digest string, length bigint, offset bigint, filename string",
+    )
+    path = str(tmp_path / "cdx")
+    write_cdxj(idx, path)
+    back = read_cdxj(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+    # surt of the url column reproduces the key for simple urls
+    joined = back.select("surt", surt_key(F.col("url")).alias("k")).collect()
+    assert all(r.surt == r.k for r in joined)
