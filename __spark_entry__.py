@@ -1079,6 +1079,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", surt_key(url).alias("surt")
         )
 
+    def doc_shard_plan(spark, sf):
+        """Community-aware shard placement over the fixed id%24 labeling:
+        top-8 communities dealt sorted-round-robin across 4 shards, tail
+        hashed — the physical-design step replayed exactly."""
+        from linkgraph.tables import community_shard_plan
+
+        g = _doc_graph(spark, sf)
+        labels = g.nodes().select("id", (F.col("id") % 24).alias("label"))
+        return community_shard_plan(
+            labels, n_shards=4, max_explicit=8, seed=42, portable=True
+        )
+
     def doc_fm_distinct(spark, sf):
         """Per-language FM distinct-doc estimates; the sketch itself is
         bit-exact under the portable hash, so the oracle replays registers
@@ -2414,6 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_neighbor_sample": doc_neighbor_sample,
         "doc_fm_distinct": doc_fm_distinct,
         "doc_surt_keys": doc_surt_keys,
+        "doc_shard_plan": doc_shard_plan,
         "doc_cms_counts": doc_cms_counts,
         "doc_snapshot_diff": doc_snapshot_diff,
         "minhash_dups": minhash_dups,
@@ -3791,6 +3804,21 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["doc_luby_mis"] = G.luby_sql(EDGES_CTE_MAT, rounds=8, seed=42)
     sql["doc_unigram_pieces"] = G.unigram_sql(mod=10, top_multi=60, max_wlen=12)
     sql["doc_wordpiece_pieces"] = G.wordpiece_sql(mod=10, top_multi=60, max_wlen=12)
+    sql["doc_shard_plan"] = f"""
+WITH {EDGES_CTE_MAT},
+lab AS MATERIALIZED (SELECT id, id % 24 AS label FROM nodes),
+sizes AS MATERIALIZED (SELECT label, count(*) AS n FROM lab GROUP BY label),
+ranked AS MATERIALIZED (
+  SELECT label, ROW_NUMBER() OVER (ORDER BY n DESC, label ASC) AS rk
+  FROM sizes),
+heads AS MATERIALIZED (
+  SELECT label, CAST((rk - 1) % 4 AS INT) AS shard FROM ranked WHERE rk <= 8)
+SELECT label, shard FROM heads
+UNION ALL
+SELECT s.label, CAST({_pph("s.label", "42")} % 4 AS INT) AS shard
+FROM sizes s WHERE s.label NOT IN (SELECT label FROM heads)
+"""
+
     sql["doc_surt_keys"] = """
 WITH u AS (
   SELECT doc_id,

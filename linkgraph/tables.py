@@ -22,7 +22,7 @@ min/max statistics prune block ranges for subgraph/ego queries.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 # id_bits is capped at 62: 2^63 does not fit in a Java long literal, and
 # pmod keeps every id (including negative xxhash64-encoded ones) in
@@ -143,3 +143,68 @@ def write_edges_table(
         return "iceberg"
     write_csr_blocks(edges, name_or_path, n_blocks, n_salts, id_bits)
     return "parquet"
+
+
+def community_shard_plan(
+    labels: DataFrame,
+    n_shards: int,
+    max_explicit: int = 1024,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """(label, shard) — community-aware placement: map each community
+    (e.g. PLP/Louvain labels, host-graph components) to one of
+    ``n_shards`` shards so intra-community edges stay shard-local. The
+    physical-design step between community detection and
+    ``write_edges_table`` at 100-TB scale: co-locating communities turns
+    most superstep shuffle traffic into intra-partition exchange.
+
+    Placement rule (deterministic, SQL-replayable): the ``max_explicit``
+    LARGEST communities are sorted by (size desc, label asc) and dealt
+    round-robin — sorted round-robin keeps the max shard load within one
+    head community of the mean over the explicit set (the classic
+    balancing argument; LPT's marginally tighter bound needs a
+    sequential argmin loop that would not replay). The tail hashes by
+    label. The explicit-head window sorts only ``max_explicit`` rows
+    (top-k via one size agg + limit — no global sort of all labels)."""
+    from linkgraph.portable import phash
+
+    sizes = labels.groupBy("label").agg(F.count("*").alias("_n"))
+    heads = (
+        sizes.orderBy(F.desc("_n"), F.asc("label"))
+        .limit(int(max_explicit))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("_n"), F.asc("label"))
+            ),
+        )
+        .select(
+            "label",
+            F.pmod(F.col("_rk") - 1, F.lit(int(n_shards))).cast("int").alias(
+                "shard"
+            ),
+        )
+    )
+    h = (
+        phash(F.col("label"), F.lit(int(seed)))
+        if portable
+        else F.xxhash64("label", F.lit(int(seed)))
+    )
+    tail = (
+        sizes.join(heads.select("label"), "label", "left_anti")
+        .select("label", F.pmod(h, F.lit(int(n_shards))).cast("int").alias("shard"))
+    )
+    return heads.unionByName(tail)
+
+
+def apply_shard_plan(
+    edges: DataFrame, labels: DataFrame, plan: DataFrame, n_shards: int
+) -> DataFrame:
+    """Edges tagged (src, dst, weight, shard) by the SOURCE vertex's
+    community shard (broadcast the model-sized plan), repartitioned by
+    shard — the write-side companion of :func:`community_shard_plan`."""
+    lab = labels.join(F.broadcast(plan), "label").select(
+        F.col("id").alias("src"), "shard"
+    )
+    return edges.join(lab, "src").repartition(int(n_shards), "shard")
