@@ -60,11 +60,13 @@ def luby_independent_set(
     )
     pin = Pin(spark, "luby")
     try:
-        # decided rows accumulate here; undecided shrinks each round
+        # decided rows accumulate as one pinned frame PER ROUND (decided
+        # is append-only — re-pinning the growing union every round would
+        # rewrite O(n) rows × rounds; per-round pins total O(n) writes).
+        # Pin keeps the last two slots per key, so each round's frame
+        # gets its own key.
         undecided = pin(graph.nodes().select("id"), "undec")
-        decided = pin(
-            spark.createDataFrame([], "id bigint, in_mis int"), "dec"
-        )
+        decided_frames: list = []
         for k in range(1, max_rounds + 1):
             if undecided.limit(1).count() == 0:
                 break
@@ -104,18 +106,21 @@ def luby_independent_set(
                 .join(undecided, "id", "leftsemi")
                 .join(winners, "id", "leftanti")
             )
-            newly = winners.select("id", F.lit(1).alias("in_mis")).unionByName(
-                excluded.select("id", F.lit(0).alias("in_mis"))
+            newly = pin(
+                winners.select("id", F.lit(1).alias("in_mis")).unionByName(
+                    excluded.select("id", F.lit(0).alias("in_mis"))
+                ),
+                f"dec_{k}",
             )
-            decided = pin(decided.unionByName(newly), "dec")
+            decided_frames.append(newly)
             undecided = pin(
                 undecided.join(newly.select("id"), "id", "leftanti"), "undec"
             )
         # safety valve: anything still undecided is excluded (unreachable
         # in practice — each round decides every local (pri,id) maximum)
-        out = decided.unionByName(
-            undecided.select("id", F.lit(0).alias("in_mis"))
-        )
+        out = undecided.select("id", F.lit(0).alias("in_mis"))
+        for df in decided_frames:
+            out = out.unionByName(df)
         return out.select("id", "in_mis").localCheckpoint(eager=True)
     finally:
         sym.unpersist()

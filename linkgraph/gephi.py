@@ -76,9 +76,9 @@ def graph_events(graph: Graph, node_attrs: DataFrame | None = None) -> DataFrame
         F.lit(1).alias("_phase"),
     )
     both = an.unionByName(ae)
-    # dense, deterministic seq: phase-major (all nodes first), key-minor.
-    # zipWithIndex-free: rank via the (phase, key) sort at sink time would
-    # suffice, but a materialized seq lets callers re-partition freely.
+    # phase-major seq (all nodes strictly before all edges), key-minor.
+    # seq is NOT collision-free (pmod into 40 bits) — the sinks break
+    # remaining ties on the event string, so exports are byte-stable.
     return both.select(
         (F.col("_phase") * F.lit(1 << 40) + F.pmod(F.col("_k"), F.lit(1 << 40))).alias(
             "seq"
@@ -102,7 +102,10 @@ def attribute_events(values: DataFrame, id_col: str = "id") -> DataFrame:
 def delta_events(deltas: DataFrame) -> DataFrame:
     """(seq, event) — translate a graph-event delta stream
     (linkgraph.streaming.deltas schema: ts, op ∈ {add, remove}, src, dst,
-    weight) into ``ae``/``de`` protocol lines ordered by timestamp."""
+    weight) into ``ae``/``de`` protocol lines ordered by timestamp.
+    Same-timestamp events for the same edge have no defined order in the
+    delta schema; the sinks' (seq, event) sort makes the replay
+    deterministic ("ae" sorts before "de" at equal ts)."""
     key = F.concat_ws("-", F.col("src"), F.col("dst"))
     add = F.when(
         F.col("op") == "add",
@@ -128,7 +131,9 @@ def write_event_stream(events: DataFrame, path: str) -> None:
     byte stream Gephi's updateGraph endpoint accepts. Single text file ⇒
     fixture-scale helper (the protocol itself is a sequential stream; at
     scale, post per-partition with :func:`post_events` instead)."""
-    events.orderBy("seq").coalesce(1).select("event").write.mode(
+    # secondary sort on the event string: seq ties (hash collisions,
+    # same-timestamp deltas) replay in a deterministic byte order
+    events.orderBy("seq", "event").coalesce(1).select("event").write.mode(
         "overwrite"
     ).text(path)
 
@@ -152,7 +157,7 @@ def post_events(
     buf: list[str] = []
     # protocol is order-sensitive → sequential driver-side iteration
     # (toLocalIterator streams one partition at a time, no full collect)
-    for row in events.orderBy("seq").select("event").toLocalIterator():
+    for row in events.orderBy("seq", "event").select("event").toLocalIterator():
         buf.append(row.event)
         if len(buf) >= batch:
             send(buf)

@@ -198,6 +198,7 @@ class Graph:
         self._weighted = bool(weighted)
         self._directed = bool(directed)
         self._edges: dict[tuple[int, int], float] = {}
+        self._removed: set[int] = set()
         self._eg: _EngineGraph | None = None
 
     # -- mutation ---------------------------------------------------------
@@ -217,6 +218,8 @@ class Graph:
     def addEdge(self, u: int, v: int, w: float = 1.0) -> None:
         if u >= self._n or v >= self._n:
             raise ValueError(f"node out of range: ({u}, {v}) with n={self._n}")
+        if u in self._removed or v in self._removed:
+            raise ValueError(f"edge touches a removed node: ({u}, {v})")
         self._eg = None
         self._edges[self._key(u, v)] = float(w) if self._weighted else 1.0
 
@@ -224,11 +227,27 @@ class Graph:
         self._eg = None
         del self._edges[self._key(u, v)]
 
+    def removeNode(self, u: int) -> None:
+        """Reference semantics (graph/Graph.hpp::removeNode): drop the
+        node and its incident edges; the id is RETIRED, not renumbered —
+        numberOfNodes() shrinks, upperNodeIdBound() does not."""
+        if u >= self._n or u in self._removed:
+            raise ValueError(f"no such node: {u}")
+        self._eg = None
+        self._edges = {k: w for k, w in self._edges.items() if u not in k}
+        self._removed.add(u)
+
+    def hasNode(self, u: int) -> bool:
+        return 0 <= u < self._n and u not in self._removed
+
     def setWeight(self, u: int, v: int, w: float) -> None:
         self.addEdge(u, v, w)
 
     # -- accessors (reference surface) -------------------------------------
     def numberOfNodes(self) -> int:
+        return self._n - len(self._removed)
+
+    def upperNodeIdBound(self) -> int:
         return self._n
 
     def numberOfEdges(self) -> int:
@@ -247,7 +266,7 @@ class Graph:
         return self._edges.get(self._key(u, v), 0.0)
 
     def iterNodes(self):
-        return iter(range(self._n))
+        return (u for u in range(self._n) if u not in self._removed)
 
     def iterEdges(self):
         return iter(sorted(self._edges))
@@ -336,8 +355,10 @@ class _ScoreAlgo:
         raise NotImplementedError
 
     def run(self):
+        # upperNodeIdBound, not numberOfNodes: removed ids stay indexable
+        # (reference scores() convention), filled with the default
         self._scores = _fill(
-            self._compute(), self._G.numberOfNodes(), self._default
+            self._compute(), self._G.upperNodeIdBound(), self._default
         )
         return self
 
@@ -3063,6 +3084,8 @@ class GraphUpdater:
                 self._G.addNodes(1)
             elif e.type == GraphEvent.EDGE_ADDITION:
                 self._G.addEdge(e.u, e.v, e.w)
+            elif e.type == GraphEvent.NODE_REMOVAL:
+                self._G.removeNode(e.u)
             elif e.type == GraphEvent.EDGE_REMOVAL:
                 self._G.removeEdge(e.u, e.v)
             elif e.type == GraphEvent.EDGE_WEIGHT_UPDATE:

@@ -23,7 +23,10 @@ Exactly-once: all three state tables are partitioned by ``batch_id`` and
 written with dynamic-partition OVERWRITE, and steps 3-5 exclude this
 batch's own partitions from the persistent side — a crash + checkpoint
 replay rewrites the same partitions with identical rows (the computation
-is deterministic). Same discipline as streaming/dedup_stream.py.
+is deterministic). Same discipline as streaming/dedup_stream.py — and the
+same manifest convention: a replayed batch APPENDS a second line with the
+same batch_id and identical counts (last line per batch_id wins; readers
+must dedup by batch_id, parquet state is exactly-once regardless).
 
 Scale notes: the per-batch join hits ``buckets/`` on (band, bh) — a
 hash-partitioned shuffle whose build side is the SMALL batch; the
@@ -44,43 +47,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 def _band_keys(
     sigs: DataFrame, bands: int, rows_per_band: int, portable: bool
 ) -> DataFrame:
-    """(doc_id, band, bh) — the LSH bucket keys of a signature table
-    (identical expression to minhash_lsh_candidates' banding)."""
-    if portable:
-        from linkgraph.portable import phash
+    """Delegates to the SHARED banding definition
+    (linkgraph.text.dedup.lsh_band_keys) so persisted bucket tables stay
+    compatible with batch-computed buckets by construction."""
+    from linkgraph.text.dedup import lsh_band_keys
 
-        def band_hash(b):
-            return phash(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col("sig")[b * rows_per_band + r].cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                ),
-                F.lit(b),
-            )
-
-    else:
-
-        def band_hash(b):
-            return F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col("sig")[b * rows_per_band + r]
-                        for r in range(rows_per_band)
-                    ],
-                ),
-                F.lit(b),
-            )
-
-    return sigs.select(
-        "doc_id",
-        F.posexplode(F.array(*[band_hash(b) for b in range(bands)])).alias(
-            "band", "bh"
-        ),
-    )
+    return lsh_band_keys(sigs, bands, rows_per_band, portable)
 
 
 def _agreement(a: str, b: str, num_hashes: int):
@@ -127,12 +99,14 @@ def _apply_neardup_batch(
     )
 
     def old_partitions(path, schema):
-        try:
-            return sp.read.parquet(path).where(
-                F.col("batch_id") != F.lit(int(batch_id))
-            )
-        except Exception:
+        # ONLY the missing-path case (first batch) may read as empty — a
+        # transient read failure must raise, or the batch would compare
+        # against nothing and permanently flag cross-batch dups as unique
+        if not os.path.exists(path):
             return sp.createDataFrame([], schema + ", batch_id int")
+        return sp.read.parquet(path).where(
+            F.col("batch_id") != F.lit(int(batch_id))
+        )
 
     old_keys = old_partitions(buckets_path, "doc_id bigint, band int, bh bigint")
     old_sigs = old_partitions(sigs_path, "doc_id bigint, sig array<bigint>")
@@ -144,6 +118,33 @@ def _apply_neardup_batch(
     bsz = both.groupBy("band", "bh").agg(F.count("*").alias("_n"))
     ok = bsz.where(F.col("_n") <= int(max_bucket_size)).select("band", "bh")
     keys_ok = keys.join(ok, ["band", "bh"])
+    # over-cap buckets degrade to the batch path's star discipline: a
+    # batch doc there is flagged iff an identical FULL signature exists
+    # among earlier docs or smaller same-batch ids (O(d) sig-hash join,
+    # never d² — mirrors minhash_lsh_candidates' mega-bucket fallback)
+    over_docs = (
+        keys.join(bsz.where(F.col("_n") > int(max_bucket_size)), ["band", "bh"])
+        .select("doc_id")
+        .distinct()
+    )
+    bh_new = over_docs.join(
+        sig.select("doc_id", F.xxhash64("sig").alias("_fk")), "doc_id"
+    )
+    bh_all = (
+        sig.select("doc_id", "sig", F.lit(False).alias("_old"))
+        .unionByName(
+            old_sigs.select("doc_id", "sig").withColumn("_old", F.lit(True))
+        )
+        .select(
+            F.col("doc_id").alias("b"), F.xxhash64("sig").alias("_fk"), "_old"
+        )
+    )
+    star_dups = (
+        bh_new.join(bh_all, "_fk")
+        .where(F.col("_old") | (F.col("b") < F.col("doc_id")))
+        .select("doc_id")
+        .distinct()
+    )
 
     cross = (
         keys_ok.alias("x")
@@ -171,7 +172,11 @@ def _apply_neardup_batch(
         .where(_agreement("sa", "sb", num_hashes) >= float(threshold))
         .select("a", "b")
     )
-    dup_ids = verified.select(F.col("a").alias("doc_id")).distinct()
+    dup_ids = (
+        verified.select(F.col("a").alias("doc_id"))
+        .unionByName(star_dups)
+        .distinct()
+    )
     flags = (
         batch.select("doc_id")
         .join(dup_ids.withColumn("_d", F.lit(1)), "doc_id", "left")

@@ -203,8 +203,19 @@ def apply_shard_plan(
 ) -> DataFrame:
     """Edges tagged (src, dst, weight, shard) by the SOURCE vertex's
     community shard (broadcast the model-sized plan), repartitioned by
-    shard — the write-side companion of :func:`community_shard_plan`."""
-    lab = labels.join(F.broadcast(plan), "label").select(
+    shard — the write-side companion of :func:`community_shard_plan`.
+
+    LEFT joins throughout: an edge whose src has no label (isolated/new
+    vertices, labels computed on an earlier snapshot) or whose label is
+    missing from the plan falls back to hash(src) % n_shards instead of
+    being silently dropped — the sharded table must stay a permutation
+    of the input edges."""
+    lab = labels.join(F.broadcast(plan), "label", "left").select(
         F.col("id").alias("src"), "shard"
     )
-    return edges.join(lab, "src").repartition(int(n_shards), "shard")
+    fallback = F.pmod(F.xxhash64("src"), F.lit(int(n_shards))).cast("int")
+    return (
+        edges.join(lab, "src", "left")
+        .withColumn("shard", F.coalesce("shard", fallback))
+        .repartition(int(n_shards), "shard")
+    )

@@ -134,6 +134,52 @@ def minhash_signatures(
     )
 
 
+def lsh_band_keys(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """(doc_id, band, bh) — the LSH bucket keys of a signature table:
+    THE pinned banding definition, shared by the batch candidate
+    generator below and the streaming stage
+    (linkgraph.streaming.neardup_stream), so persisted bucket tables
+    stay compatible across both paths."""
+    if portable:
+        from linkgraph.portable import phash
+
+        def band_hash(b):
+            return phash(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ),
+                F.lit(b),
+            )
+
+    else:
+
+        def band_hash(b):
+            return F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[b * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ],
+                ),
+                F.lit(b),
+            )
+
+    return signatures.select(
+        "doc_id",
+        F.posexplode(F.array(*[band_hash(b) for b in range(bands)])).alias(
+            "band", "bh"
+        ),
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame, bands: int = 16, rows_per_band: int = 4,
     portable: bool = False, max_bucket_size: int | None = 10_000,
@@ -152,39 +198,7 @@ def minhash_lsh_candidates(
     transitive-closure groups that near_duplicate_groups builds, while
     dropping only cross-signature pairs inside the capped bucket. Pass
     ``None`` for the unbounded exact-LSH semantics (fixture scale)."""
-    if portable:
-        from linkgraph.portable import phash
-
-        def band_hash(b):
-            return phash(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col("sig")[b * rows_per_band + r].cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                ),
-                F.lit(b),
-            )
-    else:
-        def band_hash(b):
-            return F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col("sig")[b * rows_per_band + r]
-                        for r in range(rows_per_band)
-                    ],
-                ),
-                F.lit(b),
-            )
-
-    banded = signatures.select(
-        "doc_id",
-        F.posexplode(F.array(*[band_hash(b) for b in range(bands)])).alias(
-            "band", "bh"
-        ),
-    )
+    banded = lsh_band_keys(signatures, bands, rows_per_band, portable)
     if max_bucket_size is not None:
         bsz = banded.groupBy("band", "bh").agg(F.count("*").alias("_n"))
         banded = banded.join(bsz, ["band", "bh"])

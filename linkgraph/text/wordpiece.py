@@ -27,7 +27,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from linkgraph.text.bpe import _merge_pair_expr, word_freqs
+from linkgraph.text.bpe import word_freqs
 
 
 def _initial_syms(word_col) -> F.Column:

@@ -83,3 +83,20 @@ def test_replay_is_idempotent(spark, tmp_path):
     assert first == again == [(0, 0, 0), (1, 1, 1), (2, 0, 1)]
     # state tables carry exactly one partition per batch
     assert len(glob.glob(state + "/sigs/batch_id=*")) == 2
+
+
+def test_overcap_bucket_star_fallback(spark, tmp_path):
+    """max_bucket_size=0 disables bucket joins entirely; identical docs
+    must still be flagged through the full-signature star fallback."""
+    state = str(tmp_path / "state4")
+    os.makedirs(state)
+    b0 = spark.createDataFrame([(0, BASE), (1, OTHER)], "doc_id bigint, text string")
+    b1 = spark.createDataFrame([(2, BASE), (3, BASE)], "doc_id bigint, text string")
+    _apply_neardup_batch(b0, 0, state, threshold=0.5, max_bucket_size=0)
+    _apply_neardup_batch(b1, 1, state, threshold=0.5, max_bucket_size=0)
+    flags = {
+        r.doc_id: r.is_dup for r in spark.read.parquet(state + "/flags").collect()
+    }
+    # 2 matches earlier doc 0; 3 matches earlier doc 0 AND smaller id 2;
+    # NEAR (non-identical) copies are legitimately missed at cap 0
+    assert flags == {0: 0, 1: 0, 2: 1, 3: 1}

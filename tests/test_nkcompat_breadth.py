@@ -646,3 +646,19 @@ def test_graph_updater_facade(spark):
     assert G.numberOfEdges() == 2
     cc = nk.ConnectedComponents(G).run()
     assert cc.numberOfComponents() == 2  # {0} isolated after removal
+
+
+def test_node_removal_semantics(spark):
+    G = nk.Graph(4)
+    for u, v in [(0, 1), (1, 2), (2, 3)]:
+        G.addEdge(u, v)
+    nk.GraphUpdater(G).update([nk.GraphEvent(nk.GraphEvent.NODE_REMOVAL, 1)])
+    assert G.numberOfNodes() == 3 and G.upperNodeIdBound() == 4
+    assert not G.hasNode(1) and G.hasNode(2)
+    assert G.numberOfEdges() == 1  # only 2-3 survives
+    assert list(G.iterNodes()) == [0, 2, 3]
+    with pytest.raises(ValueError):
+        G.addEdge(0, 1)
+    # score vectors stay indexable over the retired id space
+    dc = nk.DegreeCentrality(G).run()
+    assert len(dc.scores()) == 4 and dc.score(1) == 0.0
