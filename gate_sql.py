@@ -2341,7 +2341,7 @@ WITH sel AS MATERIALIZED (
 a0 AS MATERIALIZED ({assign.format(src='sel')}),
 m AS MATERIALIZED (
   SELECT a0.cell, r.range AS pos,
-         AVG(CAST(e.embedding[r.range + 1] AS DOUBLE)) AS mv
+         ROUND(AVG(CAST(e.embedding[r.range + 1] AS DOUBLE)), 12) AS mv
   FROM a0 JOIN embeddings e USING (vec_id), range({dim}) r
   GROUP BY a0.cell, r.range),
 c1 AS MATERIALIZED (SELECT cell, LIST(mv ORDER BY pos) AS cv FROM m GROUP BY cell),
@@ -2658,7 +2658,7 @@ a0 AS MATERIALIZED (
       ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell ASC) AS rn
     FROM emb e, sel c) t WHERE rn = 1),
 m AS MATERIALIZED (
-  SELECT a0.cell, r.range AS pos, AVG(e.v[r.range + 1]) AS mv
+  SELECT a0.cell, r.range AS pos, ROUND(AVG(e.v[r.range + 1]), 12) AS mv
   FROM a0 JOIN emb e USING (vec_id), range({dim}) r
   GROUP BY a0.cell, r.range),
 c1 AS MATERIALIZED (

@@ -374,7 +374,11 @@ def ivf_centroids(
             )
             .select("cell", F.posexplode(vec_col).alias("pos", "v"))
             .groupBy("cell", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            # round the mean to 12dp: float summation order varies with
+            # partitioning/agg-tree shape, and an ulp-different centroid
+            # can flip a near-tie assignment — rounding pins the refined
+            # centroids (and everything downstream) across parallelism
+            .agg(F.round(F.avg(F.col("v").cast("double")), 12).alias("m"))
             .groupBy("cell")
             .agg(
                 F.transform(
