@@ -158,6 +158,10 @@ __all__ = [
     "GephiStreamingClient",
     "GraphEvent",
     "GraphUpdater",
+    "setNumberOfThreads",
+    "getCurrentNumberOfThreads",
+    "getMaxNumberOfThreads",
+    "enableNestedParallelism",
     "AdjustedRandIndex",
     "NeighborsMeasureIndex",
     "AlgebraicDistanceIndex",
@@ -3097,3 +3101,37 @@ class GraphUpdater:
 
     def getNumberOfGraphEvents(self) -> int:
         return self._n_events
+
+
+# -- engineering module analogues (networkit/engineering.pyx) ---------------
+# The reference controls OpenMP threads; here "threads" means the local
+# Spark master's cores (informational on a real cluster, where
+# parallelism is executors × cores and set at session build).
+
+
+def setNumberOfThreads(n: int) -> None:  # noqa: N802 - reference casing
+    """No-op on a running session (Spark fixes master parallelism at
+    session start, unlike OpenMP) — records the request so scripts
+    porting `nk.setNumberOfThreads(8)` run unchanged; honored only if a
+    new session is built afterwards via linkgraph.session.get_spark."""
+    global _requested_threads
+    _requested_threads = int(n)
+
+
+_requested_threads: int | None = None
+
+
+def getCurrentNumberOfThreads() -> int:  # noqa: N802
+    sc = _spark().sparkContext
+    return int(sc.defaultParallelism)
+
+
+def getMaxNumberOfThreads() -> int:  # noqa: N802
+    import os
+
+    return _requested_threads or os.cpu_count() or 1
+
+
+def enableNestedParallelism() -> None:  # noqa: N802
+    """Reference toggle for nested OpenMP — meaningless under Spark's
+    task model; kept for script compatibility."""

@@ -662,3 +662,10 @@ def test_node_removal_semantics(spark):
     # score vectors stay indexable over the retired id space
     dc = nk.DegreeCentrality(G).run()
     assert len(dc.scores()) == 4 and dc.score(1) == 0.0
+
+
+def test_engineering_facades(spark):
+    nk.setNumberOfThreads(8)
+    assert nk.getMaxNumberOfThreads() == 8
+    assert nk.getCurrentNumberOfThreads() >= 1
+    nk.enableNestedParallelism()  # no-op, must not raise
