@@ -16,9 +16,10 @@ with the graph; the transport is separated out:
 - :func:`write_event_stream` sinks them as JSON-lines text, exactly the
   byte stream the plugin's ``?operation=updateGraph`` endpoint consumes
   (replayable later with ``curl --data-binary @file``);
-- :func:`post_events` performs the live HTTP push per partition. The
-  sandbox has no Gephi master to test against, so only the file sink is
-  exercised by tests; the POST path reuses the identical payload bytes.
+- :func:`post_events` performs the live HTTP push. No Gephi master
+  exists in the sandbox, but the transport is driven in tests against an
+  in-process HTTP server (ordering, batching, CRLF framing); a real
+  endpoint sees the identical payload bytes as the file sink.
 
 Event ordering: the protocol is order-sensitive (an edge may only
 reference existing nodes), so every builder returns a ``seq`` column and
@@ -144,9 +145,9 @@ def post_events(
     batch: int = 1000,
 ) -> None:
     """Live push: POST events to a Gephi Graph Streaming master in seq
-    order, ``batch`` lines per request. Requires a reachable server —
-    untestable in this sandbox; the payload bytes are identical to
-    :func:`write_event_stream`'s output, which IS tested."""
+    order, ``batch`` lines per request (tested against an in-process
+    HTTP server; payload bytes identical to :func:`write_event_stream`'s
+    output)."""
     import urllib.request
 
     def send(lines: list[str]) -> None:

@@ -70,3 +70,45 @@ def test_delta_events_order_and_kinds(spark, tmp_path):
     lines = _read_lines(path)
     assert [next(iter(l)) for l in lines] == ["ae", "de"]  # ts order
     assert "0-1" in lines[1]["de"]
+
+
+def test_post_events_against_local_server(spark):
+    """Drive the live-POST transport against an in-process HTTP server:
+    bodies arrive in seq order, batched, with CRLF line termination."""
+    import http.server
+    import threading
+
+    received = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            received.append(self.rfile.read(n).decode("utf-8"))
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"ok")
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from linkgraph.gephi import graph_events, post_events
+
+        g = make_graph(spark, [(0, 1), (1, 2)])
+        url = f"http://127.0.0.1:{srv.server_port}/ws?operation=updateGraph"
+        post_events(graph_events(g), url, batch=2)
+        lines = [
+            json.loads(ln)
+            for body in received
+            for ln in body.split("\r\n")
+            if ln.strip()
+        ]
+        kinds = [next(iter(l)) for l in lines]
+        assert kinds == ["an", "an", "an", "ae", "ae"]
+        assert len(received) == 3  # 5 events at batch=2 → 2+2+1 requests
+        assert all(body.endswith("\r\n") for body in received)
+    finally:
+        srv.shutdown()
