@@ -3107,12 +3107,16 @@ good AS (
   WHERE contains(rec, chr(13) || chr(10) || chr(13) || chr(10))
 ),
 parsed AS (
+  -- header fields come from the pre-blank-line HEADER BLOCK only,
+  -- mirroring the engine's payload-spoof guard (warc.py::_header)
   SELECT
-    nullif(regexp_extract(rec, '(?im)^WARC-Target-URI:\\s*(\\S+)', 1), '') AS url,
-    nullif(regexp_extract(rec, '(?im)^WARC-Type:\\s*(\\S+)', 1), '') AS warc_type,
-    nullif(regexp_extract(rec, '(?im)^WARC-Date:\\s*(\\S+)', 1), '') AS warc_date,
+    nullif(regexp_extract(hdr, '(?im)^WARC-Target-URI:\\s*(\\S+)', 1), '') AS url,
+    nullif(regexp_extract(hdr, '(?im)^WARC-Type:\\s*(\\S+)', 1), '') AS warc_type,
+    nullif(regexp_extract(hdr, '(?im)^WARC-Date:\\s*(\\S+)', 1), '') AS warc_date,
     regexp_replace(rec, '(?s)^.*?\\r\\n\\r\\n', '') AS payload
-  FROM good
+  FROM (SELECT rec,
+               split_part(rec, chr(13) || chr(10) || chr(13) || chr(10), 1) AS hdr
+        FROM good) g
 ),
 body AS (
   SELECT url, warc_type, warc_date,

@@ -111,7 +111,12 @@ def simrank(
                 nxt = nxt.where(F.col("s") >= prune_eps)
             sim = pin(nxt, "sim")
         out = sim if sim is not None else spark.createDataFrame([], "u long, v long, s double")
-        return out.select("u", "v", F.col("s").alias("sim"))
+        # materialize BEFORE the finally below removes the Pin state dirs
+        # (the result must not depend on the loop's parquet snapshots)
+        return out.select("u", "v", F.col("s").alias("sim")).localCheckpoint(
+            eager=True
+        )
     finally:
         ie.unpersist()
         indeg.unpersist()
+        pin.close()

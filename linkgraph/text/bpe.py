@@ -147,12 +147,13 @@ def bpe_vocab(docs: DataFrame, merges: list, text_col: str = "text") -> DataFram
     state = word_freqs(docs, text_col).select(
         F.split(F.col("word"), "").alias("syms"), "freq"
     )
-    for a, b in merges:
+    for i, (a, b) in enumerate(merges):
         state = state.select(
             _merge_pair_expr(F.col("syms"), a, b).alias("syms"), "freq"
         )
-        # keep the expression tree bounded for long merge lists
-        if len(merges) > 8:
+        # keep the expression tree bounded for long merge lists —
+        # PERIODICALLY (every 8th merge), not on every iteration
+        if i % 8 == 7:
             state = state.localCheckpoint(eager=True)
     return (
         state.select(F.explode("syms").alias("token"), "freq")

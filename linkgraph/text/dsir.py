@@ -120,6 +120,8 @@ def dsir_sample(
     (seed, doc_id): u = (h mod M + 0.5)/M, g = −ln(−ln u) — deterministic
     and identically computable by the SQL oracle. TakeOrdered top-k, no
     global sort materialization."""
+    if temperature < 0:
+        raise ValueError(f"temperature must be >= 0, got {temperature}")
     m = 1 << 20
     h = (
         phash(F.lit(seed), F.col("doc_id"))
@@ -127,7 +129,12 @@ def dsir_sample(
         else F.xxhash64(F.lit(seed), F.col("doc_id"))
     )
     u = (F.pmod(h, F.lit(m)) + F.lit(0.5)) / F.lit(float(m))
-    key = F.col("logw") / F.lit(float(temperature)) - F.log(-F.log(u))
+    if temperature == 0.0:
+        # the documented T→0 limit, taken exactly: deterministic top-k by
+        # weight (an unguarded logw/0 aborts the job under ANSI mode)
+        key = F.col("logw")
+    else:
+        key = F.col("logw") / F.lit(float(temperature)) - F.log(-F.log(u))
     return (
         weights.select("doc_id", "logw", key.alias("gumbel_key"))
         .orderBy(F.desc("gumbel_key"), "doc_id")

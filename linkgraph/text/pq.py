@@ -38,7 +38,10 @@ def _hash_col(id_col: str, seed: int, portable: bool):
 
 
 def _dim_of(embeddings: DataFrame, vec_col: str) -> int:
-    return int(embeddings.select(F.size(vec_col)).first()[0])
+    row = embeddings.select(F.size(vec_col)).first()
+    if row is None:
+        raise ValueError("cannot infer embedding dim from an empty DataFrame")
+    return int(row[0])
 
 
 def _subvectors(embeddings: DataFrame, id_col: str, vec_col: str, m: int, w: int) -> DataFrame:
@@ -75,6 +78,65 @@ def _assign_codes(sv: DataFrame, codebooks: DataFrame) -> DataFrame:
     )
 
 
+def _query_lut(queries, books, m, w, id_col, vec_col):
+    """(query_id, sub, code, ip) — per-query ADC lookup table (inner
+    products of each query subvector with every codebook centroid);
+    shared by pq_topk and ivfpq_topk."""
+    qsub = _subvectors(queries, id_col, vec_col, m, w).withColumnRenamed(
+        "id", "query_id"
+    )
+    return qsub.join(F.broadcast(books), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("ip"),
+    )
+
+
+def _adc_shortlist(adc, k, shortlist_factor):
+    """Shortlist on the 6dp-ROUNDED ADC score: double summation order
+    differs across engines/partitionings, retrieval quality is
+    insensitive at this precision, and rounding makes the ranking
+    deterministic — the shared determinism rule of both PQ paths."""
+    wsl = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("adc", 6)), F.asc("id")
+    )
+    return (
+        adc.withColumn("_rn", F.row_number().over(wsl))
+        .where(F.col("_rn") <= k * shortlist_factor)
+        .select("query_id", F.col("id").alias("neighbor_id"))
+    )
+
+
+def _exact_rerank(short, embeddings, queries, k, id_col, vec_col):
+    """Exact-cosine re-rank of a (query_id, neighbor_id) shortlist."""
+    from linkgraph.text.similarity import cosine_similarity_col
+
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (
+        short.join(e, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity_col(F.col("qv"), F.col("nv")).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def pq_codebooks(
     embeddings: DataFrame,
     m: int = 4,
@@ -84,12 +146,14 @@ def pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     portable: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """(sub, code, cv: array<double>) — per-subspace codebooks. Seeds =
     the ``n_codes`` vectors of smallest seeded hash, sliced per subspace
     (sample-then-slice, deterministic on both engines), refined by
-    ``refine_rounds`` Lloyd iterations. Requires dim % m == 0."""
-    dim = _dim_of(embeddings, vec_col)
+    ``refine_rounds`` Lloyd iterations. Requires dim % m == 0.
+    ``dim`` skips the inference scan when the caller already knows it."""
+    dim = dim or _dim_of(embeddings, vec_col)
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     w = dim // m
@@ -141,11 +205,12 @@ def pq_encode(
     m: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, codes: array<int>) — each vector's m nearest-centroid codes,
     ordered by subspace. This IS the compressed index (m small ints per
-    corpus vector)."""
-    dim = _dim_of(embeddings, vec_col)
+    corpus vector). ``dim`` skips the inference scan when known."""
+    dim = dim or _dim_of(embeddings, vec_col)
     w = dim // m
     assign = _assign_codes(_subvectors(embeddings, id_col, vec_col, m, w), codebooks)
     return assign.groupBy("id").agg(
@@ -181,22 +246,11 @@ def pq_topk(
     dim = _dim_of(embeddings, vec_col)
     w = dim // m
     books = pq_codebooks(
-        embeddings, m, n_codes, refine_rounds, seed, id_col, vec_col, portable
+        embeddings, m, n_codes, refine_rounds, seed, id_col, vec_col, portable,
+        dim=dim,
     )
-    codes = pq_encode(embeddings, books, m, id_col, vec_col)
-    qsub = _subvectors(queries, id_col, vec_col, m, w).withColumnRenamed(
-        "id", "query_id"
-    )
-    lut = qsub.join(F.broadcast(books), "sub").select(
-        "query_id",
-        "sub",
-        "code",
-        F.aggregate(
-            F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("ip"),
-    )
+    codes = pq_encode(embeddings, books, m, id_col, vec_col, dim=dim)
+    lut = _query_lut(queries, books, m, w, id_col, vec_col)
     corpus_codes = codes.select("id", F.posexplode("codes").alias("sub", "code"))
     adc = (
         corpus_codes.join(F.broadcast(lut), ["sub", "code"])
@@ -204,36 +258,8 @@ def pq_topk(
         .groupBy("query_id", "id")
         .agg(F.sum("ip").alias("adc"))
     )
-    # rank the shortlist on the 6dp-rounded ADC score: double summation
-    # order differs across engines/partitionings, and retrieval quality
-    # is insensitive at this precision — ranking becomes deterministic
-    wsl = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round("adc", 6)), F.asc("id")
-    )
-    short = (
-        adc.withColumn("_rn", F.row_number().over(wsl))
-        .where(F.col("_rn") <= k * shortlist_factor)
-        .select("query_id", F.col("id").alias("neighbor_id"))
-    )
-    from linkgraph.text.similarity import cosine_similarity_col
-
-    e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    scored = (
-        short.join(e, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity_col(F.col("qv"), F.col("nv")).alias("cos"),
-        )
-    )
-    wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(wk))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    short = _adc_shortlist(adc, k, shortlist_factor)
+    return _exact_rerank(short, embeddings, queries, k, id_col, vec_col)
 
 
 def ivfpq_topk(
@@ -277,9 +303,10 @@ def ivfpq_topk(
     )
     assign = ivf_assign(embeddings, cents, id_col, vec_col)
     books = pq_codebooks(
-        embeddings, m, n_codes, refine_rounds, seed + 1, id_col, vec_col, portable
+        embeddings, m, n_codes, refine_rounds, seed + 1, id_col, vec_col,
+        portable, dim=dim,
     )
-    codes = pq_encode(embeddings, books, m, id_col, vec_col)
+    codes = pq_encode(embeddings, books, m, id_col, vec_col, dim=dim)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     qscore = q.crossJoin(cents).select(
         "query_id",
@@ -292,19 +319,7 @@ def ivfpq_topk(
         .where(F.col("_rn") <= n_probe)
         .select("query_id", "cell")
     )
-    qsub = _subvectors(queries, id_col, vec_col, m, w).withColumnRenamed(
-        "id", "query_id"
-    )
-    lut = qsub.join(F.broadcast(books), "sub").select(
-        "query_id",
-        "sub",
-        "code",
-        F.aggregate(
-            F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("ip"),
-    )
+    lut = _query_lut(queries, books, m, w, id_col, vec_col)
     cand = probes.join(assign.withColumnRenamed("id", "cid"), "cell").select(
         "query_id", F.col("cid").alias("id")
     )
@@ -316,27 +331,5 @@ def ivfpq_topk(
         .groupBy("query_id", "id")
         .agg(F.sum("ip").alias("adc"))
     )
-    wsl = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round("adc", 6)), F.asc("id")
-    )
-    short = (
-        adc.withColumn("_rn", F.row_number().over(wsl))
-        .where(F.col("_rn") <= k * shortlist_factor)
-        .select("query_id", F.col("id").alias("neighbor_id"))
-    )
-    e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
-    scored = (
-        short.join(e, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity_col(F.col("qv"), F.col("nv")).alias("cos"),
-        )
-    )
-    wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(wk))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    short = _adc_shortlist(adc, k, shortlist_factor)
+    return _exact_rerank(short, embeddings, queries, k, id_col, vec_col)

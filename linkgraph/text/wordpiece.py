@@ -135,10 +135,10 @@ def wordpiece_vocab(
     state = word_freqs(docs, text_col).select(
         _initial_syms(F.col("word")).alias("syms")
     )
-    for a, b in merges:
+    for i, (a, b) in enumerate(merges):
         merged = a + (b[2:] if b.startswith("##") else b)
         state = state.select(_rewrite_expr(F.col("syms"), a, b, merged).alias("syms"))
-        if len(merges) > 8:
+        if i % 8 == 7:  # periodic plan-growth bound, not every merge
             state = state.localCheckpoint(eager=True)
     return {r.s for r in state.select(F.explode("syms").alias("s")).distinct().collect()}
 

@@ -39,38 +39,51 @@ __all__ = ["read_warc", "read_warc_strict", "write_warc", "WARC_MAGIC"]
 WARC_MAGIC = "WARC/1.0\r\n"
 
 
-def _header(rec, name: str):
-    # (?i) case-insensitive field names per spec; (?m)^ anchors each line
+def _header(hdr, name: str):
+    # (?i) case-insensitive field names per spec; (?m)^ anchors each line.
+    # ``hdr`` must be the WARC header BLOCK only (text before the first
+    # blank line) — running these regexps over the whole record would let
+    # payload text that happens to contain "WARC-Target-URI: …" lines
+    # masquerade as header values.
     return F.nullif(
-        F.regexp_extract(rec, rf"(?im)^{name}:\s*(\S+)", 1), F.lit("")
+        F.regexp_extract(hdr, rf"(?im)^{name}:\s*(\S+)", 1), F.lit("")
     )
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(spark: SparkSession, path: str, version: str = "1.0") -> DataFrame:
     """(url, warc_type, warc_date, http_status, html) — fast splittable
     reader (see module docstring for the fast-vs-strict contract).
 
     ``html`` is the HTTP message body for response records (HTTP header
     block stripped), the raw payload otherwise; the record-terminator
-    CR/LF run is trimmed. Non-record preamble pieces are dropped."""
-    raw = spark.read.option("lineSep", WARC_MAGIC).text(path)
+    CR/LF run is trimmed. Non-record preamble pieces are dropped.
+
+    ``version`` selects the record magic ("1.0" or "1.1") — the Hadoop
+    line reader takes exactly ONE delimiter, so a file mixing WARC
+    versions needs :func:`read_warc_strict` (which matches both).
+    ``http_status`` is null when the status line is malformed (the
+    extract is guarded — an unguarded cast('' as int) aborts the scan
+    under ANSI mode)."""
+    magic = f"WARC/{version}\r\n"
+    raw = spark.read.option("lineSep", magic).text(path)
     rec = F.col("value")
+    hdr = F.substring_index(rec, "\r\n\r\n", 1)
     payload = F.regexp_replace(rec, r"(?s)^.*?\r\n\r\n", "")
     is_http = payload.startswith("HTTP/")
     body = F.when(
         is_http, F.regexp_replace(payload, r"(?s)^.*?\r\n\r\n", "")
     ).otherwise(payload)
     body = F.regexp_replace(body, r"(?s)(\r\n|\n)+$", "")
+    status_txt = F.regexp_extract(payload, r"^HTTP/[0-9.]+\s+(\d+)", 1)
     return (
         raw.where(rec.contains("\r\n\r\n"))
         .select(
-            _header(rec, "WARC-Target-URI").alias("url"),
-            _header(rec, "WARC-Type").alias("warc_type"),
-            _header(rec, "WARC-Date").alias("warc_date"),
-            F.when(
-                is_http,
-                F.regexp_extract(payload, r"^HTTP/[0-9.]+\s+(\d+)", 1).cast("int"),
-            ).alias("http_status"),
+            _header(hdr, "WARC-Target-URI").alias("url"),
+            _header(hdr, "WARC-Type").alias("warc_type"),
+            _header(hdr, "WARC-Date").alias("warc_date"),
+            F.when(is_http, F.nullif(status_txt, F.lit("")).cast("int")).alias(
+                "http_status"
+            ),
             body.alias("html"),
         )
     )
@@ -79,23 +92,37 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 def read_warc_strict(spark: SparkSession, path: str) -> DataFrame:
     """Content-Length-exact WARC reader over the binaryFile source —
     per-file parallelism, arbitrary payload bytes safe. Same columns as
-    :func:`read_warc`; ``html`` is utf-8-decoded with replacement."""
+    :func:`read_warc`; ``html`` is utf-8-decoded with replacement.
+
+    Handles ``.warc.gz`` transparently (gzip magic sniffed per file;
+    GzipFile reads across the per-record gzip members Common Crawl
+    writes) and matches BOTH WARC/1.0 and WARC/1.1 record magics."""
     files = spark.read.format("binaryFile").load(path)
 
     def parse(batches) -> Iterator:
+        import gzip
+        import io
+
         import pandas as pd
 
-        magic = b"WARC/1.0\r\n"
+        magics = (b"WARC/1.0\r\n", b"WARC/1.1\r\n")
+
+        def find_magic(data: bytes, start: int) -> int:
+            hits = [j for j in (data.find(m, start) for m in magics) if j != -1]
+            return min(hits) if hits else -1
+
         for pdf in batches:
             out = {k: [] for k in ("url", "warc_type", "warc_date", "http_status", "html")}
             for content in pdf["content"]:
                 data = bytes(content)
-                i = data.find(magic)
+                if data[:2] == b"\x1f\x8b":  # gzip (possibly multi-member)
+                    data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+                i = find_magic(data, 0)
                 while i != -1:
                     h_end = data.find(b"\r\n\r\n", i)
                     if h_end == -1:
                         break
-                    headers = data[i + len(magic): h_end].decode("utf-8", "replace")
+                    headers = data[i + 10: h_end].decode("utf-8", "replace")  # both magics are 10 bytes
                     fields = {}
                     for line in headers.split("\r\n"):
                         if ":" in line:
@@ -114,7 +141,7 @@ def read_warc_strict(spark: SparkSession, path: str) -> DataFrame:
                     out["warc_date"].append(fields.get("warc-date"))
                     out["http_status"].append(status)
                     out["html"].append(payload.decode("utf-8", "replace"))
-                    i = data.find(magic, h_end + 4 + n)
+                    i = find_magic(data, h_end + 4 + n)
             yield pd.DataFrame(out)
 
     return files.select("content").mapInPandas(

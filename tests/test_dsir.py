@@ -107,3 +107,17 @@ def test_gumbel_sample_deterministic_and_biased(spark):
     # portable keys are deterministic too and select valid rows
     p = [r.doc_id for r in dsir_sample(w, 3, seed=7, portable=True).collect()]
     assert len(set(p)) == 3 and set(p) <= {0, 1, 2, 3, 4}
+
+
+def test_dsir_sample_zero_temperature_is_topk(spark):
+    from linkgraph.text.dsir import dsir_sample
+
+    w = spark.createDataFrame(
+        [(i, float(-i)) for i in range(20)], "doc_id bigint, logw double"
+    )
+    got = [r.doc_id for r in dsir_sample(w, 5, temperature=0.0).collect()]
+    assert sorted(got) == [0, 1, 2, 3, 4]  # deterministic top-k by logw
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dsir_sample(w, 5, temperature=-1.0)

@@ -94,3 +94,75 @@ def test_cdxj_roundtrip(spark, tmp_path):
     # surt of the url column reproduces the key for simple urls
     joined = back.select("surt", surt_key(F.col("url")).alias("k")).collect()
     assert all(r.surt == r.k for r in joined)
+
+
+def test_strict_reads_gzip_multimember(spark, tmp_path):
+    """.warc.gz per-record gzip members (the Common Crawl layout) read
+    transparently by the strict reader."""
+    import glob
+    import gzip
+    import os
+
+    pages = synth_pages(spark, 5, seed=3)
+    plain = str(tmp_path / "plain")
+    write_warc(pages, plain)
+    raw = b"".join(
+        open(f, "rb").read() for f in sorted(glob.glob(plain + "/part-*"))
+    )
+    # split into two gzip members at a record boundary (multi-member)
+    cut = raw.find(b"WARC/1.0\r\n", 10)
+    gzdir = str(tmp_path / "gz")
+    os.makedirs(gzdir)
+    with open(gzdir + "/crawl.warc.gz", "wb") as f:
+        f.write(gzip.compress(raw[:cut]) + gzip.compress(raw[cut:]))
+    got = read_warc_strict(spark, gzdir)
+    assert got.count() == 5
+    plain_md5 = {
+        (r.url, r.html) for r in read_warc_strict(spark, plain).collect()
+    }
+    assert {(r.url, r.html) for r in got.collect()} == plain_md5
+
+
+def test_warc_11_magic_both_readers(spark, tmp_path):
+    body = "<html>v11</html>"
+    rec = (
+        "WARC/1.1\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: http://x.org/a\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "\r\n" + body + "\r\n\r\n"
+    )
+    import os
+
+    d = str(tmp_path / "w11")
+    os.makedirs(d)
+    with open(d + "/f.warc", "w", newline="") as f:
+        f.write(rec)
+    strict = read_warc_strict(spark, d).collect()
+    assert len(strict) == 1 and strict[0].html == body
+    fast = read_warc(spark, d, version="1.1").collect()
+    assert len(fast) == 1 and fast[0].url == "http://x.org/a"
+
+
+def test_fast_reader_malformed_status_and_header_spoof(spark, tmp_path):
+    """A garbled HTTP status line must yield a NULL status (not an ANSI
+    cast abort), and WARC-looking lines inside the payload must not leak
+    into header columns."""
+    import os
+
+    payload = "HTTP/1.1 OK\r\n\r\nWARC-Target-URI: http://evil.example/\r\nbody"
+    rec = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: http://real.example/page\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n" + payload + "\r\n\r\n"
+    )
+    d = str(tmp_path / "mal")
+    os.makedirs(d)
+    with open(d + "/f.warc", "w", newline="") as f:
+        f.write(rec)
+    rows = read_warc(spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0].http_status is None
+    assert rows[0].url == "http://real.example/page"
