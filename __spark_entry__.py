@@ -1079,6 +1079,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", surt_key(url).alias("surt")
         )
 
+    def doc_quantiles(spark, sf):
+        """Exact n_chars quantiles (type-1/lower definition) via the
+        range-partition linearization — no global sort, no
+        SinglePartition exchange."""
+        from linkgraph.stats import exact_quantiles
+
+        _register(spark, sf)
+        return exact_quantiles(
+            spark.table("documents"), "n_chars", [0.0, 0.25, 0.5, 0.75, 1.0]
+        )
+
+    def doc_lang_quantiles(spark, sf):
+        from linkgraph.stats import grouped_exact_quantiles
+
+        _register(spark, sf)
+        return grouped_exact_quantiles(
+            spark.table("documents"), "n_chars", [0.25, 0.5, 0.75], "lang"
+        )
+
     def doc_shard_plan(spark, sf):
         """Community-aware shard placement over the fixed id%24 labeling:
         top-8 communities dealt sorted-round-robin across 4 shards, tail
@@ -2427,6 +2446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fm_distinct": doc_fm_distinct,
         "doc_surt_keys": doc_surt_keys,
         "doc_shard_plan": doc_shard_plan,
+        "doc_quantiles": doc_quantiles,
+        "doc_lang_quantiles": doc_lang_quantiles,
         "doc_cms_counts": doc_cms_counts,
         "doc_snapshot_diff": doc_snapshot_diff,
         "minhash_dups": minhash_dups,
@@ -3804,6 +3825,28 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["doc_luby_mis"] = G.luby_sql(EDGES_CTE_MAT, rounds=8, seed=42)
     sql["doc_unigram_pieces"] = G.unigram_sql(mod=10, top_multi=60, max_wlen=12)
     sql["doc_wordpiece_pieces"] = G.wordpiece_sql(mod=10, top_multi=60, max_wlen=12)
+    sql["doc_quantiles"] = """
+WITH s AS (SELECT n_chars AS v,
+                  ROW_NUMBER() OVER (ORDER BY n_chars) - 1 AS pos
+           FROM documents WHERE n_chars IS NOT NULL),
+nn AS (SELECT COUNT(*) AS n FROM s),
+t(q) AS (VALUES (0.0), (0.25), (0.5), (0.75), (1.0))
+SELECT t.q, s.v AS value
+FROM t CROSS JOIN nn JOIN s ON s.pos = CAST(FLOOR(t.q * (nn.n - 1)) AS BIGINT)
+"""
+
+    sql["doc_lang_quantiles"] = """
+WITH b AS (SELECT lang AS g, n_chars AS v FROM documents
+           WHERE n_chars IS NOT NULL),
+r AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) - 1 AS rr
+      FROM b),
+c AS (SELECT g, COUNT(*) AS n FROM b GROUP BY g),
+t(q) AS (VALUES (0.25), (0.5), (0.75))
+SELECT r.g AS lang, t.q, r.v AS value
+FROM r JOIN c USING (g) CROSS JOIN t
+WHERE r.rr = CAST(FLOOR(t.q * (c.n - 1)) AS BIGINT)
+"""
+
     sql["doc_shard_plan"] = f"""
 WITH {EDGES_CTE_MAT},
 lab AS MATERIALIZED (SELECT id, id % 24 AS label FROM nodes),
