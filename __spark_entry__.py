@@ -1079,6 +1079,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", surt_key(url).alias("surt")
         )
 
+    def doc_adjacency(spark, sf):
+        """Chunked adjacency export (max_chunk=8 so hub rows split):
+        sorted neighbor strings replayed with ordered string_agg."""
+        from linkgraph.tables import adjacency_table
+
+        g = _doc_graph(spark, sf)
+        return adjacency_table(g, max_chunk=8)
+
     def doc_quantiles(spark, sf):
         """Exact n_chars quantiles (type-1/lower definition) via the
         range-partition linearization — no global sort, no
@@ -2447,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_surt_keys": doc_surt_keys,
         "doc_shard_plan": doc_shard_plan,
         "doc_quantiles": doc_quantiles,
+        "doc_adjacency": doc_adjacency,
         "doc_lang_quantiles": doc_lang_quantiles,
         "doc_cms_counts": doc_cms_counts,
         "doc_snapshot_diff": doc_snapshot_diff,
@@ -3825,6 +3834,19 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["doc_luby_mis"] = G.luby_sql(EDGES_CTE_MAT, rounds=8, seed=42)
     sql["doc_unigram_pieces"] = G.unigram_sql(mod=10, top_multi=60, max_wlen=12)
     sql["doc_wordpiece_pieces"] = G.wordpiece_sql(mod=10, top_multi=60, max_wlen=12)
+    sql["doc_adjacency"] = f"""
+WITH {EDGES_CTE_MAT},
+e2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+r AS MATERIALIZED (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rr
+  FROM e2)
+SELECT src, CAST(rr // 8 AS INT) AS chunk,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS neighbors
+FROM r GROUP BY src, CAST(rr // 8 AS INT)
+"""
+
     sql["doc_quantiles"] = """
 WITH s AS (SELECT n_chars AS v,
                   ROW_NUMBER() OVER (ORDER BY n_chars) - 1 AS pos

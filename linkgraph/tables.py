@@ -219,3 +219,45 @@ def apply_shard_plan(
         .withColumn("shard", F.coalesce("shard", fallback))
         .repartition(int(n_shards), "shard")
     )
+
+
+def adjacency_table(
+    graph, max_chunk: int = 1024, use_symmetric: bool = False
+) -> DataFrame:
+    """(src, chunk, n, neighbors) — sorted neighbor lists chunked at
+    ``max_chunk`` ids per row: the serving/export shape of the edge
+    table (one seek returns a vertex's out-links in order). Chunking
+    happens BEFORE the collect — neighbor rank // max_chunk via a window
+    partitioned by src (task size bounded by a vertex's degree, chunk
+    arrays bounded by max_chunk) — so a 10⁸-degree hub becomes 10⁸/1024
+    bounded rows instead of one executor-OOM array. ``neighbors`` is the
+    comma-joined id string (storage- and oracle-stable); round-trip with
+    :func:`edges_from_adjacency`."""
+    from linkgraph.graph import Graph  # noqa: F401 - typing only
+
+    e = (
+        graph.symmetric_edges() if use_symmetric else graph.edges
+    ).select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    ranked = e.withColumn("_r", F.row_number().over(w) - 1)
+    return (
+        ranked.groupBy(
+            "src",
+            (F.col("_r") / int(max_chunk)).cast("int").alias("chunk"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.array_join(
+                F.sort_array(F.collect_list("dst")), ","
+            ).alias("neighbors"),
+        )
+    )
+
+
+def edges_from_adjacency(adj: DataFrame) -> DataFrame:
+    """Inverse of :func:`adjacency_table`: explode the chunked neighbor
+    strings back to (src, dst) rows."""
+    return adj.select(
+        "src",
+        F.explode(F.split("neighbors", ",")).alias("dst"),
+    ).select("src", F.col("dst").cast("bigint").alias("dst"))

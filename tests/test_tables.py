@@ -49,3 +49,22 @@ def test_apply_shard_plan_colocates(spark):
     pl = {r.label: r.shard for r in plan.collect()}
     for r in tagged.collect():
         assert r.shard == pl[r.src // 5]
+
+
+def test_adjacency_table_roundtrip_and_chunking(spark):
+    from conftest import make_graph
+
+    from pyspark.sql import functions as F
+
+    from linkgraph.tables import adjacency_table, edges_from_adjacency
+
+    # hub 0 with 20 neighbors + a small tail
+    g = make_graph(spark, [(0, i) for i in range(1, 21)] + [(30, 31)], directed=True)
+    adj = adjacency_table(g, max_chunk=8)
+    rows = {(r.src, r.chunk): r for r in adj.collect()}
+    assert {(s, c) for s, c in rows} == {(0, 0), (0, 1), (0, 2), (30, 0)}
+    assert rows[(0, 0)].n == 8 and rows[(0, 2)].n == 4
+    # chunk 0 holds the 8 smallest neighbors in order
+    assert rows[(0, 0)].neighbors == ",".join(str(i) for i in range(1, 9))
+    back = {(r.src, r.dst) for r in edges_from_adjacency(adj).collect()}
+    assert back == {(0, i) for i in range(1, 21)} | {(30, 31)}
