@@ -85,7 +85,15 @@ def laplacian_matrix(graph: Graph) -> DataFrame:
         "row", F.col("row").alias("col"), "val"
     )
     off = a.select("row", "col", (-F.col("val")).alias("val"))
-    return deg.unionByName(off)
+    # aggregate the union: a self-loop vertex otherwise emits TWO rows at
+    # (i, i) (degree and −w), violating the one-entry-per-coordinate
+    # matrix contract the module docstring promises
+    return (
+        deg.unionByName(off)
+        .groupBy("row", "col")
+        .agg(F.sum("val").alias("val"))
+        .where(F.col("val") != 0.0)
+    )
 
 
 def transpose_matrix(mat: DataFrame) -> DataFrame:
@@ -166,10 +174,13 @@ def algebraic_pagerank(
     )
     pt.count()
     sinks = nodes.join(outw.select(F.col("row").alias("id")), "id", "left_anti").persist()
-    # eager localCheckpoint per iteration truncates the plan lineage —
-    # without it the k-th iteration re-plans a k-deep join chain (the
-    # iterative-Spark trap Superstep.run documents)
-    r = nodes.select("id", F.lit(1.0 / n).alias("val")).localCheckpoint(eager=True)
+    # Pin, not naked localCheckpoint chains: per-round parquet rotation
+    # truncates the plan AND bounds checkpoint storage (the Spark-4
+    # plan-growth trap — see linkgraph/iterutil.py)
+    from linkgraph.iterutil import Pin
+
+    pin = Pin(spark, "alg_pr")
+    r = pin(nodes.select("id", F.lit(1.0 / n).alias("val")), "r")
     try:
         for _ in range(max_iter):
             sink_mass = (
@@ -177,13 +188,13 @@ def algebraic_pagerank(
             )
             base = (damping * sink_mass + (1.0 - damping)) / n
             flow = mat_vec(pt, r, "plus_times")
-            nxt = (
+            nxt = pin(
                 nodes.join(flow.withColumnRenamed("val", "f"), "id", "left")
                 .select(
                     "id",
                     (F.lit(base) + damping * F.coalesce("f", F.lit(0.0))).alias("val"),
-                )
-                .localCheckpoint(eager=True)
+                ),
+                "r",
             )
             delta = (
                 nxt.join(r.withColumnRenamed("val", "p"), "id")
@@ -193,11 +204,16 @@ def algebraic_pagerank(
             r = nxt
             if delta is not None and delta < tol:
                 break
+        # materialize independently of the Pin dirs removed below
+        out = r.select("id", F.col("val").alias("rank")).localCheckpoint(
+            eager=True
+        )
     finally:
         pt.unpersist()
         sinks.unpersist()
         nodes.unpersist()
-    return r.select("id", F.col("val").alias("rank"))
+        pin.close()
+    return out
 
 
 def algebraic_bellman_ford(graph: Graph, source: int, max_iter: int = 10_000) -> DataFrame:
@@ -208,28 +224,37 @@ def algebraic_bellman_ford(graph: Graph, source: int, max_iter: int = 10_000) ->
     faster path — this one relaxes every reached vertex each round.
     """
     spark = graph.edges.sparkSession
+    from linkgraph.iterutil import Pin
+
     at = transpose_matrix(adjacency_matrix(graph)).persist()
-    d = spark.createDataFrame(
-        [(source, 0.0)], "id bigint, val double"
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        relaxed = mat_vec(at, d, "min_plus")
-        nxt = (
-            d.unionByName(relaxed)
-            .groupBy("id")
-            .agg(F.min("val").alias("val"))
-            .localCheckpoint(eager=True)  # truncate per-round lineage
+    pin = Pin(spark, "alg_bf")
+    d = pin(
+        spark.createDataFrame([(source, 0.0)], "id bigint, val double"), "d"
+    )
+    try:
+        for _ in range(max_iter):
+            relaxed = mat_vec(at, d, "min_plus")
+            nxt = pin(
+                d.unionByName(relaxed)
+                .groupBy("id")
+                .agg(F.min("val").alias("val")),
+                "d",
+            )
+            changed = (
+                nxt.join(d.withColumnRenamed("val", "p"), "id", "left")
+                .where(F.col("p").isNull() | (F.col("val") < F.col("p")))
+                .count()
+            )
+            d = nxt
+            if changed == 0:
+                break
+        out = d.select("id", F.col("val").alias("dist")).localCheckpoint(
+            eager=True
         )
-        changed = (
-            nxt.join(d.withColumnRenamed("val", "p"), "id", "left")
-            .where(F.col("p").isNull() | (F.col("val") < F.col("p")))
-            .count()
-        )
-        d = nxt
-        if changed == 0:
-            break
-    at.unpersist()
-    return d.select("id", F.col("val").alias("dist"))
+    finally:
+        at.unpersist()
+        pin.close()
+    return out
 
 
 def algebraic_bfs_levels(graph: Graph, source: int, max_iter: int = 10_000) -> DataFrame:

@@ -63,9 +63,24 @@ def maxent_stress(
     spark = graph.edges.sparkSession
     sym = graph.symmetric_edges().where(F.col("src") != F.col("dst"))
     if distances is not None:
-        sym = sym.drop("weight").join(
-            distances.select("src", "dst", F.col("d").alias("weight")),
-            ["src", "dst"],
+        # symmetrize the override and keep it total: a caller-supplied
+        # one-directional (u,v) row must pull BOTH endpoints (an inner
+        # join on raw pairs silently broke symmetry), and edges absent
+        # from the table keep their default weight instead of vanishing
+        # from the stress term
+        dsym = (
+            distances.select("src", "dst", F.col("d").alias("_d"))
+            .unionByName(
+                distances.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"),
+                    F.col("d").alias("_d"),
+                )
+            )
+            .groupBy("src", "dst")
+            .agg(F.max("_d").alias("_d"))
+        )
+        sym = sym.join(dsym, ["src", "dst"], "left").select(
+            "src", "dst", F.coalesce("_d", "weight").alias("weight")
         )
     sym = sym.select("src", "dst", F.col("weight").alias("d")).persist()
     nodes = graph.nodes().select("id").persist()

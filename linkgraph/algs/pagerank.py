@@ -48,8 +48,15 @@ def pagerank(
     resume: bool = False,
     csr_partition: bool = True,
     teleport: DataFrame | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Return ``(id, rank)``; ranks sum to 1 when ``distribute_sinks``.
+
+    ``init_ranks``: optional (id, rank) warm start — e.g. the previous
+    crawl snapshot's converged ranks. Vertices absent from the frame
+    start at 1/n; the vector renormalizes to sum 1, so a slightly-changed
+    graph converges in a handful of supersteps instead of a cold run
+    (the streaming pipeline's re-trigger path).
 
     ``tol=0`` with a finite ``max_iter`` gives an exact fixed-iteration run
     (used by the unrolled-SQL DuckDB oracle).
@@ -130,19 +137,30 @@ def pagerank(
         if personalized:
             # p is static per vertex too → same trick: one init-time join,
             # then every superstep reads it from the materialized state
-            return state.join(tp_df, "id", "left").select(
+            base = state.join(tp_df, "id", "left").select(
                 "id",
                 F.coalesce("tp", F.lit(0.0)).alias("rank"),
                 (~F.coalesce(F.col("has_out"), F.lit(False))).alias("sink"),
                 F.lit(0.0).alias("delta"),
                 F.coalesce("tp", F.lit(0.0)).alias("tp"),
             )
-        return state.select(
-            "id",
-            F.lit(1.0 / n).alias("rank"),
-            (~F.coalesce(F.col("has_out"), F.lit(False))).alias("sink"),
-            F.lit(0.0).alias("delta"),
+        else:
+            base = state.select(
+                "id",
+                F.lit(1.0 / n).alias("rank"),
+                (~F.coalesce(F.col("has_out"), F.lit(False))).alias("sink"),
+                F.lit(0.0).alias("delta"),
+            )
+        if init_ranks is None:
+            return base
+        ir = init_ranks.select("id", F.col("rank").alias("_r0"))
+        joined = base.join(ir, "id", "left").withColumn(
+            "_r0", F.coalesce("_r0", F.lit(1.0 / n))
         )
+        tot = joined.agg(F.sum("_r0")).collect()[0][0]
+        return joined.withColumn(
+            "rank", F.col("_r0") / F.lit(float(tot))
+        ).drop("_r0")
 
     # sink mass is computed inside the SAME aggregation pass as the
     # convergence metric (one action per superstep, not two) and handed to

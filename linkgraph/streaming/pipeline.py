@@ -65,10 +65,21 @@ def read_pages_stream(
 
 
 def _read_table(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    # ONLY two cases read as empty: a missing path (first batch) and an
+    # existing-but-fileless table (a re-crawl legitimately emptied every
+    # block). Any OTHER failure must raise — silently substituting an
+    # empty edge table would make the pruned overwrite delete surviving
+    # rows, and an empty dictionary would re-append duplicate url ids.
+    from pyspark.errors import AnalysisException
+
+    if not os.path.exists(path):
+        return spark.createDataFrame([], schema)
     try:
         return spark.read.parquet(path)
-    except Exception:
-        return spark.createDataFrame([], schema)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
 
 
 def stream_pages_pipeline(
@@ -158,21 +169,28 @@ def stream_pages_pipeline(
         batch_src_ids = batch_dict.select(F.col("id").alias("src")).distinct()
         # a re-crawled page replaces its pending links too
         pending_kept = pending.join(batch_src_ids, "src", "left_anti")
-        new_dst = new_urls.select(
+        # retro-resolve against ALL of this batch's urls, not just the
+        # never-seen ones: on an at-least-once REPLAY the urls are already
+        # in the dictionary (new_urls is empty), but pending rows pointing
+        # at them must still resolve or the edges are lost forever
+        batch_dst = batch_dict.select(
             F.col("url").alias("dst_url"), F.col("id").alias("dst")
         )
         retro = (
-            pending_kept.join(new_dst, "dst_url")
+            pending_kept.join(batch_dst, "dst_url")
             .select("src", "dst", "weight")
             .localCheckpoint(eager=True)
         )
         pending_next = (
-            pending_kept.join(new_dst.select("dst_url"), "dst_url", "left_anti")
+            pending_kept.join(batch_dst.select("dst_url"), "dst_url", "left_anti")
             .select("src", "dst_url", "weight")
             .unionByName(unresolved)
             .localCheckpoint(eager=True)
         )
-        pending_next.write.mode("overwrite").parquet(pending_path)
+        # NOTE: pending_next is WRITTEN AFTER the edge merge below — if
+        # the batch crashes between the two writes, the replay still sees
+        # the un-consumed pending rows and re-derives the same retro
+        # edges (the merge dedups), instead of losing them
 
         # ---- pruned edge merge ---------------------------------------------
         # replace-by-src for the batch's pages, append for retro edges;
@@ -193,8 +211,15 @@ def stream_pages_pipeline(
             )
         stale = cur.join(batch_src_ids, "src", "semi").localCheckpoint(eager=True)
         kept = cur.join(batch_src_ids, "src", "left_anti")
+        # max-dedup on (src, dst): on a replay whose previous attempt
+        # already wrote the retro edges, kept ∩ retro re-derives the same
+        # rows — max over identical weights collapses them (kept and
+        # resolved are disjoint by the src anti-join, so this only ever
+        # touches the replay overlap)
         merged = (
             kept.unionByName(resolved).unionByName(retro)
+            .groupBy("src", "dst")
+            .agg(F.max("weight").alias("weight"))
             .localCheckpoint(eager=True)
         )
         removed = stale.join(
@@ -236,6 +261,8 @@ def stream_pages_pipeline(
             )
         finally:
             sp.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+        # pending consumed only once the edges that replace it are durable
+        pending_next.write.mode("overwrite").parquet(pending_path)
 
         # ---- incremental components --------------------------------------
         # guarded read: a re-crawl can legitimately empty the whole table
@@ -269,6 +296,19 @@ def stream_pages_pipeline(
                 labels, added, with_changed=True
             )
             changed_ids = changed_ids.unionByName(chg)
+        # drop labels of vertices that fell out of the graph entirely (a
+        # re-crawl removed every edge that mentioned them) — otherwise the
+        # labels table accumulates phantom singletons and n_components
+        # drifts from what a batch CC over the current graph reports
+        nodes_now = g.nodes().select("id")
+        dropped = (
+            labels.join(nodes_now, "id", "left_anti")
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        if not dropped.isEmpty():
+            labels = labels.join(nodes_now, "id", "leftsemi")
+            changed_ids = changed_ids.unionByName(dropped)
         # localCheckpoint materializes the rows, so overwriting the table
         # the plan originally read from is safe
         labels = labels.localCheckpoint(eager=True)
@@ -300,12 +340,27 @@ def stream_pages_pipeline(
         n_components = labels.select("label").distinct().count()
 
         # ---- PageRank re-trigger ------------------------------------------
+        # warm-started from the previous snapshot's converged ranks (a
+        # slightly-changed graph converges in a few supersteps) in ONE
+        # reused work dir — per-batch dirs accumulated forever before
         ran_pr = False
         if pagerank_every and batch_id % pagerank_every == 0:
+            import shutil
+
+            pr_work = os.path.join(state_dir, "pr_work")
+            shutil.rmtree(pr_work, ignore_errors=True)
+            prev = _read_table(sp, pr_path, "id bigint, rank double").select(
+                "id", "rank"
+            )
+            warm = None
+            if not prev.isEmpty():
+                warm = prev.localCheckpoint(eager=True)  # pr_path is
+                # overwritten below; materialize before the write
             pr = pagerank(
                 g,
                 max_iter=pagerank_iters,
-                work_dir=os.path.join(state_dir, f"pr_work_b{batch_id}"),
+                work_dir=pr_work,
+                init_ranks=warm,
             )
             pr.write.mode("overwrite").parquet(pr_path)
             ran_pr = True

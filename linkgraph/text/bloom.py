@@ -164,7 +164,11 @@ def bloom_dedup_flags(
     dup fraction against a filter built from ``prior`` reaches
     ``threshold``. Returns (doc_id, n_units, n_dup_units, dup_frac, keep);
     ``keep`` is the admission decision (False = screened out)."""
-    flt = bloom_build(prior, **{k: v for k, v in kw.items() if k != "doc_col"})
+    # strip probe-only kwargs before the build call (broadcast_filter and
+    # doc_col belong to bloom_probe; forwarding them crashed the
+    # documented at-scale broadcast_filter=False path)
+    probe_only = {"doc_col", "broadcast_filter"}
+    flt = bloom_build(prior, **{k: v for k, v in kw.items() if k not in probe_only})
     probed = bloom_probe(docs, flt, **kw)
     return probed.withColumn("keep", F.col("dup_frac") < F.lit(float(threshold)))
 

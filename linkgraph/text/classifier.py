@@ -136,8 +136,12 @@ def train_classifier(
 
 
 def score_classifier(feats: DataFrame, weights: DataFrame, bias: float) -> DataFrame:
-    """(doc_id, prob) — sigmoid(Σ w·x + b) per document; documents with
-    no feature rows score sigmoid(b). One join + one agg."""
+    """(doc_id, prob) — sigmoid(Σ w·x + b) per document present in
+    ``feats``. A doc whose features all miss the weight table scores
+    sigmoid(b); a doc with NO feature rows at all (empty text) is absent
+    from ``feats`` and therefore from this result — callers scoring a
+    corpus should left-join back and default to sigmoid(b), as
+    quality_classifier does. One join + one agg."""
     margins = (
         feats.join(weights, "feature")
         .groupBy("doc_id")

@@ -165,3 +165,23 @@ FROM pdocs d LEFT JOIN pd USING (doc_id)
     assert got[1] == (3, 2, round(2 / 3, 6))  # "a b c" + "b c d" seen, "c d x" fresh
     assert got[3][1] == 0
     assert got[5] == (0, 0, 0.0)
+
+
+def test_bloom_dedup_flags_without_broadcast(spark):
+    """The documented at-scale path (broadcast_filter=False) must run —
+    probe-only kwargs previously leaked into bloom_build and crashed."""
+    from linkgraph.text.bloom import bloom_dedup_flags
+
+    prior = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id bigint, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "totally different words entirely here now ok yes")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.keep for r in
+           bloom_dedup_flags(docs, prior, unit="ngram", ngram_n=3,
+                             broadcast_filter=False).collect()}
+    assert got[1] is False and got[2] is True

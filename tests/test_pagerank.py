@@ -72,3 +72,28 @@ def test_pagerank_resume(karate, tmp_path):
         pagerank(karate, tol=1e-10, work_dir=wd, resume=True), "id", "rank"
     )
     assert a == b
+
+
+def test_pagerank_warm_start_converges_faster(spark, tmp_path, karate):
+    import json
+    import os
+
+    from linkgraph.algs.pagerank import pagerank
+
+    cold_dir = str(tmp_path / "cold")
+    pr = pagerank(karate, tol=1e-10, max_iter=60, work_dir=cold_dir)
+    ranks = pr.localCheckpoint(eager=True)
+
+    def iters(d):
+        path = os.path.join(d, "pagerank", "manifest.jsonl")
+        return len([1 for _ in open(path)])
+
+    cold_iters = iters(cold_dir)
+    warm_dir = str(tmp_path / "warm")
+    pr2 = pagerank(
+        karate, tol=1e-10, max_iter=60, work_dir=warm_dir, init_ranks=ranks
+    )
+    got = {r.id: r.rank for r in pr2.collect()}
+    want = {r.id: r.rank for r in ranks.collect()}
+    assert all(abs(got[i] - want[i]) < 1e-8 for i in got)
+    assert iters(warm_dir) < cold_iters  # warm start skips most supersteps

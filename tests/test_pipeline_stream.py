@@ -111,11 +111,12 @@ def test_pipeline_end_to_end_with_recrawl(spark, state):
     assert any(x["n_removed"] > 0 for x in lines)
     batch_ids = [x["batch_id"] for x in lines]
     assert len(batch_ids) == len(set(batch_ids))
-    # PageRank Superstep manifests exist per trigger (per-iteration lineage)
-    pr_works = [p for p in os.listdir(state_dir) if p.startswith("pr_work_b")]
-    assert pr_works
-    man = os.path.join(state_dir, pr_works[0], "pagerank", "manifest.jsonl")
+    # PageRank Superstep manifests exist for the LAST trigger in the one
+    # reused pr_work dir (per-batch dirs would accumulate forever; the
+    # warm start carries state between batches through pagerank/ instead)
+    man = os.path.join(state_dir, "pr_work", "pagerank", "manifest.jsonl")
     assert os.path.exists(man)
+    assert not [p for p in os.listdir(state_dir) if p.startswith("pr_work_b")]
 
 
 def test_pipeline_untouched_blocks_not_rewritten(spark, state):
