@@ -3033,12 +3033,13 @@ pick AS (
   )
 ),
 u AS (
-  SELECT url, lower(regexp_extract(url, '^https?://([^/:?#]+)', 1)) AS host,
+  SELECT url, lower(regexp_extract(url, '^(?i:https?)://([^/:?#]+)', 1)) AS host,
     (CASE WHEN p = '' THEN '/' ELSE p END) ||
-    (CASE WHEN contains(url, '?')
-          THEN '?' || regexp_extract(url, '\\?([^#]*)', 1) ELSE '' END) AS path
-  FROM (SELECT url,
-          regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1) AS p
+    (CASE WHEN contains(pre, '?')
+          THEN '?' || regexp_extract(pre, '\\?(.*)', 1) ELSE '' END) AS path
+  FROM (SELECT url, split_part(url, '#', 1) AS pre,
+          regexp_extract(split_part(url, '#', 1),
+                         '^(?i:https?)://[^/?#]+(/[^?#]*)', 1) AS p
         FROM urlsrc)
 ),
 m AS (

@@ -59,9 +59,19 @@ def set_reachable(
 
 def bowtie_decomposition(graph: Graph, max_rounds: int = 100) -> DataFrame:
     """(id, region) per Broder's taxonomy (regions listed in the module
-    docstring). Core = largest SCC, ties broken by min component id."""
+    docstring). Core = largest SCC, ties broken by min component id.
+
+    Directed graphs only: on an undirected Graph the stored canonical
+    edge orientation is arbitrary and the forward/backward sweeps would
+    classify regions by storage accident (every connected vertex belongs
+    in core anyway — use connected_components there)."""
     from linkgraph.algs.components import strongly_connected_components
 
+    if not graph.directed:
+        raise ValueError(
+            "bowtie_decomposition requires a directed graph; an undirected "
+            "graph's bow-tie is its connected components (all core)"
+        )
     e = graph.edges.select("src", "dst").distinct().persist()
     et = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     nodes = graph.nodes().persist()

@@ -28,7 +28,7 @@ from linkgraph.graph import Graph
 from linkgraph.iterutil import Pin
 
 
-def _ego_components(graph: Graph, max_ego_degree: int | None, max_rounds: int = 32) -> DataFrame:
+def _ego_components(graph: Graph, max_ego_degree: int | None, max_rounds: int = 10_000) -> DataFrame:
     """(u, v, part) — for each vertex u and neighbor v, the ego-net
     component of v within N(u), labeled by min member id."""
     sym = (
@@ -80,7 +80,15 @@ def _ego_components(graph: Graph, max_ego_degree: int | None, max_rounds: int = 
         labels = new.select("u", "v", F.col("np").alias("part"))
         if changed == 0:
             break
-    return labels
+    else:
+        raise RuntimeError(
+            f"ego-net label propagation did not converge in {max_rounds} "
+            "rounds (raise max_rounds)"
+        )
+    # materialize before releasing the Pin's parquet state below
+    out = labels.localCheckpoint(eager=True)
+    pin.close()
+    return out
 
 
 def ego_splitting(
@@ -88,6 +96,7 @@ def ego_splitting(
     max_ego_degree: int | None = 200,
     plp_max_iter: int = 30,
     portable: bool = False,
+    max_ego_rounds: int = 10_000,
 ) -> DataFrame:
     """Cover (id, label) — overlapping communities via persona splitting;
     labels are canonical persona labels (distinct per overlapping part).
@@ -95,7 +104,7 @@ def ego_splitting(
     ``portable=True`` swaps the persona-id hash and PLP tie-break to the
     md5 portable hash so the full pipeline (ego components → personas →
     PLP → cover) replays as DuckDB SQL (gate_sql.ego_cover_sql)."""
-    parts = _ego_components(graph, max_ego_degree)
+    parts = _ego_components(graph, max_ego_degree, max_ego_rounds)
     # persona id: stable hash of (vertex, part)
     if portable:
         from linkgraph.portable import phash

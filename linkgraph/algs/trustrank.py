@@ -26,10 +26,21 @@ from linkgraph.graph import Graph
 
 
 def _seed_frame(graph: Graph, seeds) -> DataFrame:
+    """Seeds intersected with the graph's vertex set — a seed absent from
+    the graph would silently absorb teleport mass inside pagerank's
+    normalization (trust would no longer sum to 1 and spam mass would be
+    inflated everywhere). An empty intersection is an error."""
     spark = graph.edges.sparkSession
     if isinstance(seeds, DataFrame):
-        return seeds.select("id").distinct()
-    return spark.createDataFrame([(int(s),) for s in seeds], "id bigint").distinct()
+        raw = seeds.select("id").distinct()
+    else:
+        raw = spark.createDataFrame(
+            [(int(s),) for s in seeds], "id bigint"
+        ).distinct()
+    present = raw.join(graph.nodes().select("id"), "id", "leftsemi")
+    if present.limit(1).count() == 0:
+        raise ValueError("no trust seed is a vertex of the graph")
+    return present
 
 
 def trustrank(
@@ -64,12 +75,25 @@ def spam_mass(
     from the seed set, clamped to [0, 1] (a heavily-trusted page can
     have TR > PR; negative mass carries no spam signal). Runs the two
     walks over the SAME prepared edge table shape; zero-rank vertices
-    (possible only without sink distribution) get mass 0."""
+    (possible only without sink distribution) get mass 0.
+
+    A caller-supplied ``work_dir`` is split into per-walk subdirectories
+    ("/pr", "/tr") — sharing one Superstep dir between the two runs made
+    the trust walk resume from the plain walk's manifest (trust ≡ rank,
+    spam mass ≡ 0) or clobber state the lazy result still read."""
+    kw_pr = dict(pr_kwargs)
+    kw_tr = dict(pr_kwargs)
+    wd = pr_kwargs.get("work_dir")
+    if wd is not None:
+        import os
+
+        kw_pr["work_dir"] = os.path.join(wd, "pr")
+        kw_tr["work_dir"] = os.path.join(wd, "tr")
     pr = pagerank(
-        graph, damping=damping, tol=tol, max_iter=max_iter, **pr_kwargs
+        graph, damping=damping, tol=tol, max_iter=max_iter, **kw_pr
     ).select("id", "rank")
     tr = trustrank(
-        graph, seeds, damping=damping, tol=tol, max_iter=max_iter, **pr_kwargs
+        graph, seeds, damping=damping, tol=tol, max_iter=max_iter, **kw_tr
     )
     return (
         pr.join(tr, "id")

@@ -281,19 +281,25 @@ def robots_allowed(
             _like_pattern(F.col("pattern")).alias("_like"),
         )
     )
-    path = F.regexp_extract("url", r"^https?://[^/?#]+(/[^?#]*)", 1)
+    # (?i:https?): an uppercase scheme must not bypass the rules (host=''
+    # matched nothing and ADMITTED the url). Query comes from the
+    # fragment-stripped prefix: a '?' after '#' is part of the fragment,
+    # not a query, and end-anchored rules mis-matched otherwise.
+    pre = F.substring_index(F.col("url"), "#", 1)
+    path = F.regexp_extract(pre, r"^(?i:https?)://[^/?#]+(/[^?#]*)", 1)
     u = (
         urls.select(F.col(url_col).alias("url"))
         .withColumn(
-            "host", F.lower(F.regexp_extract("url", r"^https?://([^/:?#]+)", 1))
+            "host",
+            F.lower(F.regexp_extract("url", r"^(?i:https?)://([^/:?#]+)", 1)),
         )
         .withColumn(
             "_path",
             F.concat(
                 F.when(path == "", F.lit("/")).otherwise(path),
                 F.when(
-                    F.col("url").contains("?"),
-                    F.concat(F.lit("?"), F.regexp_extract("url", r"\?([^#]*)", 1)),
+                    pre.contains("?"),
+                    F.concat(F.lit("?"), F.regexp_extract(pre, r"\?(.*)", 1)),
                 ).otherwise(F.lit("")),
             ),
         )

@@ -60,6 +60,29 @@ def edge_rate_windows(deltas: DataFrame, window: str = "1 minute") -> DataFrame:
     )
 
 
+def _read_edges_or_empty(spark_b, table_path, where_block=None):
+    """Missing or fileless tables read as empty; ANY other read failure
+    raises — substituting an empty table for a transient error would make
+    the merge-and-swap (or pruned overwrite) destroy the real table."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    if not os.path.exists(table_path):
+        return spark_b.createDataFrame([], "src bigint, dst bigint, weight double")
+    try:
+        df = spark_b.read.parquet(table_path)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
+            return spark_b.createDataFrame(
+                [], "src bigint, dst bigint, weight double"
+            )
+        raise
+    if where_block is not None:
+        df = df.where(where_block)
+    return df.select("src", "dst", "weight")
+
+
 def apply_deltas(edges: DataFrame, deltas: DataFrame) -> DataFrame:
     """Pure batch merge: apply one micro-batch of events to an edge table.
 
@@ -69,7 +92,11 @@ def apply_deltas(edges: DataFrame, deltas: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("src", "dst").orderBy(F.desc("ts"), F.desc("op"))
+    # weight as the final key: duplicate (src,dst,ts,op) events with
+    # different weights must resolve identically on every run/parallelism
+    w = Window.partitionBy("src", "dst").orderBy(
+        F.desc("ts"), F.desc("op"), F.desc("weight")
+    )
     last = (
         deltas.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -128,10 +155,7 @@ def stream_apply_deltas(
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         spark_b = batch.sparkSession
-        try:
-            current = spark_b.read.parquet(table_path)
-        except Exception:
-            current = spark_b.createDataFrame([], "src bigint, dst bigint, weight double")
+        current = _read_edges_or_empty(spark_b, table_path)
         merged = apply_deltas(current, batch)
         # write-to-staging + directory-rename swap (parquet fallback for
         # Iceberg's atomic snapshot commit): the merged table is written
@@ -180,6 +204,18 @@ def incremental_cc_additions(
     if "component" in labels.columns and "label" not in labels.columns:
         labels = labels.withColumnRenamed("component", "label")
     lab = labels.select("id", "label")
+    # endpoints with no label row yet (brand-new vertices) default to
+    # singleton labels (= their id) and JOIN the label table — an inner
+    # join here silently dropped their edges and skipped the merge
+    ends = (
+        added_edges.select(F.col("src").alias("id"))
+        .unionByName(added_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    newly = ends.join(lab, "id", "left_anti").select(
+        "id", F.col("id").alias("label")
+    ).localCheckpoint(eager=True)
+    lab = lab.unionByName(newly)
     e = (
         added_edges.select("src", "dst")
         .join(lab.withColumnRenamed("id", "src").withColumnRenamed("label", "la"), "src")
@@ -205,9 +241,11 @@ def incremental_cc_additions(
             parent[max(ra, rb)] = min(ra, rb)
     mapping = [(old, find(old)) for old in parent if find(old) != old]
     if not mapping:
+        # no merges — but brand-new singleton vertices still joined the
+        # table, and their rows count as changed for block rewrites
         if with_changed:
-            return labels, labels.sparkSession.createDataFrame([], "id bigint")
-        return labels
+            return lab, newly.select("id")
+        return lab
     spark = labels.sparkSession
     remap = spark.createDataFrame(mapping, "label bigint, new_label bigint")
     out = (
@@ -215,7 +253,12 @@ def incremental_cc_additions(
         .select("id", F.coalesce("new_label", "label").alias("label"))
     )
     if with_changed:
-        changed = lab.join(F.broadcast(remap), "label", "semi").select("id")
+        changed = (
+            lab.join(F.broadcast(remap), "label", "semi")
+            .select("id")
+            .unionByName(newly.select("id"))
+            .distinct()
+        )
         return out, changed
     return out
 
@@ -315,12 +358,9 @@ def stream_apply_deltas_pruned(
                 F.pmod(F.col("src"), F.lit(n_blocks)).cast("int").alias("b")
             ).distinct().collect()
         ]
-        try:
-            current = spark_b.read.parquet(table_path).where(
-                F.col("block").isin(blocks)
-            ).select("src", "dst", "weight")
-        except Exception:
-            current = spark_b.createDataFrame([], "src bigint, dst bigint, weight double")
+        current = _read_edges_or_empty(
+            spark_b, table_path, F.col("block").isin(blocks)
+        )
         merged = apply_deltas(current, batch)
         old_mode = spark_b.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark_b.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

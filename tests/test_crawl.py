@@ -234,3 +234,28 @@ def test_sitemap_entries(spark):
         ("urlset", "http://e.com/a?x=1&y=2", "2026-01-01"),
         ("urlset", "http://e.com/b", None),
     ]
+
+
+def test_robots_uppercase_scheme_and_fragment_query(spark):
+    """An uppercase scheme must not bypass the rules, and a '?' inside
+    the fragment is not a query."""
+    from linkgraph.crawl import parse_robots, robots_allowed
+
+    robots = spark.createDataFrame(
+        [("example.com", "User-agent: *\nDisallow: /private\nDisallow: /p$\n")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [("HTTP://Example.com/private",),
+         ("http://example.com/p#sec?x=1",),
+         ("http://example.com/open",)],
+        "url string",
+    )
+    got = {
+        r.url: r.allowed
+        for r in robots_allowed(urls, rules, "linkgraphbot").collect()
+    }
+    assert got["HTTP://Example.com/private"] == 0  # scheme case ignored
+    assert got["http://example.com/p#sec?x=1"] == 0  # '$' anchors on /p
+    assert got["http://example.com/open"] == 1

@@ -96,3 +96,18 @@ def test_delta_stream_is_streaming(spark, tmp_path):
     )
     s = read_delta_stream(spark, str(d))
     assert s.isStreaming
+
+
+def test_incremental_additions_with_new_vertices(spark):
+    """An added edge touching a vertex with no label row must create the
+    row and merge components (inner joins silently dropped it before)."""
+    from linkgraph.streaming.deltas import incremental_cc_additions
+
+    labels = spark.createDataFrame([(1, 1), (2, 2)], "id bigint, label bigint")
+    added = spark.createDataFrame(
+        [(1, 99), (99, 2)], "src bigint, dst bigint"
+    )
+    out, changed = incremental_cc_additions(labels, added, with_changed=True)
+    lab = {r.id: r.label for r in out.collect()}
+    assert lab == {1: 1, 2: 1, 99: 1}  # 99 joined AND bridged 1-2
+    assert 99 in {r.id for r in changed.collect()}
