@@ -23,7 +23,7 @@ from linkgraph.graph import Graph
 from linkgraph.iterutil import Pin
 
 
-def suitor_matching(graph: Graph, max_rounds: int = 64) -> DataFrame:
+def suitor_matching(graph: Graph, max_rounds: int = 10_000) -> DataFrame:
     """(u, v, weight) matched pairs, u < v; each vertex in ≤ 1 pair."""
     spark = graph.edges.sparkSession
     pin = Pin(spark, "suitor")
@@ -75,10 +75,13 @@ def suitor_matching(graph: Graph, max_rounds: int = 64) -> DataFrame:
             .select("src", "dst", "weight"),
             "avail",
         )
-    return matched
+    # materialize off the Pin's parquet state, then release it
+    out = matched.localCheckpoint(eager=True)
+    pin.close()
+    return out
 
 
-def b_suitor_matching(graph: Graph, b=2, max_rounds: int = 64) -> DataFrame:
+def b_suitor_matching(graph: Graph, b=2, max_rounds: int = 10_000) -> DataFrame:
     """(u, v, weight) — b-matching (matching/BSuitorMatcher.cpp; Khan et
     al. b-suitor): every vertex may be matched to up to b partners
     (uniform int or per-vertex (id, b) DataFrame). Same message-passing
@@ -160,7 +163,9 @@ def b_suitor_matching(graph: Graph, b=2, max_rounds: int = 64) -> DataFrame:
             .select("src", "dst", "weight"),
             "avail",
         )
-    return matched
+    out = matched.localCheckpoint(eager=True)
+    pin.close()
+    return out
 
 
 def path_growing_matching(graph: Graph, max_rounds: int = 10_000) -> DataFrame:

@@ -83,7 +83,6 @@ def reachable_nodes_estimate(
     graph: Graph,
     registers: int = 8,
     max_h: int = 64,
-    tol_ratio: float = 1.0001,
     portable: bool = False,
 ) -> DataFrame:
     """(id, est) — sketched |{w : id ⇝ w}| per vertex (self included),
@@ -91,8 +90,10 @@ def reachable_nodes_estimate(
 
     FM registers propagate AGAINST edge direction (bits flow dst→src) so
     each vertex accumulates the sketch of its forward-reachable set;
-    stops when the global estimate saturates. Undirected graphs use the
-    symmetric view (est ≈ component size)."""
+    stops at the exact bit fixpoint (no register changed in a round —
+    a global estimate-growth heuristic terminated early on graphs where
+    one saturated region dwarfed a still-growing tail). Undirected
+    graphs use the symmetric view (est ≈ component size)."""
     from linkgraph.algs.anf import _fm_estimate, _fm_init
 
     spark = graph.edges.sparkSession
@@ -105,25 +106,29 @@ def reachable_nodes_estimate(
     state = _fm_init(spark, graph.nodes(), registers, portable).localCheckpoint(
         eager=True
     )
-    prev_total = float(
-        _fm_estimate(state).agg(F.sum("est")).collect()[0][0] or 0.0
-    )
     for _ in range(max_h):
         # bits(src) |= bits(dst): sketches flow backwards along edges
         nbr = state.join(e, state.id == e.dst).select(
             F.col("src").alias("id"), "r", "bits"
         )
-        state = (
+        new_state = (
             state.select("id", "r", "bits")
             .unionByName(nbr)
             .groupBy("id", "r")
             .agg(F.bit_or("bits").alias("bits"))
             .localCheckpoint(eager=True)
         )
-        total = float(_fm_estimate(state).agg(F.sum("est")).collect()[0][0] or 0.0)
-        if total <= prev_total * tol_ratio:
+        changed = (
+            new_state.alias("n")
+            .join(
+                state.select("id", "r", F.col("bits").alias("ob")), ["id", "r"]
+            )
+            .where(F.col("bits") != F.col("ob"))
+            .count()
+        )
+        state = new_state
+        if changed == 0:
             break
-        prev_total = total
     e.unpersist()
     return _fm_estimate(state)
 

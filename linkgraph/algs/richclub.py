@@ -34,14 +34,21 @@ def rich_club(graph: Graph) -> DataFrame:
     Rows with n_nodes < 2 are omitted (φ undefined). Uncorrected
     coefficient — normalize against a degree-preserving null model via
     ``sparsification.edge_switching`` replicates when needed."""
-    deg = graph.degrees().select("id", "degree")
-    # undirected edge list u<v with the min endpoint degree
+    # undirected edge list u<v, self-loops out — and degrees computed
+    # from THIS edge set (graph.degrees() counts self-loops, which would
+    # shift a looped vertex across k-thresholds the edge side ignores)
     e = (
         graph.edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
     )
     em = (
         e.join(deg.select(F.col("id").alias("u"), F.col("degree").alias("_du")), "u")

@@ -148,12 +148,21 @@ def watts_strogatz(
         F.pmod(F.xxhash64("src", "j", F.lit(seed)), F.lit(1_000_000_007))
         / 1_000_000_007.0
     )
-    rand_dst = F.pmod(F.xxhash64("src", "j", F.lit(seed + 1)), F.lit(n))
+    # shifted draw over n-1 targets: src + 1 + h mod (n-1) can never land
+    # on src, so rewiring REDRAWS instead of deleting the edge (the
+    # reference redraws too; a plain mod-n draw lost ~p/n of the edges)
+    rand_dst = F.pmod(
+        F.col("src")
+        + 1
+        + F.pmod(F.xxhash64("src", "j", F.lit(seed + 1)), F.lit(n - 1)),
+        F.lit(n),
+    )
     rewired = lattice.select(
         "src",
         F.when(coin < p, rand_dst).otherwise(F.col("ring_dst")).alias("dst"),
     )
-    # drop self-loops introduced by rewiring; collapse parallel edges
+    # collapse parallel edges from rewire collisions (self-loops can no
+    # longer occur by construction)
     return (
         rewired.where(F.col("src") != F.col("dst"))
         .select(
@@ -371,10 +380,12 @@ def dynamic_edge_stream(
     seed: int = 42,
 ) -> DataFrame:
     """Timestamped graph-event table (generators/Dynamic*Generator family
-    → GraphEvent streams): step t emits either an edge ADDITION (uniform
-    random pair) or, with probability p_remove, a REMOVAL of an edge
-    added at an earlier step. Counter-based, deterministic; feed to
-    linkgraph.streaming.deltas as a replayable event source."""
+    → GraphEvent streams): step t emits an edge ADDITION (uniform random
+    pair; colliding pairs can re-add an existing edge) and, with
+    probability p_remove, ALSO a REMOVAL of an edge added at an earlier
+    step (each add is removed at most once — duplicate back-references
+    collapse to the earliest removal). Counter-based, deterministic;
+    feed to linkgraph.streaming.deltas as a replayable event source."""
     ev = spark.range(steps).select(
         F.col("id").alias("ts"),
         (
@@ -393,9 +404,20 @@ def dynamic_edge_stream(
         F.when(F.col("v0") >= F.col("u"), F.col("v0") + 1).otherwise(F.col("v0")).alias("dst"),
         F.lit(1.0).alias("weight"),
     )
+    from pyspark.sql import Window as _W
+
     removes = (
         ev.where((F.col("coin") < p_remove) & (F.col("ts") > 0))
         .select(F.col("ts"), F.col("back").alias("ref_ts"))
+        # one removal per referenced add: two steps can draw the same
+        # back-reference, and a second remove_edge for an already-removed
+        # edge breaks strict delta consumers
+        .withColumn(
+            "_rn",
+            F.row_number().over(_W.partitionBy("ref_ts").orderBy("ts")),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
         .join(
             adds.select(F.col("ts").alias("ref_ts"), "src", "dst"),
             "ref_ts",
@@ -475,15 +497,18 @@ def lfr(
         "size",
         F.explode(F.sequence(F.col("start"), F.col("start") + F.col("size") - 1)).alias("id"),
     )
-    # hash-permuted rank → power-law degree (closed-form inverse CDF,
-    # exponent tau_degree over [dmin, dmax]); dmin solved so the mean hits
-    # avg_degree approximately (dmin ≈ avg·(tau-2)/(tau-1) for tau>2)
+    # degree comes from the node's RANK in the same stride bijection the
+    # inter-peer sampler inverts below (rank 0 = heaviest): a fresh hash
+    # here decorrelated degrees from ranks, so the rank-CDF peer draw was
+    # NOT degree-proportional despite the docstring's claim
+    stride = 0x9E3779B1 | 1
+    while math.gcd(stride, n) != 1:
+        stride += 2
+    inv_stride = pow(stride, -1, n)
+    rank = F.pmod((F.col("id") - 7) * F.lit(inv_stride), F.lit(n))
     dmin = max(2.0, avg_degree * (tau_degree - 2.0) / (tau_degree - 1.0))
     a = 1.0 - tau_degree
-    u = (
-        F.pmod(F.xxhash64("id", F.lit(seed + 17)), F.lit(1_000_000_007))
-        / 1_000_000_007.0
-    )
+    u = (rank + F.lit(0.5)) / F.lit(float(n))
     deg = F.least(
         F.lit(float(max_degree)),
         F.pow(
@@ -508,10 +533,8 @@ def lfr(
     )
     # inter stubs: global degree-proportional peer via the same power-law
     # CDF inverted on a uniform draw → rank → id through the bijection
-    # rank→(rank*stride+shift) mod n (stride coprime to n ⇒ a permutation)
-    stride = 0x9E3779B1 | 1
-    while math.gcd(stride, n) != 1:
-        stride += 2
+    # rank→(rank*stride+shift) mod n (the permutation the degree draw
+    # above is keyed to)
     u2 = (
         F.pmod(F.xxhash64("id", "s", F.lit(seed + 47)), F.lit(1_000_000_007))
         / 1_000_000_007.0

@@ -62,8 +62,14 @@ def read_metis(spark: SparkSession, path: str) -> Graph:
     """
     raw = spark.read.text(path, wholetext=True).collect()[0]["value"]
     lines = [ln.strip() for ln in raw.splitlines()]
-    lines = [ln for ln in lines if ln and not ln.startswith("%")]
+    # keep BLANK lines: an isolated vertex's adjacency line is empty and
+    # dropping it would shift every later vertex id (read_cover documents
+    # the same rule); only comments go, and leading blanks before header
+    lines = [ln for ln in lines if not ln.startswith("%")]
+    while lines and not lines[0]:
+        lines.pop(0)
     header = lines[0].split()
+    n_vertices = int(header[0])
     # fmt is a 3-digit bitfield: [vertex sizes][vertex weights][edge weights]
     fmt = (header[2] if len(header) > 2 else "0").zfill(3)
     has_vs, has_vw, has_ew = fmt[0] == "1", fmt[1] == "1", fmt[2] == "1"
@@ -71,7 +77,7 @@ def read_metis(spark: SparkSession, path: str) -> Graph:
     ncon = int(header[3]) if len(header) > 3 and has_vw else (1 if has_vw else 0)
     skip = (1 if has_vs else 0) + ncon
     rows = []
-    for i, ln in enumerate(lines[1:], start=0):
+    for i, ln in enumerate(lines[1 : 1 + n_vertices], start=0):
         toks = ln.split()[skip:]
         if has_ew:
             pairs = list(zip(toks[0::2], toks[1::2]))
@@ -134,12 +140,18 @@ def read_gml(spark: SparkSession, path: str) -> Graph:
     raw = spark.read.text(path, wholetext=True).collect()[0]["value"]
     directed = bool(_re.search(r"\bdirected\s+1\b", raw))
     edges = []
-    for m in _re.finditer(
-        r"edge\s*\[\s*source\s+(\d+)\s+target\s+(\d+)(?:\s+value\s+([0-9.eE+-]+))?\s*\]",
-        raw,
-    ):
-        w = float(m.group(3)) if m.group(3) else 1.0
-        edges.append((int(m.group(1)), int(m.group(2)), w))
+    # parse per-BLOCK then extract fields: a strict source-target-value
+    # pattern silently dropped any edge carrying extra attributes
+    # (label, id, ... — networkx and Gephi both emit them)
+    for m in _re.finditer(r"edge\s*\[([^\]]*)\]", raw):
+        body = m.group(1)
+        sm = _re.search(r"\bsource\s+(\d+)", body)
+        tm = _re.search(r"\btarget\s+(\d+)", body)
+        if not sm or not tm:
+            continue
+        vm = _re.search(r"\b(?:value|weight)\s+([0-9.eE+-]+)", body)
+        w = float(vm.group(1)) if vm else 1.0
+        edges.append((int(sm.group(1)), int(tm.group(1)), w))
     df = spark.createDataFrame(edges, "src bigint, dst bigint, weight double")
     return Graph.from_edges(df, directed=directed)
 
@@ -202,12 +214,23 @@ def read_graphml(spark: SparkSession, path: str) -> Graph:
     ids: dict[str, int] = {}
     for node in g.findall(f"{ns}node"):
         ids.setdefault(node.get("id"), len(ids))
+    # only <data> whose key declares attr.name="weight" (or is literally
+    # "weight") is a weight — any other numeric attribute (year, count…)
+    # previously hijacked the edge weight
+    wkeys = {
+        k.get("id")
+        for k in root.findall(f"{ns}key")
+        if k.get("attr.name") == "weight" or k.get("id") == "weight"
+    }
+    wkeys.add("weight")
     edges, weighted = [], False
     for e in g.findall(f"{ns}edge"):
         u = ids.setdefault(e.get("source"), len(ids))
         v = ids.setdefault(e.get("target"), len(ids))
         w = 1.0
         for d in e.findall(f"{ns}data"):
+            if d.get("key") not in wkeys:
+                continue
             try:
                 w = float(d.text)
                 weighted = True
