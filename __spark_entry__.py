@@ -1087,6 +1087,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         return adjacency_table(g, max_chunk=8)
 
+    def doc_scripts(spark, sf):
+        """Unicode script profile per document (expression-only
+        regexp_count scan; dominant = struct-max, pinned tie rule)."""
+        from linkgraph.text.quality import script_profile
+
+        _register(spark, sf)
+        return script_profile(spark.table("documents"))
+
+    def doc_mojibake(spark, sf):
+        from linkgraph.text.quality import mojibake_stats
+
+        _register(spark, sf)
+        return mojibake_stats(spark.table("documents"))
+
     def doc_quantiles(spark, sf):
         """Exact n_chars quantiles (type-1/lower definition) via the
         range-partition linearization — no global sort, no
@@ -2456,6 +2470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shard_plan": doc_shard_plan,
         "doc_quantiles": doc_quantiles,
         "doc_adjacency": doc_adjacency,
+        "doc_scripts": doc_scripts,
+        "doc_mojibake": doc_mojibake,
         "doc_lang_quantiles": doc_lang_quantiles,
         "doc_cms_counts": doc_cms_counts,
         "doc_snapshot_diff": doc_snapshot_diff,
@@ -3846,6 +3862,41 @@ SELECT src, CAST(rr // 8 AS INT) AS chunk,
        string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS neighbors
 FROM r GROUP BY src, CAST(rr // 8 AS INT)
 """
+
+    from linkgraph.text.quality import SCRIPT_RANGES as _SR
+
+    _sr_counts = ",\n  ".join(
+        f"len(regexp_extract_all(text, '[{rng}]')) AS c_{name}"
+        for name, rng in sorted(_SR.items())
+    )
+    _sr_structs = ", ".join(
+        f"{{'c': c_{name}, 's': '{name}'}}" for name in sorted(_SR)
+    )
+    _sr_fracs = ",\n  ".join(
+        f"ROUND(c_{name} / GREATEST(n, 1), 6) AS {name}_frac"
+        for name in sorted(_SR)
+    )
+    sql["doc_scripts"] = f"""
+WITH c AS (
+  SELECT doc_id, length(text) AS n,
+  {_sr_counts}
+  FROM documents),
+b AS (SELECT *, list_aggregate([{_sr_structs}], 'max') AS best FROM c)
+SELECT doc_id,
+  CASE WHEN best.c > 0 THEN best.s ELSE 'none' END AS dominant,
+  {_sr_fracs}
+FROM b
+"""
+
+    sql["doc_mojibake"] = (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, '�')) AS INT) AS n_replacement,\n"
+        "  ROUND(len(regexp_extract_all(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]'))"
+        " / GREATEST(length(text), 1), 6) AS control_frac,\n"
+        "  CAST(CASE WHEN len(regexp_extract_all(text, '�')) = 0 AND\n"
+        "    len(regexp_extract_all(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]'))"
+        " / GREATEST(length(text), 1) < 0.001 THEN 1 ELSE 0 END AS INT) AS clean\n"
+        "FROM documents"
+    )
 
     sql["doc_quantiles"] = """
 WITH s AS (SELECT n_chars AS v,

@@ -231,3 +231,74 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profiling + encoding-damage detection (pre-langid signal)
+# ---------------------------------------------------------------------------
+
+#: character-class ranges per script -- the coarse Unicode blocks a crawl
+#: pipeline routes on (fine-grained langid runs after this gate)
+SCRIPT_RANGES = {
+    "arabic": "\u0600-\u06FF",
+    "cjk": "\u4E00-\u9FFF",
+    "cyrillic": "\u0400-\u04FF",
+    "devanagari": "\u0900-\u097F",
+    "greek": "\u0370-\u03FF",
+    "hangul": "\uAC00-\uD7AF",
+    "hebrew": "\u0590-\u05FF",
+    "kana": "\u3040-\u30FF",
+    "latin": "A-Za-z\u00C0-\u024F",
+}
+
+
+def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, dominant, <script>_frac...) -- per-document character
+    fraction of each major Unicode script plus the dominant script
+    (highest count; ties break to the lexicographically LARGER name --
+    the struct-max rule, pinned for the oracle). One expression-only
+    scan: a regexp_count per script, no explode, no UDF. Docs with no
+    script characters at all get dominant='none'."""
+    n = F.greatest(F.length(text_col), F.lit(1))
+    counts = {
+        name: F.regexp_count(F.col(text_col), F.lit(f"[{rng}]"))
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(c.alias("c"), F.lit(name).alias("s"))
+                for name, c in counts.items()
+            ]
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.when(best["c"] > 0, best["s"]).otherwise(F.lit("none")).alias(
+            "dominant"
+        ),
+        *[
+            F.round(c / n, 6).alias(f"{name}_frac")
+            for name, c in sorted(counts.items())
+        ],
+    )
+
+
+def mojibake_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_replacement, control_frac, clean) -- encoding-damage
+    screen: U+FFFD replacement characters (the decode-failure marker)
+    and C0 control characters other than tab/newline/CR. ``clean`` is
+    the admission flag (no replacement chars, control fraction < 1e-3).
+    Expression-only."""
+    n = F.greatest(F.length(text_col), F.lit(1))
+    repl = F.regexp_count(F.col(text_col), F.lit("\uFFFD"))
+    ctrl = F.regexp_count(
+        F.col(text_col),
+        F.lit("[\x00-\x08\x0B\x0C\x0E-\x1F]"),
+    )
+    return docs.select(
+        "doc_id",
+        repl.alias("n_replacement"),
+        F.round(ctrl / n, 6).alias("control_frac"),
+        ((repl == 0) & (ctrl / n < 1e-3)).cast("int").alias("clean"),
+    )

@@ -157,3 +157,41 @@ def test_perplexity_buckets(spark):
     assert mid[3] == "middle"
     rounded = perplexity_buckets(df, (t1, t2), round_logloss=6).collect()
     assert all(r.logloss == round(r.logloss, 6) for r in rounded)
+
+
+def test_script_profile(spark):
+    from linkgraph.text.quality import script_profile
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hello world plain latin"),
+            (1, "Привет мир entirely кириллица"),
+            (2, "你好世界 with some latin"),
+            (3, "12345 !!! ..."),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in script_profile(docs).collect()}
+    assert got[0].dominant == "latin" and got[0].latin_frac > 0.5
+    assert got[1].dominant == "cyrillic" and got[1].cyrillic_frac > 0.5
+    assert got[2].dominant == "latin" or got[2].cjk_frac > 0  # mixed
+    assert got[2].cjk_frac == round(4 / len("你好世界 with some latin"), 6)
+    assert got[3].dominant == "none"
+
+
+def test_mojibake_stats(spark):
+    from linkgraph.text.quality import mojibake_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "clean text with tabs\tand\nnewlines"),
+            (1, "broken �� decode"),
+            (2, "ctrl\x01\x02heavy"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in mojibake_stats(docs).collect()}
+    assert got[0].clean == 1 and got[0].n_replacement == 0
+    assert got[1].n_replacement == 2 and got[1].clean == 0
+    assert got[2].control_frac == round(2 / len("ctrl\x01\x02heavy"), 6)
+    assert got[2].clean == 0
