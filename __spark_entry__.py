@@ -1087,6 +1087,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         return adjacency_table(g, max_chunk=8)
 
+    def doc_nfc(spark, sf):
+        """NFC normalization replayed by DuckDB's nfc_normalize; the
+        fixture text is mostly ASCII, so a decomposed suffix is appended
+        on both sides to make the composition observable."""
+        from linkgraph.text.pipeline import normalize_unicode
+
+        _register(spark, sf)
+        d = spark.table("documents").select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" cafe\u0301")).alias("text"),
+        )
+        return normalize_unicode(d, "NFC").select("doc_id", "text_norm")
+
+    def doc_sentences(spark, sf):
+        """Regex sentence segmentation; the oracle reproduces the
+        lookbehind split via sentinel replacement (RE2 has no
+        lookbehind)."""
+        from linkgraph.text.pipeline import split_sentences
+
+        _register(spark, sf)
+        return split_sentences(spark.table("documents"))
+
     def doc_scripts(spark, sf):
         """Unicode script profile per document (expression-only
         regexp_count scan; dominant = struct-max, pinned tie rule)."""
@@ -2472,6 +2494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_adjacency": doc_adjacency,
         "doc_scripts": doc_scripts,
         "doc_mojibake": doc_mojibake,
+        "doc_nfc": doc_nfc,
+        "doc_sentences": doc_sentences,
         "doc_lang_quantiles": doc_lang_quantiles,
         "doc_cms_counts": doc_cms_counts,
         "doc_snapshot_diff": doc_snapshot_diff,
@@ -3861,6 +3885,23 @@ SELECT src, CAST(rr // 8 AS INT) AS chunk,
        CAST(COUNT(*) AS BIGINT) AS n,
        string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS neighbors
 FROM r GROUP BY src, CAST(rr // 8 AS INT)
+"""
+
+    sql["doc_nfc"] = """
+SELECT doc_id, nfc_normalize(text || ' cafe' || chr(769)) AS text_norm
+FROM documents
+"""
+
+    sql["doc_sentences"] = """
+WITH marked AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(text, '([.!?…])\\s+', '\\1' || chr(30), 'g'),
+           chr(30)) AS sents
+  FROM documents)
+SELECT doc_id, CAST(g.i - 1 AS INT) AS sent_id, sents[g.i] AS sentence
+FROM marked, unnest(generate_series(1, len(sents))) AS g(i)
+WHERE length(trim(sents[g.i])) >= 1
 """
 
     from linkgraph.text.quality import SCRIPT_RANGES as _SR

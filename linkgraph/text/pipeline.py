@@ -877,3 +877,49 @@ def source_quota_sample(
         .where(F.col("_rn") <= int(max_per_group))
         .drop("_rn")
     )
+
+
+def normalize_unicode(
+    docs: DataFrame, form: str = "NFC", text_col: str = "text"
+) -> DataFrame:
+    """Input columns + ``text_norm`` — Unicode-normalize the text
+    (``form`` ∈ NFC/NFKC/NFD/NFKD via the stdlib unicodedata tables,
+    Arrow-batched; composed/decomposed byte variants of the same string
+    otherwise defeat exact dedup and digest diffing). NFC is replayed
+    bit-exactly by DuckDB's nfc_normalize in the gate; the K forms have
+    no DuckDB twin and are pytest-covered."""
+    import unicodedata
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    f = str(form)
+    cols = docs.columns
+
+    def run(batches: _It) -> _It:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["text_norm"] = [
+                unicodedata.normalize(f, t) if t is not None else None
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    schema = ", ".join(f"{c} {docs.schema[c].dataType.simpleString()}" for c in cols)
+    return docs.mapInPandas(run, schema + ", text_norm string")
+
+
+def split_sentences(
+    docs: DataFrame, text_col: str = "text", min_chars: int = 1
+) -> DataFrame:
+    """(doc_id, sent_id, sentence) — regex sentence segmentation: split
+    after runs of terminal punctuation (.!?…) followed by whitespace.
+    Deliberately rule-light (no abbreviation model — this feeds
+    sentence-level dedup/quality stats, not linguistics); expression-only
+    (one split + posexplode), replayed verbatim in SQL."""
+    parts = F.split(F.col(text_col), r"(?<=[.!?…])\s+")
+    return (
+        docs.select("doc_id", F.posexplode(parts).alias("sent_id", "sentence"))
+        .where(F.length(F.trim("sentence")) >= int(min_chars))
+        .select("doc_id", "sent_id", F.col("sentence"))
+    )

@@ -465,3 +465,37 @@ def test_keep_representative_quality_rule(spark):
     # group 1: max score 0.9 tied between 2 and 3 → min doc_id 2 kept
     # group 7: doc 7 has NO score → sorts last; 9 kept
     assert got == {1: 0, 2: 1, 3: 0, 7: 0, 9: 1}
+
+
+def test_normalize_unicode_forms(spark):
+    import unicodedata
+
+    from linkgraph.text.pipeline import normalize_unicode
+
+    decomposed = "café ﬁne"  # e + combining acute, fi ligature
+    docs = spark.createDataFrame(
+        [(0, decomposed), (1, None)], "doc_id bigint, text string"
+    )
+    nfc = {r.doc_id: r.text_norm for r in normalize_unicode(docs, "NFC").collect()}
+    assert nfc[0] == unicodedata.normalize("NFC", decomposed)
+    assert "é" in nfc[0] and "ﬁ" in nfc[0]  # NFC keeps ligature
+    assert nfc[1] is None
+    nfkc = {r.doc_id: r.text_norm for r in normalize_unicode(docs, "NFKC").collect()}
+    assert "fi" in nfkc[0] and "ﬁ" not in nfkc[0]  # NFKC folds it
+
+
+def test_split_sentences_boundaries(spark):
+    from linkgraph.text.pipeline import split_sentences
+
+    docs = spark.createDataFrame(
+        [(0, "First one. Second!  Third?! and trailing tail"),
+         (1, "no terminal punct at all")],
+        "doc_id bigint, text string",
+    )
+    got = {}
+    for r in split_sentences(docs).collect():
+        got.setdefault(r.doc_id, []).append((r.sent_id, r.sentence))
+    assert [s for _, s in sorted(got[0])] == [
+        "First one.", "Second!", "Third?!", "and trailing tail",
+    ]
+    assert [s for _, s in sorted(got[1])] == ["no terminal punct at all"]
