@@ -392,6 +392,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         return core_decomposition(g).select("id", F.col("core").cast("bigint").alias("core"))
 
+    def doc_seeded_lp(spark, sf):
+        """Seeded (semi-supervised) label propagation from the id%50
+        seed set labeled id%3, first-arrival semantics, portable ties."""
+        from linkgraph.algs.seededlp import seeded_label_propagation
+
+        g = _doc_graph(spark, sf)
+        seeds = g.nodes().where(F.col("id") % 50 == 0).select(
+            "id", (F.col("id") % 3).alias("label")
+        )
+        return seeded_label_propagation(g, seeds, portable=True)
+
     def doc_luby_mis(spark, sf):
         from linkgraph.algs.independentset import luby_rounds_fixed
 
@@ -2407,6 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_plp": doc_plp,
         "doc_kcore": doc_kcore,
         "doc_luby_mis": doc_luby_mis,
+        "doc_seeded_lp": doc_seeded_lp,
         "doc_unigram_pieces": doc_unigram_pieces,
         "doc_wordpiece_pieces": doc_wordpiece_pieces,
         "doc_eigenvector": doc_eigenvector,
@@ -3872,6 +3884,7 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
     sql["doc_plp"] = G.plp_sql(EDGES_CTE_MAT, iters=30)
     sql["doc_kcore"] = G.kcore_sql(EDGES_CTE_MAT, iters=10)
     sql["doc_luby_mis"] = G.luby_sql(EDGES_CTE_MAT, rounds=8, seed=42)
+    sql["doc_seeded_lp"] = G.seeded_lp_sql(EDGES_CTE_MAT, rounds=12, mod=50, nlab=3)
     sql["doc_unigram_pieces"] = G.unigram_sql(mod=10, top_multi=60, max_wlen=12)
     sql["doc_wordpiece_pieces"] = G.wordpiece_sql(mod=10, top_multi=60, max_wlen=12)
     sql["doc_adjacency"] = f"""

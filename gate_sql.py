@@ -3324,3 +3324,47 @@ def wordpiece_sql(
         f"\nSELECT word, CAST(length(seg) - length(replace(seg, '|', '')) + 1 AS BIGINT)"
         f" AS n_pieces, seg FROM gw{max_wlen}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Seeded label propagation — first-arrival unroll with portable ties
+# ---------------------------------------------------------------------------
+
+
+def seeded_lp_sql(cte: str, rounds: int = 12, mod: int = 50, nlab: int = 3) -> str:
+    """Replay algs/seededlp.seeded_label_propagation (portable mode):
+    seeds = id%mod==0 labeled id%nlab; per round, still-unlabeled
+    vertices adopt the weight-majority label among labeled neighbors
+    (ties: max weight, then max phash(dst,label), then max label) and
+    LOCK. First-arrival is monotone, so a fixed unroll ≥ seed
+    eccentricity is exact."""
+    parts = [
+        "symn AS MATERIALIZED (SELECT src, dst, weight FROM sym WHERE src <> dst)",
+        f"sl0 AS MATERIALIZED (SELECT id, CASE WHEN id % {mod} = 0 "
+        f"THEN id % {nlab} END AS label FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        tie = phash_sql("dst", "label")
+        parts.append(
+            f"sv{i} AS MATERIALIZED (SELECT v.dst, s.label, SUM(v.weight) AS w "
+            f"FROM symn v "
+            f"JOIN sl{p} su ON su.id = v.dst AND su.label IS NULL "
+            f"JOIN sl{p} s ON s.id = v.src AND s.label IS NOT NULL "
+            f"GROUP BY v.dst, s.label)"
+        )
+        parts.append(
+            f"sw{i} AS MATERIALIZED (SELECT dst, label FROM ("
+            f"SELECT dst, label, ROW_NUMBER() OVER (PARTITION BY dst "
+            f"ORDER BY w DESC, {tie} DESC, label DESC) AS rn "
+            f"FROM sv{i}) t WHERE rn = 1)"
+        )
+        parts.append(
+            f"sl{i} AS MATERIALIZED (SELECT s.id, "
+            f"COALESCE(s.label, w.label) AS label FROM sl{p} s "
+            f"LEFT JOIN sw{i} w ON w.dst = s.id)"
+        )
+    return (
+        f"WITH {cte},\n" + ",\n".join(parts) +
+        f"\nSELECT id, label FROM sl{rounds}"
+    )
