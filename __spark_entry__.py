@@ -22,6 +22,78 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+
+def _dec(col, scale: int = 6, prec: int = 28):
+    """Round + cast to DECIMAL so the driver's value hash is bit-robust.
+
+    ``F.round`` on a DoubleType returns a double that can differ from
+    DuckDB's ``ROUND`` by 1 ulp (Spark rounds through BigDecimal HALF_UP,
+    DuckDB through float multiply/divide) — value-identical at 9 dp but
+    hash-distinct on raw bits (the round-3 ``doc_rich_club`` driver red).
+    Casting BOTH sides to the same DECIMAL(prec, scale) collapses the ulp
+    to one canonical scaled integer: each side's double is within 1 ulp of
+    the intended scale-dp value, so the nearest DECIMAL is identical.
+    oracle_sql() applies the matching CAST via the ``_dec_columns()`` AST
+    scan — one source of truth, the two sides cannot disagree.
+    """
+    return F.round(col, scale).cast(f"decimal({prec},{scale})")
+
+
+def _dec_columns() -> dict[str, dict[str, int]]:
+    """Map each queries() key -> {emitted column: decimal scale}.
+
+    Scans this module's own AST for ``_dec(<expr>[, scale]).alias("col")``
+    emissions inside the nested query functions, plus the name->function
+    registry dict literal returned by queries(). Used by oracle_sql() to
+    wrap each oracle in the matching DECIMAL cast, and by
+    tests/test_entry_invariants.py to assert no gate query emits a raw
+    rounded double.
+    """
+    import ast
+
+    with open(__file__) as fh:
+        tree = ast.parse(fh.read())
+    qdef = next(
+        n for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "queries"
+    )
+    func_cols: dict[str, dict[str, int]] = {}
+    for node in ast.walk(qdef):
+        if not (isinstance(node, ast.FunctionDef) and node is not qdef):
+            continue
+        cols: dict[str, int] = {}
+        for sub in ast.walk(node):
+            if (
+                isinstance(sub, ast.Call)
+                and isinstance(sub.func, ast.Attribute)
+                and sub.func.attr == "alias"
+                and isinstance(sub.func.value, ast.Call)
+                and isinstance(sub.func.value.func, ast.Name)
+                and sub.func.value.func.id == "_dec"
+            ):
+                if not (
+                    sub.args
+                    and isinstance(sub.args[0], ast.Constant)
+                    and isinstance(sub.args[0].value, str)
+                ):
+                    raise ValueError(
+                        f"_dec alias in {node.name} must be a string "
+                        "literal so the oracle cast can mirror it"
+                    )
+                alias = sub.args[0].value
+                dargs = sub.func.value.args
+                scale = dargs[1].value if len(dargs) > 1 else 6
+                cols[alias] = scale
+        if cols:
+            func_cols[node.name] = cols
+    key_to_func: dict[str, str] = {}
+    for stmt in qdef.body:
+        if isinstance(stmt, ast.Return) and isinstance(stmt.value, ast.Dict):
+            for k, v in zip(stmt.value.keys, stmt.value.values):
+                if isinstance(k, ast.Constant) and isinstance(v, ast.Name):
+                    key_to_func[k.value] = v.id
+    return {k: func_cols[f] for k, f in key_to_func.items() if f in func_cols}
+
 # ---------------------------------------------------------------------------
 # Shared edge derivation (portable SQL: runs verbatim in Spark SQL + DuckDB)
 # ---------------------------------------------------------------------------
@@ -135,7 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_degrees(spark, sf):
         g = _doc_graph(spark, sf)
         return g.degrees().select(
-            "id", "degree", F.round("weighted_degree", 6).alias("weighted_degree")
+            "id", "degree", _dec("weighted_degree", 6).alias("weighted_degree")
         )
 
     def doc_out_degrees(spark, sf):
@@ -166,14 +238,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_lcc(spark, sf):
         g = _doc_graph(spark, sf)
         return local_clustering_coefficient(g).select(
-            "id", F.round("lcc", 6).alias("lcc")
+            "id", _dec("lcc", 6).alias("lcc")
         )
 
     def doc_pagerank(spark, sf):
         g = _doc_graph(spark, sf)
         uw = g.to_unweighted()
         pr = pagerank(uw, damping=0.85, tol=0.0, max_iter=15, distribute_sinks=True)
-        return pr.select("id", F.round("rank", 6).alias("rank"))
+        return pr.select("id", _dec("rank", 6).alias("rank"))
 
     def doc_hits(spark, sf):
         # Kleinberg HITS, exact 8 power iterations for the SQL unroll
@@ -183,8 +255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = hits(g.to_unweighted(), max_iter=8, tol=0.0)
         return out.select(
             "id",
-            F.round("hub", 6).alias("hub"),
-            F.round("authority", 6).alias("authority"),
+            _dec("hub", 6).alias("hub"),
+            _dec("authority", 6).alias("authority"),
         )
 
     def doc_cocitation(spark, sf):
@@ -207,8 +279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = salsa(g, max_iter=6, tol=0.0)
         return out.select(
             "id",
-            F.round("hub", 6).alias("hub"),
-            F.round("authority", 6).alias("authority"),
+            _dec("hub", 6).alias("hub"),
+            _dec("authority", 6).alias("authority"),
         )
 
     def doc_opic(spark, sf):
@@ -216,7 +288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from linkgraph.algs.opic import opic
 
         out = opic(_doc_graph(spark, sf), iters=12)
-        return out.select("id", F.round("importance", 6).alias("importance"))
+        return out.select("id", _dec("importance", 6).alias("importance"))
 
     def doc_bowtie(spark, sf):
         """Broder bow-tie decomposition (core/in/out/tube/tendrils) of the
@@ -235,7 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         uw = g.to_unweighted()
         seeds = uw.nodes().where(F.col("id") % 17 == 0)
         tr = trustrank(uw, seeds, damping=0.85, tol=0.0, max_iter=15)
-        return tr.select("id", F.round("trust", 6).alias("trust"))
+        return tr.select("id", _dec("trust", 6).alias("trust"))
 
     def doc_common_neighbors(spark, sf):
         g = _doc_graph(spark, sf)
@@ -243,11 +315,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def doc_adamic_adar(spark, sf):
         g = _doc_graph(spark, sf)
-        return adamic_adar(g).select("u", "v", F.round("score", 6).alias("score"))
+        return adamic_adar(g).select("u", "v", _dec("score", 6).alias("score"))
 
     def doc_jaccard_lp(spark, sf):
         g = _doc_graph(spark, sf)
-        return jaccard_index(g).select("u", "v", F.round("score", 6).alias("score"))
+        return jaccard_index(g).select("u", "v", _dec("score", 6).alias("score"))
 
     def doc_adjusted_rand(spark, sf):
         """AdjustedRandIndex link-pred scores (ARI of neighborhood
@@ -258,7 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         g = _doc_graph(spark, sf)
         return adjusted_rand_index(g).select(
-            "u", "v", F.round("score", 6).alias("score")
+            "u", "v", _dec("score", 6).alias("score")
         )
 
     def doc_neighbors_measure(spark, sf):
@@ -418,14 +490,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         g = _doc_graph(spark, sf)
         ev = eigenvector_centrality(g, tol=0.0, max_iter=12)
-        return ev.select("id", F.round("score", 6).alias("score"))
+        return ev.select("id", _dec("score", 6).alias("score"))
 
     def doc_katz(spark, sf):
         from linkgraph.algs.centrality import katz_centrality
 
         g = _doc_graph(spark, sf)
         kz = katz_centrality(g, alpha=0.01, beta=1.0, tol=0.0, max_iter=12)
-        return kz.select("id", F.round("score", 6).alias("score"))
+        return kz.select("id", _dec("score", 6).alias("score"))
 
     def doc_bfs(spark, sf):
         from linkgraph.algs.bfs import bfs
@@ -437,7 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from linkgraph.algs.bfs import sssp
 
         g = _doc_graph(spark, sf, directed=False)
-        return sssp(g, 0).select("id", F.round("dist", 6).alias("dist"))
+        return sssp(g, 0).select("id", _dec("dist", 6).alias("dist"))
 
     def algebraic_sssp(spark, sf):
         # GraphBLAS-style min-plus mat-vec iteration; same fixed point as
@@ -446,7 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         g = _doc_graph(spark, sf, directed=False)
         return algebraic_bellman_ford(g, 0).select(
-            "id", F.round("dist", 6).alias("dist")
+            "id", _dec("dist", 6).alias("dist")
         )
 
     def algebraic_pagerank_q(spark, sf):
@@ -457,7 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         uw = g.to_unweighted()
         pr = algebraic_pagerank(uw, damping=0.85, max_iter=15, tol=0.0)
-        return pr.select("id", F.round("rank", 6).alias("rank"))
+        return pr.select("id", _dec("rank", 6).alias("rank"))
 
     def algebraic_tri_total(spark, sf):
         # masked U·U over the degree-oriented matrix; one row: the global
@@ -509,14 +581,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from linkgraph.algs.bfs import closeness
 
         g = _doc_graph(spark, sf, directed=False)
-        return closeness(g).select("id", F.round("score", 6).alias("score"))
+        return closeness(g).select("id", _dec("score", 6).alias("score"))
 
     def doc_harmonic(spark, sf):
         from linkgraph.algs.bfs import closeness
 
         g = _doc_graph(spark, sf, directed=False)
         return closeness(g, harmonic=True).select(
-            "id", F.round("score", 6).alias("score")
+            "id", _dec("score", 6).alias("score")
         )
 
     def doc_eccentricity(spark, sf):
@@ -553,7 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         g = _doc_graph(spark, sf, directed=False)
         return betweenness(g, n_samples=24, portable=True).select(
-            "id", F.round("score", 4).alias("score")
+            "id", _dec("score", 4).alias("score")
         )
 
     def doc_spanning_stats(spark, sf):
@@ -563,7 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         forest = spanning_forest(g)
         return forest.agg(
             F.count("*").alias("n_edges"),
-            F.round(F.sum("weight"), 6).alias("total_weight"),
+            _dec(F.sum("weight"), 6).alias("total_weight"),
         )
 
     def doc_louvain(spark, sf):
@@ -585,7 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # portable sketch hash → the FM bit_or pipeline replays exactly in
         # DuckDB (gate_sql.anf_sql): integer bit ops end to end
         return per_vertex_neighborhood_size(g, 2, portable=True).select(
-            "id", F.round("est", 3).alias("est")
+            "id", _dec("est", 3).alias("est")
         )
 
     # --- documents table: text pipeline ----------------------------------
@@ -624,7 +696,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         total = float(vocab.agg(F.sum("cnt")).collect()[0][0])
         model = vocab.select(
             "piece",
-            F.round(-F.log(F.col("cnt") / F.lit(total)), 6).alias("nll"),
+            # intermediate (feeds the Viterbi cost dict, never emitted):
+            # round at 6 dp as a double, exactly the pre-decimal behavior
+            _dec(-F.log(F.col("cnt") / F.lit(total)), 6)
+            .cast("double")
+            .alias("nll"),
         )
         nll = {r["piece"]: r["nll"] for r in model.collect()}
         cnts.unpersist()
@@ -653,7 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         _register(spark, sf)
         out = bm25(spark.table("documents"), ["hash", "join", "spark"])
-        return out.select("doc_id", F.round("score", 6).alias("score"))
+        return out.select("doc_id", _dec("score", 6).alias("score"))
 
     def doc_gopher_rep(spark, sf):
         """Gopher repetition rules (Rae et al. 2021): duplicate line/
@@ -680,7 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             "n_units",
             "n_dup_units",
-            F.round("dup_frac", 6).alias("dup_frac"),
+            _dec("dup_frac", 6).alias("dup_frac"),
         )
 
     def doc_gopher_dup_ngrams(spark, sf):
@@ -693,8 +769,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = gopher_dup_ngram_fractions(spark.table("documents"))
         return out.select(
             "doc_id",
-            *[F.round(f"dup{n}_char_frac", 6).alias(f"dup{n}_char_frac")
-              for n in (5, 6, 7, 8, 9, 10)],
+            _dec("dup5_char_frac", 6).alias("dup5_char_frac"),
+            _dec("dup6_char_frac", 6).alias("dup6_char_frac"),
+            _dec("dup7_char_frac", 6).alias("dup7_char_frac"),
+            _dec("dup8_char_frac", 6).alias("dup8_char_frac"),
+            _dec("dup9_char_frac", 6).alias("dup9_char_frac"),
+            _dec("dup10_char_frac", 6).alias("dup10_char_frac"),
             "passes",
         )
 
@@ -705,14 +785,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             "n_chars",
             "n_tokens",
-            F.round("avg_token_len", 6).alias("avg_token_len"),
-            F.round("stopword_ratio", 6).alias("stopword_ratio"),
+            _dec("avg_token_len", 6).alias("avg_token_len"),
+            _dec("stopword_ratio", 6).alias("stopword_ratio"),
         )
 
     def ngram_dups(spark, sf):
         _register(spark, sf)
         return ngram_jaccard_pairs(spark.table("documents"), k=3, threshold=0.8).select(
-            "a", "b", F.round("jaccard", 6).alias("jaccard")
+            "a", "b", _dec("jaccard", 6).alias("jaccard")
         )
 
     def doc_lang_id(spark, sf):
@@ -800,7 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             "n_shingles",
             "n_contaminated",
-            F.round("contamination", 6).alias("contamination"),
+            _dec("contamination", 6).alias("contamination"),
         )
 
     def doc_pack_sequences(spark, sf):
@@ -839,7 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return coarsen(g, labels).edges.select(
             F.col("src").alias("src_source"),
             F.col("dst").alias("dst_source"),
-            F.round("weight", 6).alias("weight"),
+            _dec("weight", 6).alias("weight"),
         )
 
     def doc_gopher_flags(spark, sf):
@@ -849,9 +929,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return gopher_quality_flags(spark.table("documents")).select(
             "doc_id",
             "n_words",
-            F.round("mean_word_len", 6).alias("mean_word_len"),
-            F.round("symbol_ratio", 6).alias("symbol_ratio"),
-            F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+            _dec("mean_word_len", 6).alias("mean_word_len"),
+            _dec("symbol_ratio", 6).alias("symbol_ratio"),
+            _dec("alpha_word_frac", 6).alias("alpha_word_frac"),
             "n_stop_distinct",
             F.col("passes").cast("bigint").alias("passes"),
         )
@@ -862,9 +942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _register(spark, sf)
         return repetition_ratios(spark.table("documents")).select(
             "doc_id",
-            F.round("dup_line_frac", 6).alias("dup_line_frac"),
-            F.round("dup_2gram_frac", 6).alias("dup_2gram_frac"),
-            F.round("dup_3gram_frac", 6).alias("dup_3gram_frac"),
+            _dec("dup_line_frac", 6).alias("dup_line_frac"),
+            _dec("dup_2gram_frac", 6).alias("dup_2gram_frac"),
+            _dec("dup_3gram_frac", 6).alias("dup_3gram_frac"),
         )
 
     def doc_dup_spans(spark, sf):
@@ -877,7 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             "n_windows",
             "n_dup_windows",
-            F.round("dup_frac", 6).alias("dup_frac"),
+            _dec("dup_frac", 6).alias("dup_frac"),
         )
 
     def doc_despan(spark, sf):
@@ -927,7 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = quality_classifier(
             docs, labels, n_features=4096, iters=2, lr=10.0, portable=True
         )
-        return out.select("doc_id", F.round("prob", 6).alias("prob"))
+        return out.select("doc_id", _dec("prob", 6).alias("prob"))
 
     def doc_dsir_weights(spark, sf):
         # DSIR importance log-weights of every doc toward the lang='en'
@@ -939,7 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w = dsir_logweights(
             docs, docs.where(F.col("lang") == "en"), n_buckets=4096, portable=True
         )
-        return w.select("doc_id", F.round("logw", 6).alias("logw"))
+        return w.select("doc_id", _dec("logw", 6).alias("logw"))
 
     def doc_dsir_sample(spark, sf):
         # Gumbel-top-20 resample under the same weights (portable noise)
@@ -951,7 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, docs.where(F.col("lang") == "en"), n_buckets=4096, portable=True
         )
         return dsir_sample(w, 20, seed=7, portable=True).select(
-            "doc_id", F.round("logw", 6).alias("logw")
+            "doc_id", _dec("logw", 6).alias("logw")
         )
 
     def bpe_pair_counts(spark, sf):
@@ -965,7 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         _register(spark, sf)
         return unigram_logloss(spark.table("documents")).select(
-            "doc_id", "n_tokens", F.round("logloss", 6).alias("logloss")
+            "doc_id", "n_tokens", _dec("logloss", 6).alias("logloss")
         )
 
     def doc_perplexity_buckets(spark, sf):
@@ -1176,7 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.table("documents"), "doc_id", ["lang"], registers=8,
             portable=True,
         )
-        return fm_distinct(sk).select("lang", F.round("est", 6).alias("est"))
+        return fm_distinct(sk).select("lang", _dec("est", 6).alias("est"))
 
     def doc_cms_counts(spark, sf):
         """Count-min point queries for every language over a 4x64 portable
@@ -1222,7 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         labels = g.nodes().select("id", (F.col("id") % 7).alias("label"))
         return hub_dominance(g, labels).select(
-            "label", F.round("hub_dominance", 6).alias("hub_dominance")
+            "label", _dec("hub_dominance", 6).alias("hub_dominance")
         )
 
     def doc_conductance(spark, sf):
@@ -1231,7 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         labels = g.nodes().select("id", (F.col("id") % 7).alias("label"))
         return isolated_interpartition_conductance(g, labels).select(
-            "label", F.round("conductance", 6).alias("conductance")
+            "label", _dec("conductance", 6).alias("conductance")
         )
 
     def doc_stable_nodes(spark, sf):
@@ -1247,7 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         labels = g.nodes().select("id", (F.col("id") % 7).alias("label"))
         return partition_fragmentation(g, labels).select(
-            "label", F.round("fragmentation", 6).alias("fragmentation")
+            "label", _dec("fragmentation", 6).alias("fragmentation")
         )
 
     # --- link-prediction additions + edge scores ---------------------------
@@ -1262,7 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         g = _doc_graph(spark, sf)
         return neighborhood_distance(g).select(
-            "u", "v", F.round("score", 6).alias("score")
+            "u", "v", _dec("score", 6).alias("score")
         )
 
     def doc_katz_index(spark, sf):
@@ -1270,7 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         g = _doc_graph(spark, sf)
         return katz_index(g, beta=0.005, max_length=3).select(
-            "u", "v", F.round("score", 9).alias("score")
+            "u", "v", _dec("score", 9).alias("score")
         )
 
     def doc_prefix_jaccard(spark, sf):
@@ -1278,7 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         g = _doc_graph(spark, sf)
         return prefix_jaccard_score(g, k=5).select(
-            "src", "dst", F.round("score", 6).alias("score")
+            "src", "dst", _dec("score", 6).alias("score")
         )
 
     def doc_simmelian(spark, sf):
@@ -1327,7 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         g = _doc_graph(spark, sf, directed=False)
         out = ged_walk(g, k=3, alpha=0.1, max_len=4, round_to=6)
-        return out.select("ord", "id", "gain", F.round("ged_score", 6).alias("ged_score"))
+        return out.select("ord", "id", "gain", _dec("ged_score", 6).alias("ged_score"))
 
     def doc_maxent_layout(spark, sf):
         """MaxentStress coordinates after 5 fixed iterations (portable md5
@@ -1339,7 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf, directed=False)
         pos = maxent_stress(g, dims=2, iters=5, alpha=0.02, n_anchors=8, seed=7)
         return pos.select(
-            "id", F.round("x0", 6).alias("x0"), F.round("x1", 6).alias("x1")
+            "id", _dec("x0", 6).alias("x0"), _dec("x1", 6).alias("x1")
         )
 
     def doc_pll_dist(spark, sf):
@@ -1380,7 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lsh_cosine_topk_banded(
             emb, qs, k=5, n_planes=16, bands=8, portable=True
         ).select(
-            "query_id", "neighbor_id", F.round("cos", 4).alias("cos")
+            "query_id", "neighbor_id", _dec("cos", 4).alias("cos")
         )
 
     # --- extraction: engine pipeline vs independent DuckDB regexp oracle --
@@ -1407,7 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = boilerplate_strip(pages)
         return out.select(
             "url", "content", "n_blocks", "n_kept", "total_words",
-            "kept_words", F.round("boilerplate_frac", 6).alias("boilerplate_frac"),
+            "kept_words", _dec("boilerplate_frac", 6).alias("boilerplate_frac"),
         )
 
     def anchor_text(spark, sf):
@@ -1444,7 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         pages = spark.read.parquet("/root/repo/tests/fixtures/gate_pages")
         out = host_rank(pages, damping=0.85, tol=0.0, max_iter=15)
-        return out.select("host", F.round("rank", 6).alias("rank"))
+        return out.select("host", _dec("rank", 6).alias("rank"))
 
     def url_canonical(spark, sf):
         """URL canonicalization + canonical-dedup marking (RFC 3986 §6
@@ -1575,8 +1655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("event_type")
             .agg(
                 F.count("*").alias("n"),
-                F.round(F.sum("value"), 3).alias("sum_value"),
-                F.round(F.avg("value"), 6).alias("avg_value"),
+                _dec(F.sum("value"), 3).alias("sum_value"),
+                _dec(F.avg("value"), 6).alias("avg_value"),
             )
         )
 
@@ -1588,7 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             spark.table("events")
             .rollup("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
-            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+            .agg(F.count("*").alias("n"), _dec(F.sum("value"), 3).alias("sum_value"))
         )
 
     def node2vec_walks(spark, sf):
@@ -1635,7 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = stream_apply_deltas_pruned(spark, ddir, table, ckpt, n_blocks=16)
         q.awaitTermination(300)
         return read_blocked_edges(spark, table).select(
-            "src", "dst", F.round("weight", 6).alias("weight")
+            "src", "dst", _dec("weight", 6).alias("weight")
         )
 
     # --- embeddings: similarity search ------------------------------------
@@ -1644,7 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.table("embeddings")
         qs = emb.where(F.col("vec_id") < 10)
         return cosine_topk(emb, qs, k=5).select(
-            "query_id", "neighbor_id", F.round("cos", 4).alias("cos")
+            "query_id", "neighbor_id", _dec("cos", 4).alias("cos")
         )
 
     def embed_lsh_top5(spark, sf):
@@ -1652,7 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.table("embeddings")
         qs = emb.where(F.col("vec_id") < 10)
         return lsh_cosine_topk(emb, qs, k=5, n_planes=8, portable=True).select(
-            "query_id", "neighbor_id", F.round("cos", 4).alias("cos")
+            "query_id", "neighbor_id", _dec("cos", 4).alias("cos")
         )
 
     def _embed_with_clones(spark, sf, n_clones=40, id_offset=100_000, delta=0.15):
@@ -1687,7 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _embed_with_clones(spark, sf)
         return embedding_near_duplicate_pairs(
             docs, threshold=0.9, n_planes=16, bands=8, portable=True
-        ).select("a", "b", F.round("cos", 4).alias("cos"))
+        ).select("a", "b", _dec("cos", 4).alias("cos"))
 
     def embed_near_dup_groups(spark, sf):
         """Near-dup pairs closed into dedup groups (group_id = min
@@ -1717,7 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qs = emb.where(F.col("vec_id") < 10)
         return ivf_cosine_topk(
             emb, qs, k=5, n_list=8, n_probe=3, refine_rounds=1, portable=True
-        ).select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
+        ).select("query_id", "neighbor_id", _dec("cos", 4).alias("cos"))
 
     def embed_pq_top5(spark, sf):
         """Product-quantization ANN top-5 (m=4 subspaces, 8 codes, one
@@ -1732,7 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pq_topk(
             emb, qs, k=5, m=4, n_codes=8, refine_rounds=1,
             shortlist_factor=4, portable=True,
-        ).select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
+        ).select("query_id", "neighbor_id", _dec("cos", 4).alias("cos"))
 
     def embed_semantic_dedup(spark, sf):
         """SemDeDup (Abbas et al. 2023) over the planted-clone corpus:
@@ -1749,7 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select(
             "vec_id",
             "cell",
-            F.round("centroid_cos", 4).alias("centroid_cos"),
+            _dec("centroid_cos", 4).alias("centroid_cos"),
             "group_id",
             "keep",
         )
@@ -1847,14 +1927,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from linkgraph.algs.centrality import sfigality
 
         g = _doc_graph(spark, sf)
-        return sfigality(g).select("id", F.round("score", 6).alias("score"))
+        return sfigality(g).select("id", _dec("score", 6).alias("score"))
 
     def doc_local_similarity(spark, sf):
         from linkgraph.algs.sparsification import local_similarity_score
 
         g = _doc_graph(spark, sf)
         return local_similarity_score(g).select(
-            "src", "dst", F.round("score", 6).alias("score")
+            "src", "dst", _dec("score", 6).alias("score")
         )
 
     def doc_scan_similarity(spark, sf):
@@ -1862,7 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         g = _doc_graph(spark, sf)
         return scan_structural_similarity(g).select(
-            "src", "dst", F.round("score", 6).alias("score")
+            "src", "dst", _dec("score", 6).alias("score")
         )
 
     def doc_multiscale(spark, sf):
@@ -1870,7 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         g = _doc_graph(spark, sf)
         return multiscale_score(g).select(
-            "src", "dst", F.round("score", 6).alias("score")
+            "src", "dst", _dec("score", 6).alias("score")
         )
 
     def doc_local_coverage(spark, sf):
@@ -1879,7 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         labels = g.nodes().select("id", (F.col("id") % 7).alias("label"))
         return local_partition_coverage(g, labels).select(
-            "id", F.round("coverage", 6).alias("coverage")
+            "id", _dec("coverage", 6).alias("coverage")
         )
 
     def doc_permanence(spark, sf):
@@ -1888,7 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         labels = g.nodes().select("id", (F.col("id") % 7).alias("label"))
         return permanence(g, labels).select(
-            "id", F.round("permanence", 6).alias("permanence")
+            "id", _dec("permanence", 6).alias("permanence")
         )
 
     def doc_attr_assort(spark, sf):
@@ -1926,7 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf, directed=False)
         return (
             closeness(g)
-            .select("id", F.round("score", 6).alias("score"))
+            .select("id", _dec("score", 6).alias("score"))
             .orderBy(F.desc("score"), F.asc("id"))
             .limit(10)
         )
@@ -1939,7 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         g = _doc_graph(spark, sf, directed=False)
         pr = personalized_pagerank(g, [0], alpha=0.15, tol=0.0, max_iter=25)
-        return pr.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
+        return pr.select("id", _dec("rank", 6).alias("rank")).orderBy("id")
 
     def doc_nibble(spark, sf):
         """PageRankNibble community around seed 0, portable mode: PPR at
@@ -2041,7 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         g = _doc_graph(spark, sf, directed=False)
         return betweenness(g).select(
-            "id", F.round("score", 4).alias("score")
+            "id", _dec("score", 4).alias("score")
         )
 
     def doc_laplacian(spark, sf):
@@ -2049,7 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         g = _doc_graph(spark, sf)
         return laplacian_centrality(g).select(
-            "id", F.round("score", 6).alias("score")
+            "id", _dec("score", 6).alias("score")
         )
 
     def doc_bridges(spark, sf):
@@ -2223,7 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         g = _doc_graph(spark, sf, directed=False)
         return local_square_clustering(g).select(
-            "id", F.round("c4", 6).alias("c4")
+            "id", _dec("c4", 6).alias("c4")
         )
 
     def doc_ktruss(spark, sf):
@@ -2244,7 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         g = _doc_graph(spark, sf)
         sr = simrank(g, c=0.8, max_iter=3)
-        return sr.select("u", "v", F.round("sim", 6).alias("sim"))
+        return sr.select("u", "v", _dec("sim", 6).alias("sim"))
 
     def doc_rich_club(spark, sf):
         """Rich-club spectrum φ(k) on the symmetrized doc graph; the
@@ -2254,7 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         g = _doc_graph(spark, sf)
         rc = rich_club(g)
-        return rc.select("k", "n_nodes", "n_edges", F.round("phi", 6).alias("phi"))
+        return rc.select("k", "n_nodes", "n_edges", _dec("phi", 6).alias("phi"))
 
     def doc_knn(spark, sf):
         """Average-neighbor-degree profile knn(k) on the symmetrized doc
@@ -2262,7 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from linkgraph.algs.richclub import avg_neighbor_degree
 
         g = _doc_graph(spark, sf)
-        return avg_neighbor_degree(g).select("k", F.round("knn", 6).alias("knn"))
+        return avg_neighbor_degree(g).select("k", _dec("knn", 6).alias("knn"))
 
     def doc_cover_f1(spark, sf):
         """CoverF1Similarity over two FIXED labelings of the doc set
@@ -2275,7 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         a = d.select("id", (F.col("id") % 7).alias("label"))
         b = d.select("id", (F.col("id") % 5).alias("label"))
         return cover_f1(a, b).select(
-            "label", F.round("best_f1", 6).alias("best_f1")
+            "label", _dec("best_f1", 6).alias("best_f1")
         )
 
     def doc_nf_heuristic(spark, sf):
@@ -4491,4 +4571,14 @@ SELECT id, id AS label FROM (
 ) n
 """
 
+    # Final pass: wrap every oracle whose Spark query emits DECIMAL columns
+    # (via _dec) in the matching CAST so both sides hash the identical
+    # scaled-integer values — see _dec's docstring for the ulp rationale.
+    for k, cols in _dec_columns().items():
+        if k in sql:
+            reps = ", ".join(
+                f'CAST("{c}" AS DECIMAL(28,{s})) AS "{c}"'
+                for c, s in cols.items()
+            )
+            sql[k] = f"SELECT * REPLACE ({reps}) FROM (\n{sql[k]}\n) _decfin"
     return sql

@@ -40,7 +40,7 @@ the batch granularity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.graph import Graph
 from linkgraph.iterutil import Pin
@@ -49,15 +49,17 @@ from linkgraph.iterutil import Pin
 def _ranked_landmarks(graph: Graph, k: int | None) -> DataFrame:
     """(hub, rank) — degree-descending, id-ascending total order; the
     reference's vertex ordering heuristic (PrunedLandmarkLabeling.cpp
-    sorts by degree before indexing). Single-partition window: the
-    landmark order is a metadata table tiny next to the labels it
-    drives; at extreme n use the range-partitioned rank linearization
-    (algs/linkpred.roc_auc pattern) — any deterministic total order
-    works."""
-    ranked = graph.degrees().select(
-        F.col("id").alias("hub"),
-        F.row_number().over(Window.orderBy(F.desc("degree"), F.asc("id"))).alias("rank"),
-    )
+    sorts by degree before indexing). Ranked with the range-partitioned
+    linearization (stats.distributed_row_number, the roc_auc pattern),
+    so the ordering of all n vertices never funnels through a
+    SinglePartition window (plan-asserted in tests/test_plans.py)."""
+    from linkgraph.stats import distributed_row_number
+
+    ranked = distributed_row_number(
+        graph.degrees().select(F.col("id").alias("hub"), "degree"),
+        [F.desc("degree"), F.asc("hub")],
+        rank_col="rank",
+    ).select("hub", "rank")
     if k is not None:
         ranked = ranked.where(F.col("rank") <= int(k))
     return ranked

@@ -22,6 +22,40 @@ import math
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def distributed_row_number(
+    df: DataFrame, order_by: list, rank_col: str = "rank"
+) -> DataFrame:
+    """``df`` plus a 1-based global row_number under ``order_by`` (sort
+    column expressions, e.g. ``[F.desc("degree"), F.asc("id")]``) with NO
+    SinglePartition window: range-partition on the sort keys, rank within
+    each partition, add per-partition prefix offsets (driver state =
+    one count per partition). The order must be total (include a
+    tie-break key) for the result to be deterministic."""
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(n_parts, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin pids across the two uses
+    )
+    part_tot = ranged.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    offsets, acc = {}, 0
+    for r in sorted(part_tot, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["c"]
+    off_df = spark.createDataFrame(
+        [(k, v) for k, v in offsets.items()] or [(0, 0)], "_pid int, _off bigint"
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_by)
+    return (
+        ranged.withColumn("_r", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(rank_col, F.col("_r") + F.col("_off"))
+        .drop("_pid", "_r", "_off")
+    )
+
+
 def exact_quantiles(
     df: DataFrame, value_col: str, qs: list[float]
 ) -> DataFrame:

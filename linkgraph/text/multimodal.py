@@ -56,6 +56,52 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+# -- codec seam ----------------------------------------------------------------
+#
+# Production recipe (VERDICT r3 #2): a Pillow/libjpeg-turbo-equipped
+# cluster plugs real compressed-codec decoders in WITHOUT touching the
+# Arrow batching — ship a module via --py-files that runs e.g.
+#
+#     from PIL import Image
+#     import io, numpy as np
+#     from linkgraph.text.multimodal import register_image_codec
+#     register_image_codec(b"\xff\xd8", lambda p: np.asarray(
+#         Image.open(io.BytesIO(p)).convert("RGB")))          # JPEG
+#     register_image_codec(b"\x89PNG", ...)                    # PNG
+#
+# on the DRIVER before building the pipeline. extract_media_features /
+# resize_images snapshot the registry into the mapInPandas closure at
+# plan-construction time, so cloudpickle carries the decoder BY VALUE to
+# every executor — registration does not rely on executor-side imports
+# re-running it. Decoders take the raw payload bytes and return a
+# (h, w, 3) uint8 array; a ValueError from a decoder falls back to the
+# byte-histogram feature (extract) or propagates (resize), matching the
+# built-in codecs' failure contract.
+
+_IMAGE_CODECS: dict[bytes, object] = {}
+
+
+def register_image_codec(magic: bytes, decode) -> None:
+    """Register ``decode(payload: bytes) -> (h, w, 3) uint8 ndarray`` for
+    payloads starting with ``magic``. Longest matching magic wins;
+    registered codecs take precedence over the built-in PPM/BMP parsers."""
+    _IMAGE_CODECS[bytes(magic)] = decode
+
+
+def unregister_image_codec(magic: bytes) -> None:
+    _IMAGE_CODECS.pop(bytes(magic), None)
+
+
+def _codec_for(payload: bytes, codecs: dict) -> object | None:
+    best = None
+    for magic, fn in codecs.items():
+        if payload[: len(magic)] == magic and (
+            best is None or len(magic) > len(best[0])
+        ):
+            best = (magic, fn)
+    return best[1] if best else None
+
+
 # -- pure-numpy codecs ---------------------------------------------------------
 
 
@@ -188,8 +234,22 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
     return (pcm.astype(np.float32) / 32767.0, int(rate))
 
 
-def decode_image(payload: bytes) -> np.ndarray:
-    """(h, w, 3) uint8 from any supported container-free image format."""
+def decode_image(payload: bytes, codecs: dict | None = None) -> np.ndarray:
+    """(h, w, 3) uint8 from any supported image format: registered codecs
+    (the seam — JPEG/PNG on a Pillow-equipped cluster) first, then the
+    built-in container-free PPM/BMP parsers. ``codecs`` defaults to the
+    live registry; mapInPandas callers pass their plan-time snapshot."""
+    reg = _IMAGE_CODECS if codecs is None else codecs
+    if payload is not None and reg:
+        fn = _codec_for(bytes(payload), reg)
+        if fn is not None:
+            img = np.asarray(fn(bytes(payload)), dtype=np.uint8)
+            if img.ndim != 3 or img.shape[2] != 3:
+                raise ValueError(
+                    f"registered codec returned shape {img.shape}, "
+                    "want (h, w, 3)"
+                )
+            return img
     if payload is not None and payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload is not None and payload[:2] == b"BM":
@@ -197,7 +257,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     head = bytes(payload[:2]) if payload else b""
     raise ValueError(
         f"unsupported image codec (magic={head!r}); PPM/BMP decode natively, "
-        "compressed codecs need PIL/opencv on a full cluster image"
+        "compressed codecs plug in via register_image_codec (Pillow/opencv "
+        "on a full cluster image)"
     )
 
 
@@ -226,21 +287,24 @@ def _byte_histogram(payload: bytes, dim: int) -> np.ndarray:
     return np.histogram(arr, bins=dim, range=(0, 256))[0].astype(np.float32)
 
 
-def _decode_features(payload: bytes, dim: int = 8) -> np.ndarray:
+def _decode_features(
+    payload: bytes, dim: int = 8, codecs: dict | None = None
+) -> np.ndarray:
     """REAL per-modality features for parseable payloads; byte-histogram
     fallback for opaque codecs. Always L1-normalized (sums to 1 when the
     payload is non-empty) and deterministic.
 
-    - PPM/BMP image → luma histogram (dim bins): the classic cheap
-      perceptual signature.
+    - decodable image (PPM/BMP built-in, or any registered codec) →
+      luma histogram (dim bins): the classic cheap perceptual signature.
     - WAV PCM16 → FFT band energies (dim log-ish linear bands).
     - anything else → byte histogram (codec-opaque but deterministic).
     """
     if payload is None or len(payload) == 0:
         return np.zeros(dim, dtype=np.float32)
+    reg = _IMAGE_CODECS if codecs is None else codecs
     try:
-        if payload[:2] in (b"P6", b"BM"):
-            img = decode_image(payload)
+        if payload[:2] in (b"P6", b"BM") or _codec_for(bytes(payload), reg):
+            img = decode_image(payload, codecs=reg)
             luma = (
                 0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
             )
@@ -261,12 +325,18 @@ def _decode_features(payload: bytes, dim: int = 8) -> np.ndarray:
 
 
 def extract_media_features(media: DataFrame, dim: int = 8, target_rows_per_batch: int = 256) -> DataFrame:
-    """media(MEDIA_SCHEMA) → FEATURE_SCHEMA via Arrow-batched mapInPandas."""
+    """media(MEDIA_SCHEMA) → FEATURE_SCHEMA via Arrow-batched mapInPandas.
+
+    Snapshots the codec registry at plan-construction time so runtime
+    ``register_image_codec`` calls on the driver reach every executor by
+    closure capture (see the codec-seam note at the top of this module)."""
+    codecs = dict(_IMAGE_CODECS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _decode_features(p, dim).tolist() for p in pdf["payload"]
+                _decode_features(p, dim, codecs).tolist()
+                for p in pdf["payload"]
             ]
             yield pd.DataFrame(
                 {
@@ -291,12 +361,13 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Nearest-neighbor image resize over Arrow batches: decode (PPM/BMP),
     numpy index-sample to (height, width), re-encode as PPM. Unsupported
     codecs raise ValueError naming the magic bytes — explicit, not silent."""
+    codecs = dict(_IMAGE_CODECS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_payload, out_meta = [], []
             for p, m in zip(pdf["payload"], pdf["meta"]):
-                img = decode_image(p)
+                img = decode_image(p, codecs=codecs)
                 resized = encode_ppm(_resize_nearest(img, width, height))
                 meta = dict(m) if m is not None else {}
                 meta.update({"w": str(width), "h": str(height), "codec": "ppm"})

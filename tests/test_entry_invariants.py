@@ -26,3 +26,58 @@ def test_oracles_are_real_sql():
     for name, sql in e.oracle_sql().items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
         assert len(sql.strip()) > 20, name
+
+
+def test_no_gate_query_emits_raw_rounded_double():
+    """Round-3 driver red (doc_rich_club): F.round on a double is 1-ulp
+    hash-fragile vs DuckDB ROUND. Gate queries must emit rounded values
+    through _dec (round + DECIMAL cast, oracle-mirrored); F.round is
+    allowed only in entry() (driver smoke-check keeps its double schema)
+    and inside _dec itself."""
+    import ast
+    import inspect
+
+    e = _entry()
+    src = inspect.getsource(e.queries)
+    assert "F.round(" not in src, (
+        "gate queries must use _dec(...), not F.round(...) — "
+        "raw rounded doubles are hash-fragile vs the DuckDB oracle"
+    )
+    # Every _dec emission resolves to a literal alias (the scanner raises
+    # otherwise) and lands in the oracle cast map.
+    dec_cols = e._dec_columns()
+    assert dec_cols, "scanner found no _dec emissions — scan broken?"
+    oracles = e.oracle_sql()
+    for name, cols in dec_cols.items():
+        assert name in oracles, name
+        for col, scale in cols.items():
+            want = f'CAST("{col}" AS DECIMAL(28,{scale})) AS "{col}"'
+            assert want in oracles[name], (name, col, scale)
+    # Every _dec result must be either .alias()-ed immediately (an
+    # emission, mirrored into the oracle cast map) or .cast()-ed
+    # immediately (a deliberate intermediate, e.g. the unigram nll cost
+    # table) — a bare _dec would silently miss the oracle mirror.
+    tree = ast.parse(src)
+    n_calls = sum(
+        isinstance(n, ast.Call)
+        and isinstance(n.func, ast.Name)
+        and n.func.id == "_dec"
+        for n in ast.walk(tree)
+    )
+    n_consumed = sum(
+        isinstance(n, ast.Attribute)
+        and n.attr in ("alias", "cast")
+        and isinstance(n.value, ast.Call)
+        and isinstance(n.value.func, ast.Name)
+        and n.value.func.id == "_dec"
+        for n in ast.walk(tree)
+    )
+    n_scanned = sum(len(c) for c in dec_cols.values())
+    assert n_calls == n_consumed, (
+        f"{n_calls} _dec calls vs {n_consumed} alias/cast-consumed — "
+        "a _dec result is emitted bare (unmirrored in the oracle)"
+    )
+    assert n_scanned >= n_calls - 2, (
+        f"{n_calls} _dec calls but only {n_scanned} scanned emissions — "
+        "too many escaped the registry scan"
+    )

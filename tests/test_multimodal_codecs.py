@@ -171,3 +171,111 @@ def test_opaque_fallback_unchanged(spark):
     # random-byte payloads (no magic) keep the byte-histogram contract
     rows = extract_media_features(synth_media(spark, n=6), dim=8).collect()
     assert all(abs(sum(r.feature) - 1.0) < 1e-5 for r in rows if r.n_bytes > 0)
+
+
+# -- codec seam (VERDICT r3 #2) ------------------------------------------------
+
+
+def _make_fake_jpeg_decode():
+    """Deterministic stand-in for a Pillow JPEG decoder: a 4x4 RGB image
+    whose pixels derive from the payload bytes after the JPEG SOI/APP0
+    marker — so the test can prove the REAL payload bytes reached the
+    executor-side decoder through the Arrow batch. Built as a CLOSURE
+    (not a test-module top-level function) because that is the seam's
+    contract: cloudpickle carries the registered decoder by value to
+    executors that cannot import the registering module."""
+
+    def _fake_jpeg_decode(payload: bytes) -> np.ndarray:
+        body = np.frombuffer(payload[4:], dtype=np.uint8)
+        return np.resize(body, 4 * 4 * 3).reshape(4, 4, 3)
+
+    return _fake_jpeg_decode
+
+
+_fake_jpeg_decode = _make_fake_jpeg_decode()
+
+
+def _jpeg_shaped(seed: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    return b"\xff\xd8\xff\xe0" + rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
+
+
+def test_codec_seam_carries_jpeg_bytes_through_mapinpandas(spark):
+    """register_image_codec at runtime on the driver → extract_media_features
+    decodes JPEG-shaped payloads through the hook inside mapInPandas (luma
+    histogram of the fake decode, not the byte-histogram fallback), while
+    unregistered payloads keep the fallback untouched."""
+    from linkgraph.text.multimodal import (
+        MEDIA_SCHEMA,
+        _byte_histogram,
+        _decode_features,
+        extract_media_features,
+        register_image_codec,
+        unregister_image_codec,
+    )
+
+    payloads = [_jpeg_shaped(s) for s in (1, 2, 3)]
+    rows = [(i, "image", p, {"codec": "jpeg"}) for i, p in enumerate(payloads)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    # Before registration: JPEG magic is opaque → byte-histogram fallback.
+    before = {
+        r["media_id"]: r["feature"]
+        for r in extract_media_features(media, dim=8).collect()
+    }
+    for i, p in enumerate(payloads):
+        bh = _byte_histogram(p, 8)
+        want = (bh / bh.sum()).tolist()
+        assert np.allclose(before[i], want, atol=1e-6)
+
+    register_image_codec(b"\xff\xd8", _fake_jpeg_decode)
+    try:
+        after = {
+            r["media_id"]: r["feature"]
+            for r in extract_media_features(media, dim=8).collect()
+        }
+        for i, p in enumerate(payloads):
+            img = _fake_jpeg_decode(p).astype(np.float64)
+            luma = 0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+            hist = np.histogram(luma, bins=8, range=(0, 256))[0].astype(np.float64)
+            want = (hist / hist.sum()).tolist()
+            assert np.allclose(after[i], want, atol=1e-6), i
+            # and the hook really changed the answer vs the fallback
+            assert not np.allclose(after[i], before[i], atol=1e-6)
+    finally:
+        unregister_image_codec(b"\xff\xd8")
+    # registry restored → driver-side helper falls back again
+    assert np.allclose(
+        _decode_features(payloads[0], 8),
+        np.array(before[0], dtype=np.float32),
+        atol=1e-6,
+    )
+
+
+def test_codec_seam_resize_and_closure_snapshot(spark):
+    """resize_images routes registered codecs through the same seam; and
+    the registry snapshot is taken at PLAN time — a plan built while the
+    codec was registered keeps working after unregistration (closure
+    capture, the property that makes runtime registration executor-safe)."""
+    from linkgraph.text.multimodal import (
+        MEDIA_SCHEMA,
+        decode_ppm,
+        register_image_codec,
+        resize_images,
+        unregister_image_codec,
+    )
+
+    rows = [(0, "image", _jpeg_shaped(7), {"codec": "jpeg"})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    register_image_codec(b"\xff\xd8", _fake_jpeg_decode)
+    try:
+        plan = resize_images(media, width=2, height=2)
+    finally:
+        unregister_image_codec(b"\xff\xd8")
+    out = plan.collect()  # executes AFTER unregistration
+    img = decode_ppm(bytes(out[0]["payload"]))
+    assert img.shape == (2, 2, 3)
+    src = _fake_jpeg_decode(_jpeg_shaped(7))
+    # nearest-neighbor on a 4x4 → rows/cols 0 and 2
+    want = src[[0, 2]][:, [0, 2]]
+    assert (img == want).all()

@@ -306,3 +306,29 @@ def test_superstep_observe_cuts_job_count(spark, monkeypatch):
     # path graph: ~16 min-label supersteps; the fallback pays one extra
     # metric job per superstep
     assert fused + 10 <= two_action, (fused, two_action)
+
+
+def test_pll_landmark_rank_no_single_partition(spark):
+    """VERDICT r3 #5: the PLL landmark ordering must use the range-
+    partitioned rank linearization (stats.distributed_row_number), never
+    a global row_number window — and the distributed rank must equal the
+    naive global ordering exactly."""
+    from linkgraph.algs.labeling import _ranked_landmarks
+    from linkgraph.graph import Graph
+
+    rows = [(i, (i * 7 + 3) % 40, 1.0) for i in range(120)]
+    e = spark.createDataFrame(rows, "src bigint, dst bigint, weight double")
+    e = e.where("src <> dst")
+    g = Graph.from_edges(e, directed=False)
+    ranked = _ranked_landmarks(g, k=None)
+    plan = _plan(ranked)
+    assert "SinglePartition" not in plan
+    got = {r["hub"]: r["rank"] for r in ranked.collect()}
+    deg = {r["id"]: r["degree"] for r in g.degrees().collect()}
+    want = {
+        h: i + 1
+        for i, h in enumerate(
+            sorted(deg, key=lambda h: (-deg[h], h))
+        )
+    }
+    assert got == want

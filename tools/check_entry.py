@@ -16,8 +16,102 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod  # noqa: E402
 from linkgraph.session import get_spark  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+def _query_sources(entry_src: str) -> dict[str, str]:
+    """Per-query source text: registry key -> ast.get_source_segment of its
+    function def inside queries()."""
+    import ast
+
+    tree = ast.parse(entry_src)
+    qdef = next(
+        n for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "queries"
+    )
+    func_src = {
+        n.name: ast.get_source_segment(entry_src, n)
+        for n in ast.walk(qdef)
+        if isinstance(n, ast.FunctionDef) and n is not qdef
+    }
+    out = {}
+    for stmt in qdef.body:
+        if isinstance(stmt, ast.Return) and isinstance(stmt.value, ast.Dict):
+            for k, v in zip(stmt.value.keys, stmt.value.values):
+                if isinstance(k, ast.Constant) and isinstance(v, ast.Name):
+                    out[k.value] = func_src.get(v.id, "")
+    return out
+
+
+def _old_oracles(ref: str) -> dict[str, str] | None:
+    """oracle_sql() of the entry module as of git REF, executed from the
+    old source (pure string building — no Spark work)."""
+    import subprocess
+    import types
+
+    def show(path):
+        r = subprocess.run(
+            ["git", "-C", "/root/repo", "show", f"{ref}:{path}"],
+            capture_output=True, text=True,
+        )
+        return r.stdout if r.returncode == 0 else None
+
+    entry_src = show("__spark_entry__.py")
+    gate_src = show("gate_sql.py")
+    if entry_src is None:
+        return None
+    saved = sys.modules.get("gate_sql")
+    try:
+        if gate_src is not None:
+            gmod = types.ModuleType("gate_sql")
+            exec(compile(gate_src, "gate_sql.py(old)", "exec"), gmod.__dict__)
+            sys.modules["gate_sql"] = gmod
+        import tempfile
+
+        emod = types.ModuleType("__spark_entry_old__")
+        # _dec_columns() scans __file__ — point it at the OLD source so the
+        # oracle decimal wrap reflects that revision, not the working tree.
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".py", delete=False
+        ) as tf:
+            tf.write(entry_src)
+            emod.__file__ = tf.name
+        exec(compile(entry_src, "__spark_entry__.py(old)", "exec"), emod.__dict__)
+        return emod.oracle_sql(), _query_sources(entry_src)
+    finally:
+        if saved is not None:
+            sys.modules["gate_sql"] = saved
+        else:
+            sys.modules.pop("gate_sql", None)
+
+
+def changed_queries(ref: str = "HEAD") -> list[str]:
+    """Queries whose Spark-side function source OR oracle SQL differs from
+    git REF (new queries included). Keeps the inner loop to seconds; full
+    runs stay for session ends."""
+    cur_src = open("/root/repo/__spark_entry__.py").read()
+    old = _old_oracles(ref)
+    cur_q = _query_sources(cur_src)
+    cur_o = entrymod.oracle_sql()
+    if old is None:
+        return sorted(cur_q)
+    old_o, old_q = old
+    out = [
+        k for k in cur_q
+        if old_q.get(k) != cur_q[k] or old_o.get(k) != cur_o.get(k)
+    ]
+    return sorted(out)
+
+
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+_flags = [a for a in sys.argv[1:] if a.startswith("--")]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = _args[1].split(",") if len(_args) > 1 else None
+for _f in _flags:
+    if _f == "--changed" or _f.startswith("--changed="):
+        _ref = _f.split("=", 1)[1] if "=" in _f else "HEAD"
+        ONLY = changed_queries(_ref)
+        print(f"--changed vs {_ref}: {len(ONLY)} queries: {','.join(ONLY)}")
+        if not ONLY:
+            print("\nFAILURES: none")
+            sys.exit(0)
 
 
 def canon_rows(cols, rows):
