@@ -64,6 +64,19 @@ def read_pages_stream(
     )
 
 
+def _failpoint(name: str) -> None:
+    """Crash-injection seam for the restart/exactly-once tests: raises
+    when ``LINKGRAPH_FAILPOINT`` names this stage boundary, killing the
+    micro-batch exactly there (offsets uncommitted → the restarted query
+    REPLAYS the batch). One getenv in production — no other cost. The
+    boundaries, in batch order: ``extracted`` (nothing written yet),
+    ``dict_appended`` (dictionary rows durable, edges not),
+    ``edges_merged`` (edges+pending durable, labels stale),
+    ``labels_written`` (labels durable, PageRank/manifest not)."""
+    if os.environ.get("LINKGRAPH_FAILPOINT") == name:
+        raise RuntimeError(f"injected crash at failpoint {name!r}")
+
+
 def _read_table(spark: SparkSession, path: str, schema: str) -> DataFrame:
     # ONLY two cases read as empty: a missing path (first batch) and an
     # existing-but-fileless table (a re-crawl legitimately emptied every
@@ -139,6 +152,7 @@ def stream_pages_pipeline(
             .agg(F.count("*").cast("double").alias("weight"))
             .localCheckpoint(eager=True)
         )
+        _failpoint("extracted")
 
         # ---- dictionary: append only unseen urls ---------------------------
         cur_dict = _read_table(sp, dict_path, "url string, id bigint")
@@ -146,6 +160,7 @@ def stream_pages_pipeline(
             eager=True
         )
         new_urls.write.mode("append").parquet(dict_path)
+        _failpoint("dict_appended")
         full_dict = sp.read.parquet(dict_path)
 
         # ---- resolve batch links; park the rest as pending -----------------
@@ -230,6 +245,31 @@ def stream_pages_pipeline(
             .unionByName(retro)
             .localCheckpoint(eager=True)
         )
+
+        # ---- exactly-once delta staging -----------------------------------
+        # added/removed are DELTAS vs the durable edge table — a batch
+        # replayed after its merge already landed (crash between the edge
+        # write and the label write) would recompute them as empty and the
+        # label update would silently skip the batch's nodes/splits. Stage
+        # the deltas durably BEFORE the merge; a replay that finds a
+        # complete staging (both _SUCCESS markers — staging strictly
+        # precedes the merge, so a landed merge implies complete staging)
+        # consumes the recorded deltas instead, making the label update
+        # and lineage counts replay exactly-once. The staging dir is
+        # removed at batch end, so steady-state holds at most one batch.
+        delta_dir = os.path.join(state_dir, "batch_deltas", f"batch={batch_id}")
+        added_dir = os.path.join(delta_dir, "added")
+        removed_dir = os.path.join(delta_dir, "removed")
+
+        def _staged(d: str) -> bool:
+            return os.path.exists(os.path.join(d, "_SUCCESS"))
+
+        if _staged(added_dir) and _staged(removed_dir):
+            added = sp.read.parquet(added_dir).localCheckpoint(eager=True)
+            removed = sp.read.parquet(removed_dir).localCheckpoint(eager=True)
+        else:
+            removed.write.mode("overwrite").parquet(removed_dir)
+            added.write.mode("overwrite").parquet(added_dir)
         old_mode = sp.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
         )
@@ -263,6 +303,7 @@ def stream_pages_pipeline(
             sp.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
         # pending consumed only once the edges that replace it are durable
         pending_next.write.mode("overwrite").parquet(pending_path)
+        _failpoint("edges_merged")
 
         # ---- incremental components --------------------------------------
         # guarded read: a re-crawl can legitimately empty the whole table
@@ -338,6 +379,7 @@ def stream_pages_pipeline(
                     "spark.sql.sources.partitionOverwriteMode", old_mode
                 )
         n_components = labels.select("label").distinct().count()
+        _failpoint("labels_written")
 
         # ---- PageRank re-trigger ------------------------------------------
         # warm-started from the previous snapshot's converged ranks (a
@@ -382,6 +424,11 @@ def stream_pages_pipeline(
                 )
                 + "\n"
             )
+        # batch complete: the staged deltas are consumed (label update
+        # durable) — drop them so state stays O(1) batches
+        import shutil
+
+        shutil.rmtree(delta_dir, ignore_errors=True)
 
     stream = read_pages_stream(spark, pages_path, max_files_per_trigger)
     return (
