@@ -54,9 +54,12 @@ def pagerank(
 
     ``init_ranks``: optional (id, rank) warm start — e.g. the previous
     crawl snapshot's converged ranks. Vertices absent from the frame
-    start at 1/n; the vector renormalizes to sum 1, so a slightly-changed
-    graph converges in a handful of supersteps instead of a cold run
-    (the streaming pipeline's re-trigger path).
+    start at 1/n; the vector renormalizes to sum 1. Measured on a 1%
+    edge-churn snapshot diff (R-MAT 18, 4.2M edges,
+    tools/warmstart_probe.py): 9 supersteps cold → 6 warm at tol=1e-6
+    (11 → 9 at 1e-8) — the saving is the early coarse supersteps; the
+    perturbation's own mixing time still has to run. The streaming
+    pipeline's re-trigger path uses this.
 
     ``tol=0`` with a finite ``max_iter`` gives an exact fixed-iteration run
     (used by the unrolled-SQL DuckDB oracle).
