@@ -347,7 +347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         g = _doc_graph(spark, sf)
         r = assortativity(g)
-        return spark.createDataFrame([(round(r, 6),)], "assortativity double")
+        return spark.createDataFrame(
+            [(float(r),)], "assortativity double"
+        ).select(_dec("assortativity", 6).alias("assortativity"))
 
     def doc_modularity_fixed(spark, sf):
         """Modularity of the FIXED labeling label=id%7 — makes the
@@ -358,7 +360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         labels = g.nodes().select("id", (F.col("id") % 7).alias("label"))
         q = modularity(g, labels)
-        return spark.createDataFrame([(round(q, 6),)], "modularity double")
+        return spark.createDataFrame(
+            [(float(q),)], "modularity double"
+        ).select(_dec("modularity", 6).alias("modularity"))
 
     def doc_map_equation_fixed(spark, sf):
         """Two-level map-equation code length of the FIXED labeling
@@ -370,7 +374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         labels = g.nodes().select("id", (F.col("id") % 7).alias("label"))
         val = map_equation(g, labels)
-        return spark.createDataFrame([(round(val, 6),)], "map_equation double")
+        return spark.createDataFrame(
+            [(float(val),)], "map_equation double"
+        ).select(_dec("map_equation", 6).alias("map_equation"))
 
     def events_sessions(spark, sf):
         """Gap-based sessionization (30-min inactivity): sessions per
@@ -907,7 +913,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from linkgraph.text.pipeline import corpus_card
 
         _register(spark, sf)
-        return corpus_card(spark.table("documents"))
+        return corpus_card(spark.table("documents")).select(
+            "lang", "source", "n_docs", "n_tokens",
+            _dec("avg_chars", 6).alias("avg_chars"),
+        )
 
     def source_graph(spark, sf):
         from linkgraph.algs.community import coarsen
@@ -1058,6 +1067,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _register(spark, sf)
         return perplexity_buckets(
             spark.table("documents"), (3.40, 3.41), round_logloss=6
+        ).select(
+            "doc_id", "n_tokens",
+            _dec("logloss", 6).alias("logloss"),
+            "bucket",
         )
 
     def doc_stratified_sample(spark, sf):
@@ -1206,13 +1219,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from linkgraph.text.quality import script_profile
 
         _register(spark, sf)
-        return script_profile(spark.table("documents"))
+        return script_profile(spark.table("documents")).select(
+            "doc_id", "dominant",
+            _dec("arabic_frac", 6).alias("arabic_frac"),
+            _dec("cjk_frac", 6).alias("cjk_frac"),
+            _dec("cyrillic_frac", 6).alias("cyrillic_frac"),
+            _dec("devanagari_frac", 6).alias("devanagari_frac"),
+            _dec("greek_frac", 6).alias("greek_frac"),
+            _dec("hangul_frac", 6).alias("hangul_frac"),
+            _dec("hebrew_frac", 6).alias("hebrew_frac"),
+            _dec("kana_frac", 6).alias("kana_frac"),
+            _dec("latin_frac", 6).alias("latin_frac"),
+        )
 
     def doc_mojibake(spark, sf):
         from linkgraph.text.quality import mojibake_stats
 
         _register(spark, sf)
-        return mojibake_stats(spark.table("documents"))
+        return mojibake_stats(spark.table("documents")).select(
+            "doc_id", "n_replacement",
+            _dec("control_frac", 6).alias("control_frac"),
+            "clean",
+        )
 
     def doc_quantiles(spark, sf):
         """Exact n_chars quantiles (type-1/lower definition) via the
@@ -1407,7 +1435,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         g = _doc_graph(spark, sf, directed=False)
         out = ged_walk(g, k=3, alpha=0.1, max_len=4, round_to=6)
-        return out.select("ord", "id", "gain", _dec("ged_score", 6).alias("ged_score"))
+        return out.select(
+            "ord", "id",
+            _dec("gain", 6).alias("gain"),
+            _dec("ged_score", 6).alias("ged_score"),
+        )
 
     def doc_maxent_layout(spark, sf):
         """MaxentStress coordinates after 5 fixed iterations (portable md5
@@ -1979,7 +2011,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").alias("id"), F.col("n_chars").alias("value")
         )
         r = attribute_assortativity(g, attrs)
-        return spark.createDataFrame([(round(r, 6),)], "assortativity double")
+        return spark.createDataFrame(
+            [(float(r),)], "assortativity double"
+        ).select(_dec("assortativity", 6).alias("assortativity"))
 
     def partition_measures(spark, sf):
         from linkgraph.algs.community import (
@@ -1993,11 +2027,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         b = g.nodes().select("id", (F.col("id") % 5).alias("label"))
         return spark.createDataFrame(
             [(
-                round(jaccard_measure(a, b), 6),
-                round(node_structural_rand(a, b), 6),
-                round(graph_structural_rand(g, a, b), 6),
+                jaccard_measure(a, b),
+                node_structural_rand(a, b),
+                graph_structural_rand(g, a, b),
             )],
             "jaccard double, node_rand double, graph_rand double",
+        ).select(
+            _dec("jaccard", 6).alias("jaccard"),
+            _dec("node_rand", 6).alias("node_rand"),
+            _dec("graph_rand", 6).alias("graph_rand"),
         )
 
     def doc_top_closeness(spark, sf):
@@ -2229,7 +2267,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("source").alias("seed"), "id"
         )
         cov = g.nodes().select("id", (F.col("id") % 6).alias("label"))
-        return ground_truth_comparison(det, cov)
+        return ground_truth_comparison(det, cov).select(
+            "seed", "tp", "det_size", "truth_size",
+            _dec("precision", 6).alias("precision"),
+            _dec("recall", 6).alias("recall"),
+            _dec("f1", 6).alias("f1"),
+            _dec("jaccard", 6).alias("jaccard"),
+        )
 
     def doc_clique_hist(spark, sf):
         """Maximal-clique size histogram (MaximalCliques, distributed
@@ -2453,8 +2497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _contracted_graph(spark, sf, 15, directed=False)
         r = effective_resistance(g, 1, 2, tol=1e-9)
         return spark.createDataFrame(
-            [(1, 2, round(float(r), 6))], "u bigint, v bigint, r_eff double"
-        )
+            [(1, 2, float(r))], "u bigint, v bigint, r_eff double"
+        ).select("u", "v", _dec("r_eff", 6).alias("r_eff"))
 
     return {
         "doc_articulation": doc_articulation,

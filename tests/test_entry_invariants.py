@@ -81,3 +81,42 @@ def test_no_gate_query_emits_raw_rounded_double():
         f"{n_calls} _dec calls but only {n_scanned} scanned emissions — "
         "too many escaped the registry scan"
     )
+
+
+# ROUND(...) AS col pairs where the rounded double is an INTERMEDIATE of
+# the oracle replay (consumed by later CTEs / ordering, never an output
+# column) — the only places a raw rounded double may appear.
+_ROUND_INTERMEDIATES = {
+    "doc_nibble": {"rank"},            # sweep ordering key, output is ids
+    "doc_unigram_pieces": {"nll"},     # Viterbi cost table
+    "embed_ivf_top5": {"mv"},          # 12-dp Lloyd centroid pin
+    "embed_pq_top5": {"mv"},
+    "embed_semantic_dedup": {"mv"},
+}
+
+
+def test_every_oracle_round_emission_is_decimal_mapped():
+    """Ratchet for the doc_rich_club class of flake: any ROUND(x, n) AS
+    col in an oracle must either be a decimal-mapped emission (the
+    _decfin CAST collapses the ulp) or a known replay intermediate —
+    a new rounded-double output column is a future driver hash-red."""
+    import re
+
+    e = _entry()
+    dec = e._dec_columns()
+    offenders = {}
+    for name, sql in e.oracle_sql().items():
+        ok = set(dec.get(name, {})) | _ROUND_INTERMEDIATES.get(name, set())
+        for m in re.finditer(
+            r'ROUND\([^;]*?,\s*\d+\)\s+AS\s+"?([A-Za-z_][A-Za-z0-9_]*)"?',
+            sql,
+        ):
+            col = m.group(1)
+            if col not in ok and col != "DOUBLE":  # CAST(.. AS DOUBLE) hits
+                offenders.setdefault(name, set()).add(col)
+    assert not offenders, (
+        f"rounded-double oracle emissions without a decimal cast: "
+        f"{ {k: sorted(v) for k, v in offenders.items()} } — emit them "
+        "through _dec in the Spark query (the oracle cast follows "
+        "automatically) or record them in _ROUND_INTERMEDIATES"
+    )
