@@ -24,19 +24,27 @@ TABLES = (
 
 
 def _dec(col, scale: int = 6, prec: int = 28):
-    """Round + cast to DECIMAL so the driver's value hash is bit-robust.
+    """Round through DECIMAL, land as DOUBLE, on BOTH gate sides.
 
     ``F.round`` on a DoubleType returns a double that can differ from
     DuckDB's ``ROUND`` by 1 ulp (Spark rounds through BigDecimal HALF_UP,
     DuckDB through float multiply/divide) — value-identical at 9 dp but
     hash-distinct on raw bits (the round-3 ``doc_rich_club`` driver red).
-    Casting BOTH sides to the same DECIMAL(prec, scale) collapses the ulp
-    to one canonical scaled integer: each side's double is within 1 ulp of
-    the intended scale-dp value, so the nearest DECIMAL is identical.
-    oracle_sql() applies the matching CAST via the ``_dec_columns()`` AST
-    scan — one source of truth, the two sides cannot disagree.
+    Casting BOTH sides through the same DECIMAL(prec, scale) collapses the
+    ulp to one canonical scaled integer; the final ``CAST(… AS DOUBLE)``
+    is the uniquely-defined nearest double of that scaled integer, so the
+    emitted float64 bits are identical in the JVM and DuckDB. Landing as
+    DOUBLE (not DECIMAL) matters because the driver's hasher is
+    representation-sensitive: Spark ``toPandas`` renders DecimalType as
+    object-dtype ``decimal.Decimal`` while DuckDB ``.df()`` renders
+    DECIMAL as float64 — value-equal, hash-distinct (the round-4 12-red
+    regression). oracle_sql() applies the matching
+    ``CAST(CAST(col AS DECIMAL) AS DOUBLE)`` via the ``_dec_columns()``
+    AST scan — one source of truth, the two sides cannot disagree.
     """
-    return F.round(col, scale).cast(f"decimal({prec},{scale})")
+    return (
+        F.round(col, scale).cast(f"decimal({prec},{scale})").cast("double")
+    )
 
 
 def _dec_columns() -> dict[str, dict[str, int]]:
@@ -81,8 +89,28 @@ def _dec_columns() -> dict[str, dict[str, int]]:
                         "literal so the oracle cast can mirror it"
                     )
                 alias = sub.args[0].value
-                dargs = sub.func.value.args
-                scale = dargs[1].value if len(dargs) > 1 else 6
+                dcall = sub.func.value
+                scale = 6
+                if len(dcall.args) > 1:
+                    scale = dcall.args[1].value
+                for kw in dcall.keywords:
+                    # keyword args must be literal so the oracle cast can
+                    # mirror the exact scale (ADVICE r4: a scale= keyword
+                    # was silently scanned as the default).
+                    if kw.arg == "scale":
+                        if not isinstance(kw.value, ast.Constant):
+                            raise ValueError(
+                                f"_dec scale= in {node.name} must be a "
+                                "literal for the oracle cast to mirror it"
+                            )
+                        scale = kw.value.value
+                    elif kw.arg == "prec":
+                        pass
+                    else:
+                        raise ValueError(
+                            f"unsupported _dec keyword {kw.arg!r} in "
+                            f"{node.name}"
+                        )
                 cols[alias] = scale
         if cols:
             func_cols[node.name] = cols
@@ -4338,7 +4366,7 @@ cum AS (
     COALESCE(SUM(nd) OVER (ORDER BY k ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS n_nodes,
     COALESCE(SUM(ne) OVER (ORDER BY k ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS n_edges
   FROM hist)
-SELECT k, n_nodes, n_edges,
+SELECT k, CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
        ROUND(2.0 * n_edges / (n_nodes * (n_nodes - 1)), 6) AS phi
 FROM cum WHERE n_nodes >= 2
 """
@@ -4615,13 +4643,13 @@ SELECT id, id AS label FROM (
 ) n
 """
 
-    # Final pass: wrap every oracle whose Spark query emits DECIMAL columns
-    # (via _dec) in the matching CAST so both sides hash the identical
-    # scaled-integer values — see _dec's docstring for the ulp rationale.
+    # Final pass: wrap every oracle whose Spark query rounds through _dec
+    # in the matching DECIMAL round-trip LANDING AS DOUBLE, so both sides
+    # hash identical float64 bits — see _dec's docstring for the rationale.
     for k, cols in _dec_columns().items():
         if k in sql:
             reps = ", ".join(
-                f'CAST("{c}" AS DECIMAL(28,{s})) AS "{c}"'
+                f'CAST(CAST("{c}" AS DECIMAL(28,{s})) AS DOUBLE) AS "{c}"'
                 for c, s in cols.items()
             )
             sql[k] = f"SELECT * REPLACE ({reps}) FROM (\n{sql[k]}\n) _decfin"

@@ -51,7 +51,10 @@ def test_no_gate_query_emits_raw_rounded_double():
     for name, cols in dec_cols.items():
         assert name in oracles, name
         for col, scale in cols.items():
-            want = f'CAST("{col}" AS DECIMAL(28,{scale})) AS "{col}"'
+            want = (
+                f'CAST(CAST("{col}" AS DECIMAL(28,{scale})) AS DOUBLE)'
+                f' AS "{col}"'
+            )
             assert want in oracles[name], (name, col, scale)
     # Every _dec result must be either .alias()-ed immediately (an
     # emission, mirrored into the oracle cast map) or .cast()-ed
@@ -81,6 +84,26 @@ def test_no_gate_query_emits_raw_rounded_double():
         f"{n_calls} _dec calls but only {n_scanned} scanned emissions — "
         "too many escaped the registry scan"
     )
+
+
+def test_dec_lands_as_double():
+    """Round-4 driver regression: emitting DECIMAL output types turned 12
+    gate queries hash-red (Spark toPandas → object-dtype Decimal, DuckDB
+    .df() → float64 — value-equal, representation-distinct). _dec must
+    round THROUGH decimal but LAND as double, and the oracle wrap must
+    mirror the same decimal→double round-trip."""
+    import inspect
+
+    e = _entry()
+    src = inspect.getsource(e._dec)
+    assert '.cast("double")' in src, (
+        "_dec must end with .cast('double') — DECIMAL output types are "
+        "hash-red at the driver (round-4 regression)"
+    )
+    for name, sql in e.oracle_sql().items():
+        if "_decfin" in sql:
+            assert "AS DOUBLE)" in sql, (name, "oracle _decfin wrap must "
+                                         "land as DOUBLE")
 
 
 # ROUND(...) AS col pairs where the rounded double is an INTERMEDIATE of

@@ -1,7 +1,19 @@
 """Local stand-in for the driver's correctness gate: run every
 __spark_entry__.queries() entry on Spark and its oracle_sql() on DuckDB at
 sf0.01, compare row count + sorted-column schema + order-insensitive
-values (exact match after each side's own rounding)."""
+values.
+
+STRICT by design (round-4 lesson): the driver's hasher is
+representation-sensitive, not value-sensitive — r4 shipped 12 driver reds
+on queries whose values were repr-identical Decimals locally, because
+Spark ``toPandas`` renders DecimalType as object-dtype ``decimal.Decimal``
+while DuckDB ``.df()`` renders DECIMAL as float64. So this checker now
+compares the PANDAS frames the way a dtype-sensitive hasher would see
+them: per-column dtype KIND (f/i/O/b/M) must match, and every canonical
+value must match on (type, repr) — no rounding, no cross-type ==. A 1-ulp
+float difference or an int-vs-float drift is a local FAILURE here, as it
+would be a driver hash-red. Pass --loose for the old value-equality
+compare when debugging whether a red is values or representation."""
 
 from __future__ import annotations
 
@@ -40,7 +52,7 @@ def _query_sources(entry_src: str) -> dict[str, str]:
     return out
 
 
-def _old_oracles(ref: str) -> dict[str, str] | None:
+def _old_oracles(ref: str) -> tuple[dict[str, str], dict[str, str]] | None:
     """oracle_sql() of the entry module as of git REF, executed from the
     old source (pure string building — no Spark work)."""
     import subprocess
@@ -68,13 +80,20 @@ def _old_oracles(ref: str) -> dict[str, str] | None:
         emod = types.ModuleType("__spark_entry_old__")
         # _dec_columns() scans __file__ — point it at the OLD source so the
         # oracle decimal wrap reflects that revision, not the working tree.
-        with tempfile.NamedTemporaryFile(
-            "w", suffix=".py", delete=False
-        ) as tf:
+        tf = tempfile.NamedTemporaryFile("w", suffix=".py", delete=False)
+        try:
             tf.write(entry_src)
+            tf.close()
             emod.__file__ = tf.name
-        exec(compile(entry_src, "__spark_entry__.py(old)", "exec"), emod.__dict__)
-        return emod.oracle_sql(), _query_sources(entry_src)
+            exec(
+                compile(entry_src, "__spark_entry__.py(old)", "exec"),
+                emod.__dict__,
+            )
+            return emod.oracle_sql(), _query_sources(entry_src)
+        finally:
+            import os
+
+            os.unlink(tf.name)
     finally:
         if saved is not None:
             sys.modules["gate_sql"] = saved
@@ -114,22 +133,56 @@ for _f in _flags:
             sys.exit(0)
 
 
-def canon_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 9)
-            vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=repr)
-    return [cols[i] for i in order], out
+STRICT = "--loose" not in _flags
+
+
+def _norm(v, strict: bool = True):
+    """Canonicalize one pandas-frame value.
+
+    Strict (default): (type-name, repr) token — a 1-ulp float drift, a
+    Decimal-vs-float emission, or an int-vs-float drift all FAIL, exactly
+    as a representation-sensitive hasher would see them. Loose: the old
+    value-equality canon (floats rounded to 9 dp, cross-type == allowed)
+    for diagnosing whether a strict red is values or representation.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        tok = tuple(_norm(x, strict) for x in v)
+        return ("seq", tok) if strict else tok
+    if isinstance(v, dict):
+        items = tuple(sorted((k, _norm(x, strict)) for k, x in v.items()))
+        return ("map", items) if strict else items
+    if isinstance(v, float) and math.isnan(v):
+        return ("float", "nan") if strict else "NaN"
+    if v is None or v is pd.NaT or v is pd.NA:
+        return ("null",) if strict else None
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if not strict:
+        return round(v, 9) if isinstance(v, float) else v
+    return (type(v).__name__, repr(v))
+
+
+def canon_frame(pdf, strict: bool = True):
+    """Sorted-column canonical view of a pandas frame: (columns, dtype
+    kinds, order-insensitive normalized rows). Dtype KIND (f/i/O/b/M) is
+    compared because that is the representation a pandas-hashing driver
+    sees — r4's DECIMAL reds were object-vs-float64 kind mismatches."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    kinds = [pdf[c].dtype.kind for c in cols]
+    rows = [
+        tuple(_norm(v, strict) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    rows.sort(key=repr)
+    return cols, kinds, rows
 
 
 def main():
@@ -146,31 +199,30 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = fn(spark, SF_DIR).toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"rows  {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.sql(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = [tuple(r) for r in res.fetchall()]
+            dpdf = con.sql(oracles[name]).df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error {e}")
             continue
-        sc, sr = canon_rows(scols, srows)
-        dc, dr = canon_rows(dcols, drows)
+        sc, sk, sr = canon_frame(spdf, STRICT)
+        dc, dk, dr = canon_frame(dpdf, STRICT)
         status = "ok   "
         msgs = []
         if sc != dc:
             status = "FAIL "
             msgs.append(f"cols spark={sc} duck={dc}")
+        if STRICT and sk != dk:
+            status = "FAIL "
+            msgs.append(f"dtype kinds spark={sk} duck={dk} (cols {sc})")
         if len(sr) != len(dr):
             status = "FAIL "
             msgs.append(f"rowcount spark={len(sr)} duck={len(dr)}")
