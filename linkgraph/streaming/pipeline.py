@@ -77,6 +77,22 @@ def _failpoint(name: str) -> None:
         raise RuntimeError(f"injected crash at failpoint {name!r}")
 
 
+def _manifest_batch_ids(manifest: str) -> set[int]:
+    """batch_ids whose manifest line already landed. Torn tail lines from
+    a crash mid-append are ignored (a torn line means the batch did NOT
+    complete, so its replay re-runs and appends a clean line)."""
+    if not os.path.exists(manifest):
+        return set()
+    ids: set[int] = set()
+    with open(manifest) as f:
+        for ln in f:
+            try:
+                ids.add(json.loads(ln)["batch_id"])
+            except (ValueError, KeyError):
+                pass
+    return ids
+
+
 def _read_table(spark: SparkSession, path: str, schema: str) -> DataFrame:
     # ONLY two cases read as empty: a missing path (first batch) and an
     # existing-but-fileless table (a re-crawl legitimately emptied every
@@ -109,7 +125,16 @@ def stream_pages_pipeline(
     State layout under ``state_dir``: edges/ (block-partitioned table),
     labels/ (id, label), dictionary/ (url, id), pagerank/ (id, rank),
     pr_work/ (Superstep manifests), checkpoint/ (stream offsets),
-    pipeline_manifest.jsonl."""
+    pipeline_manifest.jsonl.
+
+    Exactly-once: staged per-batch deltas (Hadoop-FS checked, so an
+    HDFS/S3 state_dir works) make the label update and lineage counts
+    replay-safe, and a replay whose manifest line already landed skips
+    the batch body entirely instead of recording duplicate counts. The
+    ``pipeline_manifest.jsonl`` file itself is written with driver-local
+    file IO — state_dir's manifest must live on a filesystem the driver
+    can open() (local disk or a fuse mount); the parquet state tables
+    have no such restriction."""
     from linkgraph.algs.pagerank import pagerank
     from linkgraph.extract import dictionary_encode, extract_hrefs, normalize_url
     from linkgraph.graph import Graph
@@ -128,6 +153,27 @@ def stream_pages_pipeline(
 
     def ingest_batch(pages: DataFrame, batch_id: int) -> None:
         sp = pages.sparkSession
+        hpath = sp._jvm.org.apache.hadoop.fs.Path
+
+        def _hfs(p: str):
+            return hpath(p).getFileSystem(sp._jsc.hadoopConfiguration())
+
+        if batch_id in _manifest_batch_ids(manifest):
+            # Exactly-once replay guard: the manifest line is the LAST
+            # durable mutation of a batch, so finding this batch_id there
+            # means the edge merge, label update, and pagerank snapshot
+            # all landed before a crash in the window between the
+            # manifest append and the stream's offset commit. Re-running
+            # would recompute the deltas as empty (the merge already
+            # landed) and append a duplicate manifest line with
+            # n_added=0 — breaking the lineage counts. Skip the body and
+            # just finish the staging cleanup the crashed run never
+            # reached.
+            stale_delta = os.path.join(
+                state_dir, "batch_deltas", f"batch={batch_id}"
+            )
+            _hfs(stale_delta).delete(hpath(stale_delta), True)
+            return
         if pages.isEmpty():
             return
         # latest crawl wins when one batch carries a url twice
@@ -262,7 +308,14 @@ def stream_pages_pipeline(
         removed_dir = os.path.join(delta_dir, "removed")
 
         def _staged(d: str) -> bool:
-            return os.path.exists(os.path.join(d, "_SUCCESS"))
+            # Hadoop FS, not os.path: on an HDFS/S3 state_dir a
+            # driver-local existence check would always be False and the
+            # exactly-once guard would silently never engage (the
+            # manifest file itself still assumes a driver-visible
+            # state_dir — documented in the stream_pages_pipeline
+            # docstring).
+            marker = os.path.join(d, "_SUCCESS")
+            return _hfs(marker).exists(hpath(marker))
 
         if _staged(added_dir) and _staged(removed_dir):
             added = sp.read.parquet(added_dir).localCheckpoint(eager=True)
@@ -285,8 +338,7 @@ def stream_pages_pipeline(
         }
         emptied = set(blocks) - present
         if emptied:
-            hpath = sp._jvm.org.apache.hadoop.fs.Path
-            fs = hpath(edges_path).getFileSystem(sp._jsc.hadoopConfiguration())
+            fs = _hfs(edges_path)
             for b in emptied:
                 fs.delete(hpath(os.path.join(edges_path, f"block={b}")), True)
         sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -424,11 +476,10 @@ def stream_pages_pipeline(
                 )
                 + "\n"
             )
+        _failpoint("manifest_appended")
         # batch complete: the staged deltas are consumed (label update
         # durable) — drop them so state stays O(1) batches
-        import shutil
-
-        shutil.rmtree(delta_dir, ignore_errors=True)
+        _hfs(delta_dir).delete(hpath(delta_dir), True)
 
     stream = read_pages_stream(spark, pages_path, max_files_per_trigger)
     return (

@@ -14,7 +14,17 @@ from pyspark.sql import functions as F
 
 from linkgraph.streaming.pipeline import stream_pages_pipeline
 
-KILL_POINTS = ["extracted", "dict_appended", "edges_merged", "labels_written"]
+# manifest_appended covers the window ADVICE r4 flagged as untested: a
+# crash after the manifest line lands but before the stream commits its
+# offsets — the replay must skip the batch body (manifest-dedupe guard)
+# instead of appending a duplicate line with recomputed-empty deltas.
+KILL_POINTS = [
+    "extracted",
+    "dict_appended",
+    "edges_merged",
+    "labels_written",
+    "manifest_appended",
+]
 
 
 def _await(q):

@@ -68,9 +68,13 @@ def main() -> None:
     churn_out = e0.where(F.pmod(F.xxhash64("src", "dst", F.lit(1)), F.lit(100)) == 0)
     n_drop = churn_out.count()
     kept = e0.where(F.pmod(F.xxhash64("src", "dst", F.lit(1)), F.lit(100)) != 0)
+    # order-independent pick (ADVICE r4): an unordered .limit(n) depends
+    # on partitioning/scan order and breaks the deterministic-protocol
+    # claim — rank candidates by a content hash and take the lowest n.
     fresh = (
         rmat(spark, scale=SCALE, edge_factor=16, seed=777)
         .join(e0.select("src", "dst"), ["src", "dst"], "left_anti")
+        .orderBy(F.xxhash64("src", "dst"), "src", "dst")
         .limit(n_drop)
     )
     e1 = kept.unionByName(fresh.select(kept.columns)).persist()
