@@ -3507,7 +3507,7 @@ pd AS (SELECT doc_id, count(*) AS n_units,
               SUM(CAST(present AS BIGINT)) AS n_dup_units
        FROM ph GROUP BY doc_id)
 SELECT d.doc_id, COALESCE(n_units, 0) AS n_units,
-       COALESCE(n_dup_units, 0) AS n_dup_units,
+       CAST(COALESCE(n_dup_units, 0) AS BIGINT) AS n_dup_units,
        ROUND(CASE WHEN COALESCE(n_units, 0) > 0
              THEN CAST(n_dup_units AS DOUBLE) / n_units ELSE 0.0 END, 6)
        AS dup_frac
@@ -3607,7 +3607,7 @@ off AS (
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
   FROM sized
 )
-SELECT doc_id, bucket, n_tokens, start_offset,
+SELECT doc_id, bucket, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
        CAST(FLOOR(start_offset / 50) AS BIGINT) AS start_seq,
        CAST(FLOOR((start_offset + greatest(n_tokens, 1) - 1) / 50) AS BIGINT) AS end_seq
 FROM off
@@ -3652,7 +3652,7 @@ off AS (
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
   FROM sized
 )
-SELECT doc_id, bucket, n_tokens, start_offset,
+SELECT doc_id, bucket, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
        CAST(FLOOR(start_offset / 50) AS BIGINT) AS start_seq,
        CAST(FLOOR((start_offset + greatest(n_tokens, 1) - 1) / 50) AS BIGINT) AS end_seq
 FROM off

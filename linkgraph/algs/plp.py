@@ -22,9 +22,13 @@ Determinism rules (N-vs-4N result identity, BASELINE.json:14):
   cannot re-roll settled ties (a per-iteration hash term churned ~100% of
   tie-boundary nodes every superstep without converging).
 
-Plan per superstep: labels ⋈ sym_edges → groupBy(dst,label).sum(weight)
-(partial agg soaks hub skew) → window row_number over (dst) ordered by
-(keep-current desc, weight desc, label asc) → changed count.
+Plan per superstep (two exchanges): labels ⋈ src-partitioned cached
+sym_edges (no edge shuffle) ∪ zero-weight self-votes → groupBy(id,label)
+.sum(weight) (partial agg soaks hub skew) → groupBy(id) lexicographic
+max_by — the self-vote row carries the node's current label through both
+aggregates, so no separate current-label join and no winners-to-state
+re-join. Positive edge weights are assumed (a w=0 self-vote must lose to
+any real vote), matching the reference's weighted-PLP precondition.
 """
 
 from __future__ import annotations
@@ -76,7 +80,16 @@ def label_propagation(
 
     spark = graph.edges.sparkSession
     work_dir = work_dir or tempfile.mkdtemp(prefix="lg_plp_")
-    sym = graph.symmetric_edges().where(F.col("src") != F.col("dst")).persist()
+    # hash-partition the static edge table on the join key ONCE (the
+    # pagerank.py:39 discipline): every superstep's labels ⋈ edges then
+    # reuses the cached partitioning instead of re-shuffling all m edges
+    # per round — per-superstep shuffle volume is O(n) state, not O(m).
+    sym = (
+        graph.symmetric_edges()
+        .where(F.col("src") != F.col("dst"))
+        .repartition("src")
+        .persist()
+    )
     n = graph.nodes().count()
     if active_frontier_frac > 0 and graph.edges.count() < min_frontier_edges:
         active_frontier_frac = 0.0
@@ -135,14 +148,40 @@ def label_propagation(
                 .unionByName(blocked)
             )
             edges_k = sym.join(active, "dst", "semi")
-        votes = (
+        # Self-vote trick: instead of joining the current-label table into
+        # the vote rows (one n-row join per superstep) and left-joining
+        # the winners back onto the state (another), every node unions ONE
+        # zero-weight vote for its own current label into the message
+        # stream. After the (id, label) aggregation the self row makes the
+        # current label a candidate carrying is_cur=1, so the same
+        # lexicographic max key applies — and the old label rides the same
+        # aggregate out via max(label where is_cur). Two exchanges per
+        # superstep total (groupBy (id,label), groupBy id) instead of
+        # five; the two joins this removes are the ones that grew with n.
+        # Semantics are identical for POSITIVE edge weights (the engine's
+        # invariant, as in the reference): a w=0 self-vote can only win
+        # when the node has no real votes at all — exactly the old
+        # coalesce(best, old) keep-label path (frontier-restricted and
+        # isolated nodes).
+        msgs = (
             labels.join(edges_k, labels.id == edges_k.src)
-            .groupBy(F.col("dst").alias("id"), "label")
-            .agg(F.sum("weight").alias("w"))
+            .select(
+                F.col("dst").alias("id"),
+                "label",
+                F.col("weight").alias("w"),
+                F.lit(0).alias("self"),
+            )
+            .unionByName(
+                labels.select(
+                    "id",
+                    "label",
+                    F.lit(0.0).alias("w"),
+                    F.lit(1).alias("self"),
+                )
+            )
         )
-        cur = labels.select("id", F.col("label").alias("cur_label"))
-        ranked = votes.join(cur, "id").withColumn(
-            "is_cur", (F.col("label") == F.col("cur_label")).cast("int")
+        votes = msgs.groupBy("id", "label").agg(
+            F.sum("w").alias("w"), F.max("self").alias("is_cur")
         )
         # vote selection = lexicographic MAX of (w, is_cur, ~tie, ~label):
         # identical tie-break order as the unrolled-SQL oracle (desc w,
@@ -153,7 +192,7 @@ def label_propagation(
         # overhead-bound sf0.1 doc graph (88 s -> 71 s warm full run);
         # the sort it removes is the part that grows with data, so the
         # gap widens at scale.
-        best = ranked.groupBy("id").agg(
+        best = votes.groupBy("id").agg(
             F.max_by(
                 "label",
                 F.struct(
@@ -162,7 +201,10 @@ def label_propagation(
                     F.bitwise_not(tie()),
                     F.bitwise_not(F.col("label")),
                 ),
-            ).alias("best")
+            ).alias("win"),
+            # the node's current label rides the same aggregate out (its
+            # self row is the unique is_cur group) — no state re-join
+            F.max(F.when(F.col("is_cur") == 1, F.col("label"))).alias("old"),
         )
         # parity dampening (the PLM discipline, plm.py:124): only the
         # gate==0 pseudo-random half applies its pending move per round —
@@ -174,17 +216,12 @@ def label_propagation(
         # applied moves, so metric==0 provably means no node anywhere
         # wants to move — no same-round complementary pass, no extra
         # aggregate, single-scan superstep plan.
-        pre = (
-            state.select("id", F.col("label").alias("old"))
-            .join(best, "id", "left")
-            .select(
-                "id",
-                "old",
-                F.coalesce("best", "old").alias("win"),
-                gate_hash(k).alias("g"),
-            )
-            .withColumn("pend", (F.col("win") != F.col("old")).cast("int"))
-        )
+        pre = best.select(
+            "id",
+            "old",
+            F.col("win"),
+            gate_hash(k).alias("g"),
+        ).withColumn("pend", (F.col("win") != F.col("old")).cast("int"))
         moved = (F.col("pend") == 1) & (F.col("g") == 0)
         return pre.select(
             "id",
