@@ -7,10 +7,15 @@ formulation: every vertex starts labeled with its own id; each superstep
 every vertex takes the min label over itself and its neighbors; fixpoint in
 O(diameter) supersteps (BASELINE.json:14 names exactly this algorithm).
 
-Plan per superstep: labels ⋈ sym_edges (shuffle on id) → groupBy(dst).min
-(partial+final hash agg) → join old labels → count changed. Two shuffles a
-superstep, both on the vertex id — co-partitioned by Spark's hash
-partitioning, so AQE reuses the exchange where possible.
+Plan per superstep (one exchange): changed-vertex labels ⋈ src-partitioned
+cached sym_edges (co-partitioned, no edge shuffle) ∪ every vertex's own
+(label, self-marker) row → groupBy(id).agg(min(label), old=label of the
+self row) → changed flag from old vs new. The delta frontier is exact,
+not heuristic: hash-to-min labels only decrease and the per-vertex min is
+cumulative, so a neighbor whose label did NOT change this round was
+already absorbed in an earlier round — re-delivering it cannot lower
+anything. Late supersteps (the long tail on high-diameter graphs)
+therefore touch only the edges incident to still-moving vertices.
 
 Scale: state is (id, label) — 16 bytes a vertex. Web-scale diameters are
 small (~tens); for pathological high-diameter graphs the large-star/
@@ -42,7 +47,12 @@ def connected_components(
     "exact up to canonical relabeling" contract is free.
     """
     spark = graph.edges.sparkSession
-    sym = graph.symmetric_edges().select("src", "dst").persist()
+    # hash-partition the static edge table on the join key once (the
+    # pagerank.py discipline): the per-superstep frontier join reuses the
+    # cached partitioning instead of re-shuffling the edges every round.
+    sym = (
+        graph.symmetric_edges().select("src", "dst").repartition("src").persist()
+    )
     work_dir = work_dir or tempfile.mkdtemp(prefix="lg_cc_")
 
     def init() -> DataFrame:
@@ -51,25 +61,31 @@ def connected_components(
         )
 
     def step(state: DataFrame, k: int) -> DataFrame:
-        # neighbor labels: a vertex receives its neighbors' current labels;
-        # new label = min(own, min over neighbors). The candidate agg and
-        # the state join are both hash-partitioned on id — co-partitioned.
-        cand = (
-            state.select("id", "label")
-            .join(sym, F.col("id") == sym.src)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("label").alias("cand"))
-        )
-        return (
-            state.select("id", F.col("label").alias("old"))
-            .join(cand, "id", "left")
+        # Exact delta frontier: only vertices whose label changed last
+        # round send it to their neighbors (see module docstring for the
+        # monotonicity argument). Every vertex also contributes one
+        # self-marker row carrying its current label, so min(label) and
+        # the old label come out of ONE aggregation — no state re-join,
+        # and isolated / frontier-quiet vertices keep their label for
+        # free.
+        chg = state.where(F.col("changed") == 1).select("id", "label")
+        msgs = (
+            chg.join(sym, chg.id == sym.src)
             .select(
-                "id",
-                F.least("old", F.coalesce("cand", "old")).alias("label"),
-                (F.least("old", F.coalesce("cand", "old")) != F.col("old"))
-                .cast("int")
-                .alias("changed"),
+                F.col("dst").alias("id"), "label", F.lit(0).alias("self")
             )
+            .unionByName(
+                state.select("id", "label", F.lit(1).alias("self"))
+            )
+        )
+        agg = msgs.groupBy("id").agg(
+            F.min("label").alias("label"),
+            F.max(F.when(F.col("self") == 1, F.col("label"))).alias("old"),
+        )
+        return agg.select(
+            "id",
+            "label",
+            (F.col("label") != F.col("old")).cast("int").alias("changed"),
         )
 
     result = Superstep(spark, work_dir, "cc").run(
