@@ -259,6 +259,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         return component_sizes(connected_components(g))
 
+    def doc_components_star(spark, sf):
+        # alternating large-star/small-star (Kiveris SoCC'14) — identical
+        # labels to hash-to-min, O(log² n) rounds; same min-label oracle
+        g = _doc_graph(spark, sf)
+        return connected_components(g, method="star")
+
     def doc_triangles(spark, sf):
         g = _doc_graph(spark, sf)
         return per_vertex_triangles(g)
@@ -2552,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_out_degrees": doc_out_degrees,
         "degree_top10": degree_top10,
         "doc_components": doc_components,
+        "doc_components_star": doc_components_star,
         "doc_component_sizes": doc_component_sizes,
         "doc_triangles": doc_triangles,
         "doc_lcc": doc_lcc,
@@ -3066,6 +3073,8 @@ reach(id, label) AS (
 )
 SELECT id, MIN(label) AS component FROM reach GROUP BY id
 """
+
+    sql["doc_components_star"] = sql["doc_components"]
 
     sql["doc_component_sizes"] = f"""
 WITH RECURSIVE {EDGES_CTE},
